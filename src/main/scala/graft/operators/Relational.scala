@@ -1,0 +1,478 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Core relational operator surface (SURVEY.md §2a–§2g).
+  *
+  * Re-expresses the reference's query surface (ToeBee/ChangesetMD
+  * `README.md:106-124`, `queries.py:41-56`) as declarative DataFrame
+  * plans so Catalyst gets full freedom: predicate pushdown + column
+  * pruning reach the parquet scan, small dimensions are broadcast,
+  * aggregates run partial+final, top-k lowers to
+  * TakeOrderedAndProject.
+  *
+  * Numeric discipline for oracle parity: money/quantity doubles are
+  * cast to DECIMAL before any aggregation, so Spark and DuckDB do
+  * bit-identical exact arithmetic regardless of summation order —
+  * which is also the right call at 100 TB, where float sums are
+  * nondeterministic across partitionings.
+  */
+object Relational {
+
+  /** Exact-decimal view of a 2-decimal double column. */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  // ---- §2a scans -----------------------------------------------------
+
+  /** Columnar scan with pushed filter + pruned columns: the Postgres
+    * heap-scan analog (`README.md:110-124`). `.explain` shows
+    * PushedFilters + 3-column ReadSchema. */
+  def scanParquet(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-06-01").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  // ---- §2b projection / casts / filters ------------------------------
+
+  /** Attribute projection with renames — the XML-attribute projection
+    * step (`changesetmd.py:108-113`) re-expressed over the test table. */
+  def projectAttrs(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey").as("cust_id"),
+      col("c_name").as("cust_name"),
+      col("c_mktsegment").as("segment"))
+
+  /** Explicit string/number/temporal casts — the reference relies on
+    * Postgres wire-coercion (`queries.py:8-18`); here every cast is a
+    * visible plan node. */
+  def castTypes(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      col("l_quantity").cast(IntegerType).as("qty_int"),
+      dec(col("l_extendedprice")).as("price_dec"),
+      col("l_shipdate").cast(DateType).as("ship_day"),
+      col("l_orderkey").cast(StringType).as("key_str"),
+      (col("l_returnflag") === "R").as("is_return"))
+
+  /** Equality + range + null-sensitive predicates (`queries.py:43-45`
+    * index targets; nullability contract `README.md:95`). */
+  def filterPred(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_totalprice").between(1000.0, 50000.0) &&
+        col("o_orderpriority").isNotNull &&
+        col("o_orderdate") < lit("1999-01-01").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  // ---- §2c joins -----------------------------------------------------
+
+  /** Fact⋈fact equi-join (changeset⋈comments analog, `README.md:99`):
+    * shuffled hash / sort-merge, chosen by Catalyst + AQE. */
+  def joinInnerHash(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"))).as("sum_price"))
+
+  /** Star join through two explicitly-broadcast dimensions — at 100 TB
+    * the fact side never shuffles for dims this small. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).as("sum_bal"))
+
+  /** Left outer join preserving parents with no children. */
+  def joinLeft(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(
+        lineitem(s, d).filter(col("l_quantity") >= 45.0),
+        col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_linenumber")).as("n_big_items"))
+
+  /** Semi join: EXISTS — customers having ≥1 order. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Anti join: NOT EXISTS — also the engine primitive under upsert
+    * (`changesetmd.py:71-76` delete+insert ≙ anti-join+union). */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  // ---- §2d aggregations ----------------------------------------------
+
+  /** COUNT(*) vs COUNT(col) (null-skipping) — `README.md:110-112`. */
+  def aggCount(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_discount") > 0.05)
+      .agg(count(lit(1)).as("n_rows"), count(col("l_orderkey")).as("n_keys"))
+
+  /** Grouped rollup (TPC-H Q1 shape): hash aggregate with map-side
+    * partial aggregation; exact decimal sums. */
+  def aggGroup(s: SparkSession, d: String): DataFrame = {
+    val df = lineitem(s, d)
+    df.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"))))
+          .as("sum_disc_price"),
+        count(lit(1)).as("n_rows"),
+        min(dec(col("l_quantity"))).as("min_qty"),
+        max(dec(col("l_quantity"))).as("max_qty"))
+  }
+
+  /** Exact distinct counts per group (`queries.py:43-44` editors). */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+
+  /** Sketch-based distinct (HLL++) — the 100 TB-scale variant of
+    * aggDistinct; no oracle (approximate by design). */
+  def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_part"))
+
+  /** ROLLUP: multi-granularity summary (region→nation→total). */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).as("sum_bal"))
+
+  /** CUBE over two independent dimensions. */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("sum_price"))
+
+  // ---- §2e windows ---------------------------------------------------
+
+  /** Last-writer-wins dedup — the replication upsert semantics
+    * (`changesetmd.py:105-106`) as a window: one shuffle on the key,
+    * no join. */
+  def winDedupLastwins(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), dec(col("value")).as("last_value"))
+  }
+
+  /** rank() per partition with deterministic tiebreak: top editors
+    * analog (`queries.py:43-45`). */
+  def winRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer(s, d)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("c_mktsegment"), col("c_custkey"), dec(col("c_acctbal")).as("bal"), col("rnk"))
+  }
+
+  /** lag(): inter-event gap per user in exact microseconds. */
+  def winLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .select(
+        col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+  }
+
+  /** Running totals (cumulative frame) — the loader's cumulative
+    * rows/sec progress metric (`changesetmd.py:115-117`) as a window. */
+  def aggRunningRate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d).select(
+      col("event_type"), col("event_id"),
+      count(lit(1)).over(w).as("n_so_far"),
+      sum(dec(col("value"))).over(w).as("value_so_far"))
+  }
+
+  // ---- §2f sorts / top-k / set ops -----------------------------------
+
+  /** True top-k: lowers to TakeOrderedAndProject (no global sort) —
+    * the "largest changesets" query class. */
+  def sortLimitTopk(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(15)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+
+  /** UNION ALL of two homogeneous slices (weekly dump + deltas form
+    * one logical table, `changesetmd.py:78`). */
+  def setUnion(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .unionByName(
+        c.filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_custkey"), col("c_mktsegment")))
+  }
+
+  /** EXCEPT (distinct): replication-audit shape — present here, absent
+    * there (`changesetmd.py:179-183` semantics). */
+  def setExcept(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      .except(o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey")))
+  }
+
+  /** INTERSECT (distinct). */
+  def setIntersect(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      .intersect(o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey")))
+  }
+
+  // ---- §2g scalar functions ------------------------------------------
+
+  /** String function coverage (prefix LIKE `README.md:118` etc.). */
+  def fnString(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("name_upper"),
+      lower(col("c_mktsegment")).as("seg_lower"),
+      length(col("c_name")).as("name_len"),
+      substring(col("c_name"), 1, 8).as("name_pre"),
+      concat(col("c_mktsegment"), lit("/"), col("c_name")).as("seg_name"),
+      col("c_name").like("Customer%").as("is_cust"))
+
+  /** Date/time function coverage (ISO parse + interval math,
+    * `changesetmd.py:109-111,268-271`). */
+  def fnDatetime(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).as("order_month"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType)).as("days_since"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"))
+
+  /** Math / formatting: the sequence→replication-path arithmetic
+    * (`changesetmd.py:128-130`) over test keys. */
+  def fnMath(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      floor(col("o_orderkey") / 1000000L).as("seq_a"),
+      pmod(floor(col("o_orderkey") / 1000L), lit(1000L)).as("seq_b"),
+      pmod(col("o_orderkey"), lit(1000L)).as("seq_c"),
+      format_string("%03d/%03d/%03d",
+        floor(col("o_orderkey") / 1000000L),
+        pmod(floor(col("o_orderkey") / 1000L), lit(1000L)),
+        pmod(col("o_orderkey"), lit(1000L))).as("seq_path"),
+      abs(col("o_custkey") - 100L).as("abs_off"),
+      sqrt(col("o_totalprice")).as("sqrt_price"))
+
+  /** Conditional / null-handling (`.get(k, None)` defaulting,
+    * `changesetmd.py:108-113`). */
+  def fnConditional(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_returnflag") === "R", lit("returned"))
+        .when(col("l_returnflag") === "A", lit("ack"))
+        .otherwise(lit("none")).as("flag_desc"),
+      coalesce(nullif(dec(col("l_discount")), lit(0).cast(DecimalType(12, 2))),
+        lit(-1).cast(DecimalType(12, 2))).as("disc_or_neg1"),
+      (col("l_tax") > col("l_discount")).as("tax_gt_disc"))
+
+  // ---- registry ------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> scanParquet _,
+    "project_attrs" -> projectAttrs _,
+    "cast_types" -> castTypes _,
+    "filter_pred" -> filterPred _,
+    "join_inner_hash" -> joinInnerHash _,
+    "join_broadcast" -> joinBroadcast _,
+    "join_left" -> joinLeft _,
+    "join_semi" -> joinSemi _,
+    "join_anti" -> joinAnti _,
+    "agg_count" -> aggCount _,
+    "agg_group" -> aggGroup _,
+    "agg_distinct" -> aggDistinct _,
+    "agg_approx_distinct" -> aggApproxDistinct _,
+    "agg_rollup" -> aggRollup _,
+    "agg_cube" -> aggCube _,
+    "win_dedup_lastwins" -> winDedupLastwins _,
+    "win_rank" -> winRank _,
+    "win_lag" -> winLag _,
+    "agg_running_rate" -> aggRunningRate _,
+    "sort_limit_topk" -> sortLimitTopk _,
+    "set_union" -> setUnion _,
+    "set_except" -> setExcept _,
+    "set_intersect" -> setIntersect _,
+    "fn_string" -> fnString _,
+    "fn_datetime" -> fnDatetime _,
+    "fn_math" -> fnMath _,
+    "fn_conditional" -> fnConditional _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'""".stripMargin,
+    "project_attrs" ->
+      "SELECT c_custkey AS cust_id, c_name AS cust_name, c_mktsegment AS segment FROM customer",
+    "cast_types" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS INTEGER) AS qty_int,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+        |  CAST(l_shipdate AS DATE) AS ship_day,
+        |  CAST(l_orderkey AS VARCHAR) AS key_str,
+        |  l_returnflag = 'R' AS is_return
+        |FROM lineitem""".stripMargin,
+    "filter_pred" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice BETWEEN 1000.0 AND 50000.0
+        |  AND o_orderpriority IS NOT NULL AND o_orderdate < TIMESTAMP '1999-01-01'""".stripMargin,
+    "join_inner_hash" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "join_broadcast" ->
+      """SELECT r_name, count(*) AS n_cust,
+        |  sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "join_left" ->
+      """SELECT o_orderkey, count(l_linenumber) AS n_big_items
+        |FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 45.0) li
+        |  ON o_orderkey = li.l_orderkey
+        |GROUP BY o_orderkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "agg_count" ->
+      """SELECT count(*) AS n_rows, count(l_orderkey) AS n_keys
+        |FROM lineitem WHERE l_discount > 0.05""".stripMargin,
+    "agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS sum_disc_price,
+        |  count(*) AS n_rows,
+        |  min(CAST(l_quantity AS DECIMAL(12,2))) AS min_qty,
+        |  max(CAST(l_quantity AS DECIMAL(12,2))) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "win_dedup_lastwins" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(value AS DECIMAL(12,2)) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    "win_rank" ->
+      """SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal, rnk
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |        rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+        |      FROM customer) t
+        |WHERE rnk <= 5""".stripMargin,
+    "win_lag" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+        |FROM events""".stripMargin,
+    "agg_running_rate" ->
+      """SELECT event_type, event_id,
+        |  count(*) OVER w AS n_so_far,
+        |  sum(CAST(value AS DECIMAL(12,2))) OVER w AS value_so_far
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""".stripMargin,
+    "set_union" ->
+      """SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
+    "set_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997""".stripMargin,
+    "fn_string" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  lower(c_mktsegment) AS seg_lower,
+        |  length(c_name) AS name_len,
+        |  substring(c_name, 1, 8) AS name_pre,
+        |  c_mktsegment || '/' || c_name AS seg_name,
+        |  c_name LIKE 'Customer%' AS is_cust
+        |FROM customer""".stripMargin,
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+        |  year(o_orderdate) AS y,
+        |  month(o_orderdate) AS m,
+        |  dayofmonth(o_orderdate) AS dom,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  o_orderdate + INTERVAL 30 DAY AS due_date
+        |FROM orders""".stripMargin,
+    "fn_math" ->
+      """SELECT o_orderkey,
+        |  CAST(floor(o_orderkey / 1000000) AS BIGINT) AS seq_a,
+        |  CAST(floor(o_orderkey / 1000) AS BIGINT) % 1000 AS seq_b,
+        |  o_orderkey % 1000 AS seq_c,
+        |  printf('%03d/%03d/%03d', CAST(floor(o_orderkey / 1000000) AS BIGINT),
+        |         CAST(floor(o_orderkey / 1000) AS BIGINT) % 1000, o_orderkey % 1000) AS seq_path,
+        |  abs(o_custkey - 100) AS abs_off,
+        |  sqrt(o_totalprice) AS sqrt_price
+        |FROM orders""".stripMargin,
+    "fn_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_returnflag = 'R' THEN 'returned'
+        |       WHEN l_returnflag = 'A' THEN 'ack'
+        |       ELSE 'none' END AS flag_desc,
+        |  coalesce(nullif(CAST(l_discount AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))),
+        |           CAST(-1 AS DECIMAL(12,2))) AS disc_or_neg1,
+        |  l_tax > l_discount AS tax_gt_disc
+        |FROM lineitem""".stripMargin
+  )
+}

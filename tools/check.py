@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only; the
+shipped library is pure Scala). Usage:
+
+    python3 tools/check.py /tmp/verify_out [sfdir]
+
+Reads each <name>/ parquet result dumped by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the sfdir
+tables, and compares: schema (column names), row count, and an
+order-insensitive hash of the values with columns sorted by name.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
+    import hashlib
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    out_dir = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
+                   if os.path.isdir(p))
+    n_pass = n_fail = n_noora = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL  {name}: no result parquet")
+            n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchall()
+        got_cols = [d[0] for d in con.description]
+        if name not in oracles:
+            print(f"NOORACLE {name}: rows={len(got)} cols={got_cols}")
+            n_noora += 1
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        ok_schema = sorted(got_cols) == sorted(exp_cols)
+        ok_rows = len(got) == len(exp)
+        ok_hash = ok_schema and ok_rows and \
+            table_hash(got, got_cols) == table_hash(exp, exp_cols)
+        if ok_hash:
+            print(f"PASS  {name}: rows={len(got)}")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL  {name}: schema_ok={ok_schema} rows {len(got)} vs {len(exp)}")
+            if not ok_schema:
+                print(f"      got  {sorted(got_cols)}\n      want {sorted(exp_cols)}")
+            elif ok_rows:
+                # show first differing row pair for debugging
+                order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+                order_e = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+                gs = sorted("\x01".join(norm_cell(r[i]) for i in order_g) for r in got)
+                es = sorted("\x01".join(norm_cell(r[i]) for i in order_e) for r in exp)
+                for a, b in zip(gs, es):
+                    if a != b:
+                        print(f"      got  {a[:200]}\n      want {b[:200]}")
+                        break
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} no-oracle")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

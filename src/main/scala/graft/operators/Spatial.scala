@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Spatial bbox operators (SURVEY.md §2b filter_clamp_latlon /
+  * filter_area, §2c join_range_bbox).
+  *
+  * The reference models changeset geometry as an axis-aligned bbox
+  * (4 decimals, queries.py:11-14) optionally lifted to a PostGIS
+  * polygon (queries.py:49-52). Every documented spatial operation —
+  * `ST_MakeEnvelope` containment (README.md:120-124) and the
+  * equal-area size filter (README.md:77) — is closed over axis-aligned
+  * envelopes, so the engine represents geometry as plain numeric
+  * columns and the operators reduce to interval arithmetic: fully
+  * codegen'd, parquet min/max-stats prunable (the GIST-index analog),
+  * no geometry library needed.
+  *
+  * The test tables carry no lon/lat, so the demonstrations derive a
+  * deterministic bbox per order from integer key arithmetic (exact in
+  * IEEE doubles → exact oracle parity).
+  */
+object Spatial {
+
+  /** Deterministic synthetic bbox per order (integer-degree corners). */
+  def ordersBbox(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_orderkey") % 340 - 170).cast(DoubleType).as("min_lon"),
+      (col("o_custkey") % 160 - 80).cast(DoubleType).as("min_lat"),
+      (col("o_orderkey") % 340 - 170 + 1 + col("o_orderkey") % 7).cast(DoubleType).as("max_lon"),
+      (col("o_custkey") % 160 - 80 + 1 + col("o_custkey") % 5).cast(DoubleType).as("max_lat"))
+
+  /** Clamp out-of-range latitudes into [-90, 90] — the data-quality
+    * repair the reference documents for dirty dumps (README.md:78). */
+  def filterClampLatlon(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      (col("o_custkey") % 220 - 110).cast(DoubleType).as("raw_lat"))
+      .withColumn("lat",
+        least(greatest(col("raw_lat"), lit(-90.0)), lit(90.0)))
+      .withColumn("was_dirty", col("lat") =!= col("raw_lat"))
+
+  /** Equal-area bbox area on the authalic sphere:
+    * R² · Δλ · (sin φ₂ − sin φ₁) — the EPSG:3410 equal-area size
+    * filter of README.md:77, as a closed-form column expression
+    * (stays inside whole-stage codegen; no UDF). */
+  def areaM2(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column): Column = {
+    val R = lit(6371007.0) // authalic Earth radius, m
+    def rad(c: Column): Column = c * lit(math.Pi) / lit(180.0)
+    R * R * (rad(maxLon) - rad(minLon)) * (sin(rad(maxLat)) - sin(rad(minLat)))
+  }
+
+  /** Area filter: drop continent-sized boxes (threshold scaled to the
+    * synthetic integer-degree boxes; reference constant is 225 km²). */
+  def filterArea(s: SparkSession, d: String): DataFrame = {
+    val b = ordersBbox(s, d)
+    b.withColumn("area_m2",
+        areaM2(col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")))
+      .filter(col("area_m2") < 2.0e10)
+      .select(
+        col("o_orderkey"),
+        floor(col("area_m2") / 1e6).cast(LongType).as("area_km2"))
+  }
+
+  /** Envelope containment join (`ST_CoveredBy(c.geom, s.geom)` with a
+    * literal query envelope, README.md:120-124): theta join against a
+    * tiny broadcast dimension → BroadcastNestedLoopJoin; the fact side
+    * never shuffles. For box×box joins at 100 TB the same predicate
+    * runs behind a coarse-grid-cell equi-join prefix (see
+    * plans/GridJoin notes). */
+  def joinRangeBbox(s: SparkSession, d: String): DataFrame = {
+    val envSchema = StructType(Seq(
+      StructField("env_id", IntegerType, false),
+      StructField("lon_lo", DoubleType, false),
+      StructField("lon_hi", DoubleType, false),
+      StructField("lat_lo", DoubleType, false),
+      StructField("lat_hi", DoubleType, false)))
+    val envs = s.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1, -20.0, 30.0, -10.0, 40.0),
+        Row(2, 100.0, 150.0, 0.0, 50.0),
+        Row(3, -170.0, -110.0, -60.0, 10.0),
+        Row(4, 40.0, 90.0, 30.0, 85.0)),
+      envSchema)
+    val b = ordersBbox(s, d)
+    b.join(broadcast(envs),
+        col("min_lon") >= col("lon_lo") && col("max_lon") <= col("lon_hi") &&
+        col("min_lat") >= col("lat_lo") && col("max_lat") <= col("lat_hi"))
+      .groupBy(col("env_id"))
+      .agg(
+        count(lit(1)).as("n_boxes"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_clamp_latlon" -> filterClampLatlon _,
+    "filter_area" -> filterArea _,
+    "join_range_bbox" -> joinRangeBbox _
+  )
+
+  // Shared SQL fragment: the synthetic bbox (must mirror ordersBbox).
+  private val bboxSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(o_orderkey % 340 - 170 AS DOUBLE) AS min_lon,
+      |  CAST(o_custkey % 160 - 80 AS DOUBLE) AS min_lat,
+      |  CAST(o_orderkey % 340 - 170 + 1 + o_orderkey % 7 AS DOUBLE) AS max_lon,
+      |  CAST(o_custkey % 160 - 80 + 1 + o_custkey % 5 AS DOUBLE) AS max_lat
+      |FROM orders""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "filter_clamp_latlon" ->
+      """SELECT o_orderkey,
+        |  CAST(o_custkey % 220 - 110 AS DOUBLE) AS raw_lat,
+        |  least(greatest(CAST(o_custkey % 220 - 110 AS DOUBLE), -90.0), 90.0) AS lat,
+        |  least(greatest(CAST(o_custkey % 220 - 110 AS DOUBLE), -90.0), 90.0)
+        |    <> CAST(o_custkey % 220 - 110 AS DOUBLE) AS was_dirty
+        |FROM orders""".stripMargin,
+    "filter_area" ->
+      s"""WITH b AS ($bboxSql)
+        |SELECT o_orderkey,
+        |  CAST(floor(6371007.0 * 6371007.0 * (max_lon * pi() / 180.0 - min_lon * pi() / 180.0)
+        |    * (sin(max_lat * pi() / 180.0) - sin(min_lat * pi() / 180.0)) / 1e6) AS BIGINT) AS area_km2
+        |FROM b
+        |WHERE 6371007.0 * 6371007.0 * (max_lon * pi() / 180.0 - min_lon * pi() / 180.0)
+        |    * (sin(max_lat * pi() / 180.0) - sin(min_lat * pi() / 180.0)) < 2.0e10""".stripMargin,
+    "join_range_bbox" ->
+      s"""WITH b AS ($bboxSql),
+        |e(env_id, lon_lo, lon_hi, lat_lo, lat_hi) AS (VALUES
+        |  (1, -20.0, 30.0, -10.0, 40.0),
+        |  (2, 100.0, 150.0, 0.0, 50.0),
+        |  (3, -170.0, -110.0, -60.0, 10.0),
+        |  (4, 40.0, 90.0, 30.0, 85.0))
+        |SELECT env_id, count(*) AS n_boxes, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM b, e
+        |WHERE min_lon >= lon_lo AND max_lon <= lon_hi
+        |  AND min_lat >= lat_lo AND max_lat <= lat_hi
+        |GROUP BY env_id""".stripMargin
+  )
+}

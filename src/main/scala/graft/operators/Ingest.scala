@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.Tables._
+import graft.sources.OsmXml
+
+/** Ingest-side operator demonstrations (SURVEY.md §2a): XML scans,
+  * compressed inputs, DDL lifecycle, post-load "index build".
+  * The XML-world entries have no SQL oracle (the fixture is not a
+  * parquet table the driver's DuckDB sees) → rows-only checks.
+  */
+object Ingest {
+
+  /** Distributed XML scan of the bulk-dump fixture → changesets
+    * relation joined with its exploded comments child relation
+    * (EP1's extract step end-to-end). */
+  def scanXml(s: SparkSession, d: String): DataFrame = {
+    val p = Files.createTempDirectory("graft_xml").resolve("dump.osm.xml")
+    OsmXml.writeFixture(p, OsmXml.bulkFixture)
+    val raw = OsmXml.scan(s, p.toString)
+    OsmXml.changesets(raw)
+      .withColumn("tags_json", to_json(col("tags"))).drop("tags")
+  }
+
+  /** Same scan through the gzip codec path (changesetmd.py:239-248);
+    * returns the comments child relation. */
+  def scanCompressed(s: SparkSession, d: String): DataFrame = {
+    val p = Files.createTempDirectory("graft_xmlgz").resolve("dump.osm.xml.gz")
+    OsmXml.writeFixture(p, OsmXml.bulkFixture)
+    OsmXml.comments(OsmXml.scan(s, p.toString))
+  }
+
+  /** state.yaml discovery (changesetmd.py:167-171): driver-side scalar
+    * read surfaced as a single-row relation. */
+  def sourceStateYaml(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_state")
+    Files.writeString(dir.resolve("state.yaml"),
+      "---\nlast_run: 2015-11-16 12:00:00.000000000 +00:00\nsequence: 1612345\n")
+    val (seq, lastRun) = graft.streaming.Replication.readServerState(dir)
+    s.range(1).select(lit(seq).as("sequence"), lit(lastRun).as("last_run"))
+  }
+
+  /** DDL create: register the parquet table in the catalog and query
+    * it through SQL — the `CREATE TABLE` + catalog path
+    * (queries.py:6-35) with no extension machinery. */
+  def ddlCreate(s: SparkSession, d: String): DataFrame = {
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW lineitem_v AS " +
+      s"SELECT * FROM parquet.`$d/lineitem.parquet`")
+    s.sql("""SELECT l_returnflag, count(*) AS n FROM lineitem_v
+             GROUP BY l_returnflag""")
+  }
+
+  /** DDL truncate (queries.py:37-39): overwrite-with-empty on a
+    * scratch copy; reports row counts before/after. */
+  def ddlTruncate(s: SparkSession, d: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_trunc").resolve("t").toString
+    val ev = events(s, d)
+    ev.write.parquet(out)
+    val before = s.read.parquet(out).count()
+    ev.limit(0).write.mode("overwrite").parquet(out)
+    val after = s.read.parquet(out).count()
+    s.range(1).select(lit(before).as("n_before"), lit(after).as("n_after"))
+  }
+
+  /** Post-bulk-load "index build" (queries.py:41-47): no secondary
+    * indexes on parquet — the equivalents are (a) PK uniqueness as a
+    * checked invariant and (b) a sorted, partitioned rewrite so
+    * created_at range queries prune via min/max stats (B-tree analog).
+    */
+  def ddlIndexConstraints(s: SparkSession, d: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_idx").resolve("orders").toString
+    orders(s, d)
+      .repartition(col("o_orderpriority"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey")).as("n_keys"),
+      (count(lit(1)) === countDistinct(col("o_orderkey"))).as("pk_ok"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_xml" -> scanXml _,
+    "scan_compressed" -> scanCompressed _,
+    "source_state_yaml" -> sourceStateYaml _,
+    "ddl_create" -> ddlCreate _,
+    "ddl_truncate" -> ddlTruncate _,
+    "ddl_index_constraints" -> ddlIndexConstraints _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ddl_create" ->
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    "ddl_truncate" ->
+      "SELECT count(*) AS n_before, CAST(0 AS BIGINT) AS n_after FROM events",
+    "ddl_index_constraints" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
+        |  count(*) = count(DISTINCT o_orderkey) AS pk_ok FROM orders""".stripMargin
+  )
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.sources.OsmXml
+
+/** Golden tests for the XML scan pipeline (FIXTURES.md §A.4):
+  * the reference README's example queries as assertions. */
+class OsmXmlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private lazy val raw = {
+    val p = Files.createTempDirectory("graft_t_xml").resolve("dump.osm.xml")
+    OsmXml.writeFixture(p, OsmXml.bulkFixture)
+    OsmXml.scan(spark, p.toString).cache()
+  }
+  private lazy val cs = OsmXml.changesets(raw).cache()
+  private lazy val cm = OsmXml.comments(raw).cache()
+
+  test("scan yields one row per changeset element") {
+    assert(cs.count() === 3)
+  }
+
+  test("hstore containment: tags ? 'comment' (README.md:110-112)") {
+    assert(cs.filter(map_contains_key(col("tags"), "comment")).count() === 1)
+  }
+
+  test("hstore lookup + prefix LIKE 'JOSM%' (README.md:114-118)") {
+    assert(cs.filter(element_at(col("tags"), "created_by").like("JOSM%")).count() === 1)
+    // missing key -> NULL -> LIKE is null-false, matching Postgres
+    assert(cs.filter(element_at(col("tags"), "nope").like("x%")).count() === 0)
+  }
+
+  test("nullability contract: absent attributes are NULL (README.md:95)") {
+    val r11 = cs.filter(col("id") === 11).collect()(0)
+    assert(r11.isNullAt(r11.fieldIndex("closed_at")))
+    assert(r11.isNullAt(r11.fieldIndex("min_lat")))
+    assert(r11.isNullAt(r11.fieldIndex("num_changes")))
+    val r12 = cs.filter(col("id") === 12).collect()(0)
+    assert(r12.isNullAt(r12.fieldIndex("user_name"))) // anonymous changeset
+  }
+
+  test("no discussion -> no comment rows; nested comments explode (changesetmd.py:94-103)") {
+    assert(cm.count() === 2)
+    assert(cm.filter(col("comment_changeset_id") === 10).count() === 2)
+    val texts = cm.orderBy("comment_date").select("comment_text")
+      .collect().map(_.getString(0)).toSeq
+    assert(texts === Seq("looks good", "thanks"))
+  }
+
+  test("coordinates cast to DECIMAL(10,7) exactly (queries.py:11-14)") {
+    val r = cs.filter(col("id") === 10).collect()(0)
+    assert(r.getDecimal(r.fieldIndex("min_lat")).toPlainString === "40.6884971")
+    assert(r.getDecimal(r.fieldIndex("max_lon")).toPlainString === "-74.0433990")
+  }
+
+  test("out-of-range latitude survives scan, clamp repairs it (README.md:78)") {
+    val dirty = cs.filter(col("id") === 12)
+      .select(
+        least(greatest(col("min_lat").cast("double"), lit(-90.0)), lit(90.0)).as("lo"),
+        least(greatest(col("max_lat").cast("double"), lit(-90.0)), lit(90.0)).as("hi"))
+      .collect()(0)
+    assert(dirty.getDouble(0) === -90.0 && dirty.getDouble(1) === 90.0)
+  }
+
+  test("bbox containment: Liberty-Island envelope covers changeset 10 (README.md:120-124)") {
+    val hits = cs.filter(
+      col("min_lon").cast("double") >= -74.048 && col("max_lon").cast("double") <= -74.04 &&
+      col("min_lat").cast("double") >= 40.68 && col("max_lat").cast("double") <= 40.7)
+    assert(hits.select("id").collect().map(_.getLong(0)).toSeq === Seq(10L))
+  }
+
+  test("gzip path reads identically (changesetmd.py:239-248)") {
+    val p = Files.createTempDirectory("graft_t_gz").resolve("dump.osm.xml.gz")
+    OsmXml.writeFixture(p, OsmXml.bulkFixture)
+    val gz = OsmXml.changesets(OsmXml.scan(spark, p.toString))
+    assert(gz.count() === 3)
+    // MapType is not set-op comparable: stringify tags first
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("tags", to_json(col("tags")))
+    assert(norm(gz).exceptAll(norm(cs)).count() === 0 &&
+      norm(cs).exceptAll(norm(gz)).count() === 0)
+  }
+}

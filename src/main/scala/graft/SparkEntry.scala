@@ -33,11 +33,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ JsonMap.queries ++ Spatial.queries ++
-      Upsert.queries ++ Ingest.queries ++ graft.streaming.Replication.queries
+      Upsert.queries ++ Ingest.queries ++ graft.streaming.Replication.queries ++
+      graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ JsonMap.oracles ++ Spatial.oracles ++
-      Upsert.oracles ++ Ingest.oracles ++ graft.streaming.Replication.oracles
+      Upsert.oracles ++ Ingest.oracles ++ graft.streaming.Replication.oracles ++
+      graft.streaming.EventStreams.oracles
 }

@@ -1,0 +1,182 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import java.util.concurrent.atomic.AtomicLong
+
+/** Structured-Streaming operators over the `events` table
+  * (SURVEY.md §2h): tumbling/sliding/session windows, watermarking,
+  * and custom keyed state via mapGroupsWithState.
+  *
+  * The reference's replication loop is a hand-rolled micro-batch
+  * engine (`changesetmd.py:179-186`); this module is the same
+  * semantics on Spark's engine. `Trigger.AvailableNow` ≙ the bounded
+  * catch-up loop: process everything available, commit state, stop —
+  * so the queries below run hermetically in tests and in the driver's
+  * Verify pass while remaining genuine streaming plans (they'd run
+  * unchanged against a live file/Kafka source).
+  */
+object EventStreams {
+
+  private val nameCounter = new AtomicLong(0)
+
+  /** events.parquet as an unbounded stream. The file carries
+    * TIMESTAMP(NANOS): declared LongType in the stream schema, then
+    * truncated to micros — same policy as Tables.events. */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    // the file-stream source lists a directory; stage the single
+    // parquet file into one (symlink — no data copy)
+    val dir = java.nio.file.Files.createTempDirectory("graft_evstream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
+    s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the materialized result. */
+  def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling 6 h event-time windows with watermark-driven state GC:
+    * count + exact-decimal sum per (window, event_type). */
+  def streamWindowAgg(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    runToTable(agg, OutputMode.Complete())
+  }
+
+  /** Sliding windows (12 h length, 6 h slide): each event lands in two
+    * windows. */
+  def streamSlidingAgg(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "12 hours", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    runToTable(agg, OutputMode.Complete())
+  }
+
+  /** Session windows: 30 min inactivity gap per user
+    * (`session_window` merges adjacent events; a gap ≥ 30 min starts a
+    * new session). */
+  def streamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+    runToTable(agg, OutputMode.Complete())
+  }
+
+  // ---- custom keyed state (stream_state_mgmt) ------------------------
+
+  case class Ev(event_id: Long, user_id: Long, ts_us: Long, event_type: String, value: Double)
+  case class UserState(n: Long, last_ts_us: Long, last_event_id: Long, last_value: Double)
+  case class UserOut(user_id: Long, n_events: Long, last_ts_us: Long, last_value: Double)
+
+  /** Per-user running state via mapGroupsWithState — the engine-level
+    * analog of the reference's persisted `osm_changeset_state` +
+    * last-writer-wins row state (queries.py:28-35): arbitrary keyed
+    * state, updated per micro-batch, surviving across batches via the
+    * state store. */
+  def streamStateMgmt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[Ev] = eventsStream(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .as[Ev]
+
+    def update(userId: Long, evs: Iterator[Ev], st: GroupState[UserState]): UserOut = {
+      var cur = st.getOption.getOrElse(UserState(0L, Long.MinValue, Long.MinValue, 0.0))
+      evs.foreach { e =>
+        val newer = e.ts_us > cur.last_ts_us ||
+          (e.ts_us == cur.last_ts_us && e.event_id > cur.last_event_id)
+        cur = UserState(cur.n + 1,
+          if (newer) e.ts_us else cur.last_ts_us,
+          if (newer) e.event_id else cur.last_event_id,
+          if (newer) e.value else cur.last_value)
+      }
+      st.update(cur)
+      UserOut(userId, cur.n, cur.last_ts_us, cur.last_value)
+    }
+
+    val out = ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+    val table = runToTable(out.toDF(), OutputMode.Update())
+    // one update row per key per micro-batch: keep the final state
+    graft.operators.Upsert.lastWins(table, Seq("user_id"), Seq(col("n_events")))
+      .select(col("user_id"), col("n_events"),
+        timestamp_micros(col("last_ts_us")).as("last_ts"),
+        col("last_value").cast(DecimalType(12, 2)).as("last_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> streamWindowAgg _,
+    "stream_sliding_agg" -> streamSlidingAgg _,
+    "stream_session_window" -> streamSessionWindow _,
+    "stream_state_mgmt" -> streamStateMgmt _
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Spark tumbling windows align to the 1970 epoch: bucket = µs - µs mod 6h.
+    "stream_window_agg" ->
+      """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS win_start,
+        |  event_type, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_sliding_agg" ->
+      """WITH shifted AS (
+        |  SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS w0, event_type
+        |  FROM events)
+        |SELECT win_start, event_type, count(*) AS n FROM (
+        |  SELECT w0 AS win_start, event_type FROM shifted
+        |  UNION ALL
+        |  SELECT w0 - INTERVAL 6 HOUR AS win_start, event_type FROM shifted)
+        |GROUP BY win_start, event_type""".stripMargin,
+    "stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+        |brk AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM brk)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "stream_state_mgmt" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  max(ts) AS last_ts,
+        |  CAST(arg_max(value, ts) AS DECIMAL(12,2)) AS last_value
+        |FROM events GROUP BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Watermark / late-data semantics (SURVEY.md §2h stream_late_data):
+  * append-mode windowed agg emits a window only once its watermark
+  * passes; late rows within the watermark still count, rows later
+  * than the watermark are dropped. (The reference's replication
+  * subsystem instead *applies* late diffs idempotently — covered by
+  * UpsertSpec; this is the [ext] watermarked-analytics path.) */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermark finalizes windows; in-watermark late rows count, beyond-watermark rows drop") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_late_src").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", LongType)))
+
+    def writeBatch(rows: Seq[(Timestamp, Long)], n: Int): Unit =
+      rows.toDF("ts", "v").coalesce(1).write.mode("append").parquet(src)
+
+    // batch 1: two on-time events in the 00:00 and 00:10 windows
+    writeBatch(Seq((ts("2024-01-01 00:05:00"), 1L), (ts("2024-01-01 00:12:00"), 2L)), 1)
+
+    val agg = spark.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_demo")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // nothing final yet: watermark = 00:12 - 10 min = 00:02
+      assert(spark.table("late_demo").count() === 0)
+
+      // batch 2: advances event time to 01:00 AND back-fills 00:06
+      // (later than the current 00:02 watermark -> accepted)
+      writeBatch(Seq((ts("2024-01-01 01:00:00"), 3L), (ts("2024-01-01 00:06:00"), 4L)), 2)
+      q.processAllAvailable()
+      // watermark now 00:50: the 00:00 and 00:10 windows are final
+      val emitted = spark.table("late_demo").orderBy("win_start")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+      assert(emitted === Seq(("2024-01-01 00:00:00.0", 2L), ("2024-01-01 00:10:00.0", 1L)))
+
+      // batch 3: 00:07 is older than the 00:50 watermark -> dropped
+      writeBatch(Seq((ts("2024-01-01 00:07:00"), 5L)), 3)
+      q.processAllAvailable()
+      assert(spark.table("late_demo").count() === 2) // unchanged
+      assert(spark.table("late_demo")
+        .filter(col("win_start") === ts("2024-01-01 00:00:00")).head().getLong(1) === 2L)
+    } finally q.stop()
+  }
+}

@@ -34,12 +34,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ JsonMap.queries ++ Spatial.queries ++
       Upsert.queries ++ Ingest.queries ++ graft.streaming.Replication.queries ++
-      graft.streaming.EventStreams.queries
+      graft.streaming.EventStreams.queries ++
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ JsonMap.oracles ++ Spatial.oracles ++
       Upsert.oracles ++ Ingest.oracles ++ graft.streaming.Replication.oracles ++
-      graft.streaming.EventStreams.oracles
+      graft.streaming.EventStreams.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles
 }

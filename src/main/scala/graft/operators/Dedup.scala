@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Deduplication suite for training-data pipelines (SURVEY.md §2j):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Design for 100 TB:
+  *  - Signatures (shingle sets, MinHash sketches, SimHash bits) are
+  *    computed as per-row nested-collection expressions — narrow,
+  *    codegen'd, no explode/shuffle until the candidate join.
+  *  - Candidate generation is banded LSH: only rows sharing a band
+  *    key meet in the shuffle, so the join is equi-join shaped (never
+  *    an O(n²) cross product). Exact verification runs only on
+  *    candidates.
+  *  - Verification thresholds use integer cross-multiplication
+  *    (2·|A∩B| ≥ |A∪B| for J ≥ 0.5): no floating point anywhere in
+  *    the decision, so results are deterministic across engines and
+  *    partitionings.
+  *  - Hash family is md5-prefix (hex-lexicographic min ≡ numeric min):
+  *    portable, stable across JVM/engine versions.
+  */
+object Dedup {
+
+  // ---- signature expressions (per-row, no shuffle) -------------------
+
+  /** Distinct k-word shingles of `text`. */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      when(size(words) >= k,
+        transform(sequence(lit(0), size(words) - k),
+          i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+        .otherwise(array().cast(ArrayType(StringType))))
+  }
+
+  /** MinHash signature: for each seed, the minimum md5-prefix of the
+    * seeded shingle — an 8-hex-digit string whose lexicographic min
+    * equals the numeric min of the 32-bit hash. */
+  def minhashSig(shingleSet: Column, nHashes: Int): Column =
+    array((0 until nHashes).map { s =>
+      array_min(transform(shingleSet,
+        sh => substring(md5(concat(lit(s.toString), lit(":"), sh)), 1, 8)))
+    }: _*)
+
+  /** LSH band keys: signature grouped into bands of `rowsPerBand`,
+    * each band concatenated into one join key. */
+  def bandKeys(sig: Column, nBands: Int, rowsPerBand: Int): Column =
+    array((0 until nBands).map { b =>
+      concat((0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /** 32-bit SimHash over distinct tokens: per bit, majority vote of
+    * the token-hash bits (md5 nibble-parsed — portable across
+    * engines). Pure per-row SQL expression; at petabyte scale this is
+    * the candidate for a custom codegen Expression. */
+  def simhashExpr(tokensExprSql: String): Column = {
+    val bitSums = (0 until 32).map { j =>
+      val nibbleIdx = j / 4 + 1
+      val shift = 1 << (j % 4)
+      s"""(CASE WHEN 2 * aggregate($tokensExprSql, CAST(0 AS BIGINT), (acc, t) ->
+         |  acc + (locate(substr(md5(t), $nibbleIdx, 1), '0123456789abcdef') - 1) div $shift % 2)
+         |  >= size($tokensExprSql) THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }
+    expr(bitSums.mkString("(", " + ", ")"))
+  }
+
+  // ---- operators -----------------------------------------------------
+
+  /** Exact dedup by content hash: one hash-shuffle, keeper = min id
+    * (`dropDuplicates` analog with an explicit survivorship rule). */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash(16) + LSH(4 bands × 4 rows) near-dup candidate pairs,
+    * verified by exact shingle Jaccard ≥ 0.5. */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), shingles(col("text"), 3).as("shs"))
+      .withColumn("sig", minhashSig(col("shs"), 16))
+      .withColumn("bands", bandKeys(col("sig"), 4, 4))
+    val bands = base.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_id", "band_key")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = base.select(col("doc_id"), col("shs"))
+    cand
+      .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("x.shs"), col("y.shs"))).as("inter"),
+        size(array_distinct(concat(col("x.shs"), col("y.shs")))).as("uni"))
+      .filter(col("inter") * 2 >= col("uni")) // J >= 0.5, integer-exact
+  }
+
+  /** SimHash near-dup pairs: 32-bit signatures, Hamming ≤ 6, blocked
+    * by `source` so the pair join stays equi-join shaped. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = documents(s, d).select(
+      col("doc_id"), col("source"),
+      simhashExpr("array_distinct(split(text, ' '))").as("sim"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(expr("a.sim ^ b.sim")).as("hamming"))
+      .filter(col("hamming") <= 6)
+  }
+
+  /** Exhaustive word-2-gram Jaccard within `source` blocks (the
+    * non-LSH baseline; at scale the blocks bound the pair count). */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), col("source"), shingles(col("text"), 2).as("gs"))
+    base.as("a").join(base.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.gs"), col("b.gs"))).as("inter"),
+        size(array_distinct(concat(col("a.gs"), col("b.gs")))).as("uni"))
+      .filter(col("inter") * 2 >= col("uni"))
+  }
+
+  /** Embedding near-dup: cosine ≥ 0.35 between vectors sharing a
+    * label (the blocking key). Dot products in explicit left-to-right
+    * double arithmetic for cross-engine determinism. */
+  def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("a.label").as("label"),
+        aggregate(
+          zip_with(col("a.embedding"), col("b.embedding"),
+            (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+          lit(0.0), (acc, v) => acc + v).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("label"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_simhash" -> dedupSimhash _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_embed_cosine" -> dedupEmbedCosine _
+  )
+
+  private val shinglesSqlDuck = // DuckDB k=3 shingle list (distinct)
+    """list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+      |  THEN [array_to_string(string_split(text,' ')[i:i+2], ' ')
+      |        FOR i IN range(1, len(string_split(text,' ')) - 1)]
+      |  ELSE [] END)""".stripMargin
+
+  private val gram2SqlDuck = // DuckDB k=2 shingle list (distinct)
+    """list_distinct(CASE WHEN len(string_split(text,' ')) >= 2
+      |  THEN [array_to_string(string_split(text,' ')[i:i+1], ' ')
+      |        FOR i IN range(1, len(string_split(text,' ')))]
+      |  ELSE [] END)""".stripMargin
+
+  private val simhashSqlDuck: String = {
+    val bitSums = (0 until 32).map { j =>
+      val nibbleIdx = j / 4 + 1
+      val shift = 1 << (j % 4)
+      s"""(CASE WHEN 2 * list_sum([(strpos('0123456789abcdef', substr(md5(t), $nibbleIdx, 1)) - 1) // $shift % 2
+         |  FOR t IN toks]) >= len(toks) THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)""".stripMargin
+    }
+    bitSums.mkString("(", " + ", ")")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS shs FROM documents),
+        |sig AS (SELECT doc_id, shs,
+        |  [list_min([substr(md5(s::VARCHAR || ':' || x), 1, 8) FOR x IN shs]) FOR s IN range(0, 16)] AS sigs
+        |  FROM sh),
+        |bands AS (SELECT doc_id, b AS band_id,
+        |  sigs[4*b+1] || sigs[4*b+2] || sigs[4*b+3] || sigs[4*b+4] AS band_key
+        |  FROM sig, unnest(range(0, 4)) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  len(list_intersect(x.shs, y.shs)) AS inter,
+        |  len(list_distinct(x.shs || y.shs)) AS uni
+        |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+        |WHERE 2 * len(list_intersect(x.shs, y.shs)) >= len(list_distinct(x.shs || y.shs))""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH sigs AS (
+        |  SELECT doc_id, source, $simhashSqlDuck AS sim
+        |  FROM (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.sim, b.sim)) AS hamming
+        |FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 6""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH g AS (SELECT doc_id, source, $gram2SqlDuck AS gs FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.gs, b.gs)) AS inter,
+        |  len(list_distinct(a.gs || b.gs)) AS uni
+        |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.gs, b.gs)) >= len(list_distinct(a.gs || b.gs))""".stripMargin,
+    "dedup_embed_cosine" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |  round(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) AS cos_r
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, 65),
+        |  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) >= 0.35""".stripMargin
+  )
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Similarity search over embedding columns (SURVEY.md §2j sim_topk):
+  * brute-force cosine top-k as the exact baseline, plus two
+  * sub-linear scale paths — random-hyperplane LSH bucketing and an
+  * IVF (inverted-file) coarse quantizer.
+  *
+  * Scale design:
+  *  - The query side is tiny and broadcast; the corpus side never
+  *    shuffles for the brute-force scan (map-side dot products +
+  *    TakeOrderedAndProject-style per-query top-k).
+  *  - LSH/IVF turn the cross product into an equi-join on
+  *    bucket/cell id — the corpus is hash-partitioned by cell, each
+  *    query probes one cell.
+  *  - Dot products are explicit left-to-right double folds
+  *    (`zip_with` + `aggregate`): deterministic, engine-portable, and
+  *    at 100 TB immune to partitioning-dependent float reordering.
+  */
+object Similarity {
+
+  /** Deterministic left-fold cosine of two (normalized) float
+    * vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def queryVectors(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+
+  /** Exact brute-force top-10 cosine neighbors for each of 3 query
+    * vectors: broadcast queries × corpus scan, per-query top-k via
+    * rank window (ties broken by vec_id). */
+  def simTopk(s: SparkSession, d: String): DataFrame = {
+    val corpus = embeddings(s, d)
+    val scored = corpus.join(broadcast(queryVectors(s, d)),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("q"), col("embedding")), 4).as("cos_r"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+  }
+
+  /** Random-hyperplane LSH: 8 data-derived hyperplanes (vectors
+    * 100..107) → 8 sign bits → bucket id; queries search only their
+    * bucket. Approximate: recall < 1, cost ~ corpus/2⁸ per query. */
+  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val planes = e.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("plane_id"), col("embedding").as("p"))
+    // bucket id: sum over planes of sign-bit << (plane_id - 100)
+    def bucketed(df: DataFrame, vecCol: String, out: String): DataFrame =
+      df.crossJoin(broadcast(planes))
+        .groupBy(df.columns.map(col): _*)
+        .agg(sum(when(dot(col(vecCol), col("p")) >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(plane_id - 100 AS INT))"))
+          .otherwise(lit(0L))).as(out))
+    val corpusB = bucketed(e, "embedding", "bucket")
+    val queriesB = bucketed(
+      queryVectors(s, d).withColumnRenamed("q", "qv"), "qv", "qbucket")
+    val cand = corpusB.join(broadcast(queriesB),
+      col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    cand.select(col("query_id"), col("vec_id"), col("bucket"),
+        round(dot(col("qv"), col("embedding")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
+  /** IVF coarse quantizer: centroids = every 97th vector; every
+    * vector is assigned to its max-cosine centroid (the inverted
+    * file); a query probes only its own cell (nprobe=1). */
+  def simIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val centroids = e.filter(col("vec_id") % 97 === 3)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c"))
+    // assignment: argmax centroid per vector (broadcast centroids)
+    def assign(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(round(dot(col(vecCol), col("c")), 4).desc, col("cent_id").asc)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("arnk", row_number().over(w))
+        .filter(col("arnk") === 1)
+        .drop("arnk", "c")
+    }
+    val cells = assign(e, "embedding", "vec_id")
+      .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
+    val qcells = assign(queryVectors(s, d).withColumnRenamed("q", "qv"), "qv", "query_id")
+      .select(col("query_id"), col("cent_id").as("qcell"), col("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    cells.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(dot(col("qv"), col("embedding")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk" -> simTopk _,
+    "sim_ann_lsh" -> simAnnLsh _,
+    "sim_ivf" -> simIvf _
+  )
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT query_id, e.vec_id,
+        |    round(${dotSql.format("qv", "e.embedding")}, 4) AS cos_r
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT * FROM (
+        |  SELECT query_id, vec_id, cos_r,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, vec_id ASC) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 10""".stripMargin,
+    "sim_ann_lsh" ->
+      s"""WITH p AS (SELECT vec_id AS plane_id, embedding AS pv FROM embeddings
+        |           WHERE vec_id >= 100 AND vec_id < 108),
+        |cb AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    sum(CASE WHEN ${dotSql.format("e.embedding", "pv")} >= 0
+        |        THEN 1 << (plane_id - 100) ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings e, p GROUP BY e.vec_id, e.embedding),
+        |qb AS (
+        |  SELECT q.vec_id AS query_id, q.embedding AS qv,
+        |    sum(CASE WHEN ${dotSql.format("q.embedding", "pv")} >= 0
+        |        THEN 1 << (plane_id - 100) ELSE 0 END)::BIGINT AS qbucket
+        |  FROM embeddings q, p WHERE q.vec_id < 3 GROUP BY q.vec_id, q.embedding)
+        |SELECT query_id, vec_id, bucket, cos_r, rnk FROM (
+        |  SELECT query_id, cb.vec_id, bucket,
+        |    round(${dotSql.format("qv", "cb.embedding")}, 4) AS cos_r,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(${dotSql.format("qv", "cb.embedding")}, 4) DESC, cb.vec_id ASC) AS rnk
+        |  FROM cb JOIN qb ON bucket = qbucket AND cb.vec_id <> query_id) t
+        |WHERE rnk <= 5""".stripMargin,
+    "sim_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 97 = 3),
+        |cells AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dotSql.format("e.embedding", "cv")}, 4) DESC, c.cent_id ASC) AS arnk
+        |    FROM embeddings e, c) t WHERE arnk = 1),
+        |qcells AS (
+        |  SELECT query_id, qv, qcell FROM (
+        |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cent_id AS qcell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(${dotSql.format("q.embedding", "cv")}, 4) DESC, c.cent_id ASC) AS arnk
+        |    FROM embeddings q, c WHERE q.vec_id < 3) t WHERE arnk = 1)
+        |SELECT query_id, vec_id, cell, cos_r, rnk FROM (
+        |  SELECT query_id, cells.vec_id, cell,
+        |    round(${dotSql.format("qv", "cells.embedding")}, 4) AS cos_r,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(${dotSql.format("qv", "cells.embedding")}, 4) DESC, cells.vec_id ASC) AS rnk
+        |  FROM cells JOIN qcells ON cell = qcell AND cells.vec_id <> query_id) t
+        |WHERE rnk <= 5""".stripMargin
+  )
+}

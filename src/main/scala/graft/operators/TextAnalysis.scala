@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Text-analysis operators for training-data pipelines
+  * (SURVEY.md §2j text_stats): language ID, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * Everything is a narrow per-row expression over the `text` column —
+  * no shuffle except where an operator is inherently relational
+  * (fingerprint clustering). Scores and decisions are integer-valued
+  * so results are bit-stable across engines and partitionings.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword
+    * heuristic. (Real pipelines plug fastText etc. here; the Spark
+    * plumbing — scoring, argmax, tie-break — is what this operator
+    * owns.) */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "los", "y"),
+    "de" -> Seq("der", "die", "und", "das", "mit"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "zh" -> Seq("shi", "bu", "wo", "ni", "ta"))
+
+  private def inList(words: Column, list: Seq[String]): Column =
+    size(filter(words, w => w.isInCollection(list)))
+
+  /** Language ID: stopword-hit argmax with fixed priority tie-break
+    * (list order above). */
+  def textLangid(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val scored = documents(s, d).select(
+      (Seq(col("doc_id"), col("lang")) ++
+        stopwords.map { case (l, ws) => inList(words, ws).as(s"s_$l") }): _*)
+    val langs = stopwords.map(_._1)
+    // first language whose score is >= all later ones (priority argmax)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), elseCol) =>
+        val isMax = langs.drop(i + 1)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(isMax, lit(l)).otherwise(elseCol)
+    }
+    scored
+      .withColumn("lang_pred", pred)
+      .withColumn("is_match", col("lang_pred") === col("lang"))
+  }
+
+  /** Quality scoring: length/word/uniqueness ratios as integers plus
+    * a boolean keep-decision — the filter stage of a data pipeline. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(words).as("n_words"),
+      size(array_distinct(words)).as("n_uniq"),
+      expr("(length(regexp_replace(text, ' ', '')) * 100) div size(split(text, ' '))")
+        .as("avg_wlen_x100"),
+      inList(words, stopwords.head._2).as("stop_hits"))
+      .withColumn("uniq_pct", expr("(n_uniq * 100) div n_words"))
+      .withColumn("is_quality",
+        col("n_words") >= 20 && col("n_words") <= 200 && col("uniq_pct") >= 30)
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish greedy subword
+    * segmentation (regex, deterministic in both engines). */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("alpha_tokens"),
+      expr("size(regexp_extract_all(text, '[0-9]+', 0))").as("num_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))").as("subword_tokens"),
+      length(col("text")).as("n_chars_calc"))
+
+  /** Document fingerprint: min 16-hex-digit md5 prefix over 5-word
+    * shingles (a winnowing-style content fingerprint); docs sharing a
+    * fingerprint cluster together. */
+  def textFingerprint(s: SparkSession, d: String): DataFrame = {
+    val fp = array_min(transform(Dedup.shingles(col("text"), 5),
+      sh => substring(md5(sh), 1, 16)))
+    documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select(col("doc_id"), fp.as("fingerprint"))
+      .withColumn("cluster_n", count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> textLangid _,
+    "text_quality" -> textQuality _,
+    "text_tokens" -> textTokens _,
+    "text_fingerprint" -> textFingerprint _
+  )
+
+  private def duckScore(l: String, ws: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), w -> w IN (${ws.map("'" + _ + "'").mkString(",")}))) AS s_$l"
+
+  private val duckPred: String = {
+    val langs = stopwords.map(_._1)
+    val whens = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    ${stopwords.map { case (l, ws) => duckScore(l, ws) }.mkString(",\n    ")}
+        |  FROM documents)
+        |SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+        |  $duckPred AS lang_pred,
+        |  ($duckPred) = lang AS is_match
+        |FROM scored""".stripMargin,
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars_m,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |    length(replace(text, ' ', '')) * 100 // len(string_split(text, ' ')) AS avg_wlen_x100,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','and','of','to','a'))) AS stop_hits
+        |  FROM documents)
+        |SELECT *, n_uniq * 100 // n_words AS uniq_pct,
+        |  n_words >= 20 AND n_words <= 200 AND (n_uniq * 100 // n_words) >= 30 AS is_quality
+        |FROM q""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS num_tokens,
+        |  len(regexp_extract_all(text, '[a-z]{1,4}')) AS subword_tokens,
+        |  length(text) AS n_chars_calc
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_min([substr(md5(array_to_string(string_split(text,' ')[i:i+4], ' ')), 1, 16)
+        |      FOR i IN range(1, len(string_split(text,' ')) - 3)]) AS fingerprint
+        |  FROM documents WHERE len(string_split(text,' ')) >= 5)
+        |SELECT doc_id, fingerprint,
+        |  count(*) OVER (PARTITION BY fingerprint) AS cluster_n
+        |FROM f""".stripMargin
+  )
+}

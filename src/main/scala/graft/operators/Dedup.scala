@@ -80,10 +80,16 @@ object Dedup {
   /** MinHash(16) + LSH(4 bands × 4 rows) near-dup candidate pairs,
     * verified by exact shingle Jaccard ≥ 0.5. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // Materialize the signature table before the self-join: without
+    // this, projection collapse inlines the shingle construction into
+    // every one of the 16 minhash expressions AND into both join
+    // sides (~64× recompute). At cluster scale this table is
+    // persisted/bucketed by band key; cache() is the local analog.
     val base = documents(s, d)
       .select(col("doc_id"), shingles(col("text"), 3).as("shs"))
       .withColumn("sig", minhashSig(col("shs"), 16))
       .withColumn("bands", bandKeys(col("sig"), 4, 4))
+      .cache()
     val bands = base.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_id", "band_key")))
     val cand = bands.as("a").join(bands.as("b"),
@@ -108,6 +114,7 @@ object Dedup {
     val sigs = documents(s, d).select(
       col("doc_id"), col("source"),
       simhashExpr("array_distinct(split(text, ' '))").as("sim"))
+      .cache() // materialize before self-join (see dedupMinhashLsh)
     sigs.as("a").join(sigs.as("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -120,6 +127,7 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
       .select(col("doc_id"), col("source"), shingles(col("text"), 2).as("gs"))
+      .cache() // materialize before self-join (see dedupMinhashLsh)
     base.as("a").join(base.as("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

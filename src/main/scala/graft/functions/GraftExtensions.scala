@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point (SURVEY.md §2i): the reference extends
+  * Postgres by installing extensions (hstore, PostGIS,
+  * `queries.py:6,50-51`); this engine extends Spark by injecting
+  * native functions through `SparkSessionExtensions`:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions()) ...
+  *
+  * or config `spark.sql.extensions=graft.functions.GraftExtensions`.
+  * For sessions created elsewhere (the driver harness), `register`
+  * adds the same functions to an existing session's registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.bboxAreaDesc)
+    e.injectFunction(GraftExtensions.minhashSketchDesc)
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val bboxAreaDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("bbox_area"),
+      info("bbox_area",
+        "bbox_area(min_lon, min_lat, max_lon, max_lat) - equal-area m2 of a lon/lat envelope"),
+      exprs => BboxArea(exprs(0), exprs(1), exprs(2), exprs(3)))
+
+  val minhashSketchDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("minhash_sketch"),
+      info("minhash_sketch",
+        "minhash_sketch(expr, k) - k-slot MinHash signature of the grouped values"),
+      exprs => MinHashAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression())
+
+  /** Runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    Seq(bboxAreaDesc, minhashSketchDesc).foreach { case (id, inf, builder) =>
+      reg.registerFunction(id, inf, builder)
+    }
+  }
+}

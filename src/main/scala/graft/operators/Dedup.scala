@@ -152,7 +152,24 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("label"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Corpus-level MinHash sketches via the custom
+    * TypedImperativeAggregate (functions/MinHashAgg.scala): one 16-slot
+    * sketch per `source`, then pairwise slot-match counts — the
+    * constant-state, mergeable way to estimate cross-corpus overlap
+    * (n_match/16 ≈ Jaccard). */
+  def aggMinhashSketch(s: SparkSession, d: String): DataFrame = {
+    val sk = documents(s, d)
+      .select(col("source"), explode(shingles(col("text"), 3)).as("sh"))
+      .groupBy(col("source"))
+      .agg(graft.functions.MinHashAgg.minhashSketch(col("sh"), 16).as("sk"))
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        size(filter(zip_with(col("a.sk"), col("b.sk"), (x, y) => x === y),
+          m => m)).as("n_match"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_minhash_sketch" -> aggMinhashSketch _,
     "dedup_exact" -> dedupExact _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
@@ -183,6 +200,17 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "agg_minhash_sketch" ->
+      s"""WITH sh AS (
+        |  SELECT source, unnest($shinglesSqlDuck) AS s FROM documents),
+        |m AS (
+        |  SELECT source, seed, min(substr(md5(seed::VARCHAR || ':' || s), 1, 8)) AS mh
+        |  FROM sh, unnest(range(0, 16)) t(seed)
+        |  GROUP BY source, seed)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS INTEGER) AS n_match
+        |FROM m a JOIN m b ON a.seed = b.seed AND a.source < b.source
+        |GROUP BY a.source, b.source""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
         |  count(*) AS n_copies

@@ -45,7 +45,7 @@ object Spatial {
 
   /** Equal-area bbox area on the authalic sphere:
     * R² · Δλ · (sin φ₂ − sin φ₁) — the EPSG:3410 equal-area size
-    * filter of README.md:77, as a closed-form column expression
+    * filter of README.md:77, as a composed column expression
     * (stays inside whole-stage codegen; no UDF). */
   def areaM2(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column): Column = {
     val R = lit(6371007.0) // authalic Earth radius, m
@@ -53,12 +53,20 @@ object Spatial {
     R * R * (rad(maxLon) - rad(minLon)) * (sin(rad(maxLat)) - sin(rad(minLat)))
   }
 
+  /** Same formula as a native codegen Expression (functions/
+    * BboxAreaExpr.scala) — identical IEEE operation sequence, so it is
+    * interchangeable with areaM2 under the same oracle; kept as the
+    * default for filter_area to keep the custom expression
+    * load-bearing. */
+  def areaM2Native(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column): Column =
+    graft.functions.BboxArea.bboxArea(minLon, minLat, maxLon, maxLat)
+
   /** Area filter: drop continent-sized boxes (threshold scaled to the
     * synthetic integer-degree boxes; reference constant is 225 km²). */
   def filterArea(s: SparkSession, d: String): DataFrame = {
     val b = ordersBbox(s, d)
     b.withColumn("area_m2",
-        areaM2(col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")))
+        areaM2Native(col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")))
       .filter(col("area_m2") < 2.0e10)
       .select(
         col("o_orderkey"),

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{BboxArea, GraftExtensions, MinHashAgg}
+import graft.operators.{Dedup, Spatial}
+
+/** Custom Catalyst components: native bbox_area expression (codegen)
+  * and the MinHash TypedImperativeAggregate. */
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("native bbox_area equals the composed column expression bit-for-bit") {
+    val boxes = Seq(
+      (-74.05, 40.68, -74.04, 40.69),
+      (-10.0, -10.0, 10.0, 10.0),
+      (100.25, 45.5, 107.75, 52.25),
+      (0.0, 0.0, 0.001, 0.001)).toDF("lo", "la", "hi", "ha")
+    val both = boxes.select(
+      BboxArea.bboxArea($"lo", $"la", $"hi", $"ha").as("native"),
+      Spatial.areaM2($"lo", $"la", $"hi", $"ha").as("composed"))
+    val rows = both.collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // sanity: 20°x20° equatorial box ≈ 4.9e12 m²
+    assert(math.abs(rows(1).getDouble(0) - 4.9e12) < 1e11)
+  }
+
+  test("bbox_area null semantics: any NULL corner -> NULL") {
+    val df = Seq((Some(1.0), None: Option[Double])).toDF("a", "b")
+    val r = df.select(BboxArea.bboxArea($"a", $"b", $"a", $"a")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("bbox_area registered via SparkSessionExtensions / registry and usable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT bbox_area(-10.0D, -10.0D, 10.0D, 10.0D) AS a").collect()(0)
+    assert(math.abs(r.getDouble(0) - 4.9e12) < 1e11)
+  }
+
+  test("minhash_sketch slots equal independent per-element min (cross-check vs SQL md5)") {
+    val df = Seq(("g1", "aa"), ("g1", "bb"), ("g1", "cc"), ("g2", "aa"))
+      .toDF("g", "el")
+    val sketch = df.groupBy($"g")
+      .agg(MinHashAgg.minhashSketch($"el", 4).as("sk"))
+    // independent recomputation of slot mins through Spark's md5 expression
+    val slots = df.select($"g", $"el")
+      .crossJoin(Seq(0, 1, 2, 3).toDF("seed"))
+      .select($"g", $"seed",
+        substring(md5(concat($"seed".cast("string"), lit(":"), $"el")), 1, 8).as("h"))
+      .groupBy($"g", $"seed").agg(min($"h").as("mh"))
+      .groupBy($"g").agg(sort_array(collect_list(struct($"seed", $"mh"))).as("slots"))
+      .select($"g", expr("transform(slots, s -> s.mh)").as("expected"))
+    val joined = sketch.join(slots, "g")
+      .select($"g", $"sk", $"expected").collect()
+    joined.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"group ${r.getString(0)}")
+    }
+    // identical element sets -> identical sketches regardless of group size
+    val m = sketch.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(m("g1") !== m("g2"))
+  }
+
+  test("minhash sketch of identical sets matches; supersets only lower slots") {
+    val a = Seq.tabulate(30)(i => ("x", s"tok$i")).toDF("g", "el")
+    val sk1 = a.groupBy($"g").agg(MinHashAgg.minhashSketch($"el", 8)).collect()(0).getSeq[String](1)
+    // same set split across many partitions -> same sketch (mergeability)
+    val sk2 = a.repartition(13).groupBy($"g").agg(MinHashAgg.minhashSketch($"el", 8))
+      .collect()(0).getSeq[String](1)
+    assert(sk1 === sk2)
+  }
+}

@@ -32,6 +32,32 @@ object Ingest {
     OsmXml.comments(OsmXml.scan(s, p.toString))
   }
 
+  /** Nested-comment extraction from the bulk fixture: the
+    * discussion→comment explode path (changesetmd.py:94-103) as its
+    * own named operator. */
+  def extractComments(s: SparkSession, d: String): DataFrame = {
+    val p = Files.createTempDirectory("graft_xmlc").resolve("dump.osm.xml")
+    OsmXml.writeFixture(p, OsmXml.bulkFixture)
+    OsmXml.comments(OsmXml.scan(s, p.toString))
+  }
+
+  /** Offset→URL replication addressing (changesetmd.py:127-135): the
+    * deterministic sequence→path function plus a fetch of the
+    * addressed diffs; returns one row per fetched changeset with its
+    * source sequence. */
+  def sourceHttpReplication(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_httprepl")
+    graft.streaming.Replication.writeFixtureWorld(base, 4)
+    val bySeq = (1L to 4L).map { seq =>
+      val path = graft.streaming.Replication.sequencePath(seq)
+      OsmXml.changesets(OsmXml.scan(s, base.resolve(path).toString))
+        .withColumn("seq", lit(seq))
+        .withColumn("seq_path", lit(path))
+    }
+    bySeq.reduce(_ unionByName _)
+      .select(col("seq"), col("seq_path"), col("id"), col("num_changes"))
+  }
+
   /** state.yaml discovery (changesetmd.py:167-171): driver-side scalar
     * read surfaced as a single-row relation. */
   def sourceStateYaml(s: SparkSession, d: String): DataFrame = {
@@ -84,6 +110,8 @@ object Ingest {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_xml" -> scanXml _,
     "scan_compressed" -> scanCompressed _,
+    "extract_comments" -> extractComments _,
+    "source_http_replication" -> sourceHttpReplication _,
     "source_state_yaml" -> sourceStateYaml _,
     "ddl_create" -> ddlCreate _,
     "ddl_truncate" -> ddlTruncate _,

@@ -213,6 +213,19 @@ object Relational {
 
   // ---- §2f sorts / top-k / set ops -----------------------------------
 
+  /** Global sequence ordering — replication diffs applied in strict
+    * ascending order (`changesetmd.py:181-186`). A whole-table window
+    * is the correct *semantic*; at 100 TB the same contract is kept
+    * with a range-partitioned sort + per-partition offsets (Spark's
+    * orderBy already range-partitions; only the dense global numbering
+    * below is the single-partition step). */
+  def sortSeq(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("ts").asc, col("event_id").asc)
+    events(s, d)
+      .withColumn("seq", row_number().over(w))
+      .select(col("seq"), col("event_id"), col("user_id"))
+  }
+
   /** True top-k: lowers to TakeOrderedAndProject (no global sort) —
     * the "largest changesets" query class. */
   def sortLimitTopk(s: SparkSession, d: String): DataFrame =
@@ -321,6 +334,7 @@ object Relational {
     "win_rank" -> winRank _,
     "win_lag" -> winLag _,
     "agg_running_rate" -> aggRunningRate _,
+    "sort_seq" -> sortSeq _,
     "sort_limit_topk" -> sortLimitTopk _,
     "set_union" -> setUnion _,
     "set_except" -> setExcept _,
@@ -422,6 +436,10 @@ object Relational {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "sort_seq" ->
+      """SELECT row_number() OVER (ORDER BY ts ASC, event_id ASC) AS seq,
+        |  event_id, user_id
+        |FROM events""".stripMargin,
     "sort_limit_topk" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""".stripMargin,

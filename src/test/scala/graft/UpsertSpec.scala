@@ -102,6 +102,28 @@ class UpsertSpec extends AnyFunSuite {
     assert(sameRows(after, VersionedTable.read(spark, table)))
   }
 
+  test("failure isolation: missing diff aborts the run, lock released, offset not advanced past applied batches (changesetmd.py:165-195)") {
+    val root = Files.createTempDirectory("graft_t_fail")
+    val base = root.resolve("repl")
+    val table = root.resolve("tables/cs")
+    val state = root.resolve("state.txt")
+    Replication.writeFixtureWorld(base, 4)
+    // sabotage: delete diff #3 so the second batch fails mid-run
+    Files.delete(base.resolve(Replication.sequencePath(3L)))
+    Replication.StateDoc.write(state,
+      Replication.ReplState(0L, None, updateInProgress = false))
+    intercept[Exception] {
+      Replication.catchUp(spark, base, table, state, batchSize = 2)
+    }
+    // batch 1 (diffs 1-2) committed before the failure; offset reflects it
+    assert(Replication.StateDoc.read(state).lastSequence === 2L)
+    // lock must be released: a repaired rerun succeeds and catches up
+    graft.sources.OsmXml.writeFixture(base.resolve(Replication.sequencePath(3L)),
+      graft.sources.OsmXml.diffFixture(3L))
+    assert(Replication.catchUp(spark, base, table, state, batchSize = 2) === 2)
+    assert(Replication.StateDoc.read(state).lastSequence === 4L)
+  }
+
   test("writer lock refuses concurrent catch-up (changesetmd.py:138-160)") {
     val dir = Files.createTempDirectory("graft_t_lock")
     Replication.withWriterLock(dir) {

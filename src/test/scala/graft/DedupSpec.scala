@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Known-answer tests for the dedup suite on handcrafted corpora
+  * (the driver-table queries are oracle-checked; these pin the
+  * *semantics* on inputs with known ground truth). */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the old river bank today"
+  private val nearDup = // one word changed
+    "the quick brown fox jumps over the lazy cat near the old river bank today"
+  private val unrelated =
+    "spark executes declarative plans with columnar batches and code generation stages"
+
+  private def docs = Seq(
+    (1L, base, "s0"), (2L, base, "s0"),          // exact dups
+    (3L, nearDup, "s0"), (4L, unrelated, "s0"),
+    (5L, unrelated + " extra", "s1")
+  ).toDF("doc_id", "text", "source")
+
+  test("shingles: k=3 over n words yields n-k+1 distinct shingles") {
+    val r = docs.select(Dedup.shingles(col("text"), 3).as("s"))
+      .filter(col("s").isNotNull).collect()
+    assert(r(0).getSeq[String](0).length === 13) // 15 words -> 13 shingles
+    assert(r(0).getSeq[String](0).head === "the quick brown")
+  }
+
+  test("minhash signature: identical texts get identical sigs; near-dups share most slots") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.minhashSig(Dedup.shingles(col("text"), 3), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val sharedNear = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val sharedFar = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(sharedNear > sharedFar)
+    assert(sharedFar === 0) // disjoint shingle sets
+  }
+
+  test("LSH candidate pairs include the exact pair and survive Jaccard>=0.5 verification") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup")
+    docs.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val pairs = Dedup.dedupMinhashLsh(spark, tmp.toString)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // exact dup always survives
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near-dup: J = 10/14 ≈ 0.71
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) && Set(a, b).intersect(Set(1L, 2L, 3L)).nonEmpty })
+  }
+
+  test("exact dedup groups identical texts under one keeper") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup2")
+    docs.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val r = Dedup.dedupExact(spark, tmp.toString)
+      .select("keeper_doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(r(1L) === 2L) // docs 1 and 2 collapse, keeper = min id
+    assert(r(3L) === 1L)
+  }
+
+  test("simhash: exact dups at Hamming 0; near-dups closer than unrelated") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.simhashExpr("array_distinct(split(text, ' '))").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) === 0)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+}

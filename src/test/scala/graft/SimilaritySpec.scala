@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Multimodal, Similarity, TextAnalysis}
+
+/** Known-answer tests for similarity search, text analysis, and the
+  * multimodal decode plumbing. */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("dot: deterministic left-fold cosine on known vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(0.6f, 0.8f, 0.0f), Array(0.6f, 0.8f, 0.0f))).toDF("a", "b")
+    val r = df.select(Similarity.dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(r(0) === 1.0)
+    assert(r(1) === 0.0)
+    assert(math.abs(r(2) - 1.0) < 1e-7) // float32 0.6/0.8 squares
+  }
+
+  test("sim_topk on the test corpus: self excluded, ranks contiguous, scores non-increasing") {
+    val r = Similarity.simTopk(spark, "/root/testdata/sf0.001")
+      .orderBy("query_id", "rnk").collect()
+    val byQuery = r.groupBy(_.getLong(0))
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).toSeq === (1 to 10))
+      val scores = rows.map(r => r.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(!rows.exists(row => row.getLong(1) == row.getLong(0))) // no self-match
+    }
+  }
+
+  test("language ID: priority argmax picks the list language on planted stopwords") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_text")
+    Seq(
+      (1L, "el gato de la casa y el perro de los vecinos", "es", "s0"),
+      (2L, "the cat and the dog of a house", "en", "s0"),
+      (3L, "xyz qqq zzz www", "zh", "s0")) // no stopword hits -> all scores 0 -> 'en' (priority)
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val r = TextAnalysis.textLangid(spark, tmp.toString)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(r(1L) === "es")
+    assert(r(2L) === "en")
+    assert(r(3L) === "en") // tie -> first in priority order
+  }
+
+  test("multimodal decode stub: features derived from the actual payload bytes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mm")
+    Seq((7L, "hello world", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val r = Multimodal.multimodalDecode(spark, tmp.toString).collect()(0)
+    // md5("hello world") = 5eb63bbbe01eeed093cb22bb8f5acdc3
+    assert(r.getAs[Int]("byte_len") === 16)
+    assert(r.getAs[Int]("first_byte") === 0x5e)
+    val bytes = Array(0x5e, 0xb6, 0x3b, 0xbb, 0xe0, 0x1e, 0xee, 0xd0,
+      0x93, 0xcb, 0x22, 0xbb, 0x8f, 0x5a, 0xcd, 0xc3)
+    assert(r.getAs[Int]("checksum") === bytes.sum % 256)
+  }
+
+  test("frame sampling emits n_frames rows per asset at 40ms offsets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mm2")
+    Seq((6L, "abc", "en", "s0"), (5L, "def", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val r = Multimodal.multimodalFrames(spark, tmp.toString)
+      .orderBy("doc_id", "frame_idx").collect()
+    // doc 5: 5%4=1 -> 2 frames; doc 6: 6%4=2 -> 3 frames
+    assert(r.count(_.getLong(0) == 5L) === 2)
+    assert(r.count(_.getLong(0) == 6L) === 3)
+    assert(r.filter(_.getLong(0) == 6L).map(_.getInt(3)).toSeq === Seq(0, 40, 80))
+  }
+}

@@ -112,6 +112,32 @@ object Relational {
       .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
+  /** Skew-mitigated join: `l_returnflag` has 3 values over the whole
+    * fact table (a pathological hot key). Salting spreads each hot key
+    * over 16 shuffle partitions: the fact side gets a derived salt,
+    * the dimension is replicated ×16, and the join key becomes
+    * (key, salt). Same result as the plain join — the oracle IS the
+    * plain join — but no reducer receives a whole hot key. (AQE skew
+    * split handles moderate skew automatically; explicit salting is
+    * the heavy-artillery version for single-key hot spots.) */
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val salts = 16
+    val flagDim = s.createDataFrame(
+      java.util.Arrays.asList(
+        Row("R", "returned"), Row("A", "accepted"), Row("N", "none")),
+      StructType(Seq(StructField("flag", StringType, false),
+        StructField("flag_desc", StringType, false))))
+    val dimSalted = flagDim.crossJoin(
+      s.range(salts).select(col("id").cast(IntegerType).as("salt")))
+    val factSalted = lineitem(s, d)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+    factSalted.join(dimSalted,
+        factSalted("l_returnflag") === dimSalted("flag") &&
+        factSalted("salt") === dimSalted("salt"))
+      .groupBy(col("flag_desc"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("sum_price"))
+  }
+
   // ---- §2d aggregations ----------------------------------------------
 
   /** COUNT(*) vs COUNT(col) (null-skipping) — `README.md:110-112`. */
@@ -324,6 +350,7 @@ object Relational {
     "join_left" -> joinLeft _,
     "join_semi" -> joinSemi _,
     "join_anti" -> joinAnti _,
+    "join_skew_salted" -> joinSkewSalted _,
     "agg_count" -> aggCount _,
     "agg_group" -> aggGroup _,
     "agg_distinct" -> aggDistinct _,
@@ -386,6 +413,13 @@ object Relational {
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT f.flag_desc, count(*) AS n,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price
+        |FROM lineitem
+        |JOIN (VALUES ('R','returned'),('A','accepted'),('N','none')) f(flag, flag_desc)
+        |  ON l_returnflag = f.flag
+        |GROUP BY f.flag_desc""".stripMargin,
     "agg_count" ->
       """SELECT count(*) AS n_rows, count(l_orderkey) AS n_keys
         |FROM lineitem WHERE l_discount > 0.05""".stripMargin,

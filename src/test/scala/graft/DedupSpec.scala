@@ -63,6 +63,14 @@ class DedupSpec extends AnyFunSuite {
     assert(r(3L) === 1L)
   }
 
+  test("native SimHash32 expression is bit-equal to the portable SQL form") {
+    val both = docs.select(
+      graft.functions.SimHash32.simhash32(
+        array_distinct(split(col("text"), " "))).as("native"),
+      Dedup.simhashExpr("array_distinct(split(text, ' '))").as("sql"))
+    both.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("simhash: exact dups at Hamming 0; near-dups closer than unrelated") {
     val sigs = docs.select(col("doc_id"),
         Dedup.simhashExpr("array_distinct(split(text, ' '))").as("sim"))

@@ -35,7 +35,8 @@ object SparkEntry {
     Relational.queries ++ JsonMap.queries ++ Spatial.queries ++
       Upsert.queries ++ Ingest.queries ++ graft.streaming.Replication.queries ++
       graft.streaming.EventStreams.queries ++
-      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
+      Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
     Relational.oracles ++ JsonMap.oracles ++ Spatial.oracles ++
       Upsert.oracles ++ Ingest.oracles ++ graft.streaming.Replication.oracles ++
       graft.streaming.EventStreams.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
+      Pipeline.oracles
 }

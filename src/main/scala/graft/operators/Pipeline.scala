@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** End-to-end training-data curation pipeline — the composition the
+  * engine exists for: every stage is one of the already-verified
+  * operators, chained as a single declarative plan (Catalyst sees
+  * through the whole thing; only the LSH candidate join and the final
+  * joins shuffle).
+  *
+  *   documents
+  *     → exact dedup        (content-hash survivorship, min doc_id)
+  *     → near-dup removal   (MinHash+LSH verified pairs; the higher
+  *                           doc_id of each pair is dropped — one
+  *                           deterministic pass; a transitive-closure
+  *                           loop is the iterative variant at scale)
+  *     → quality filter     (integer thresholds from textQuality)
+  *     → annotation         (language ID + token counts + fingerprint)
+  */
+object Pipeline {
+
+  def pipelineCurate(s: SparkSession, d: String): DataFrame = {
+    // stage 1: exact dedup keepers
+    val keepers = Dedup.dedupExact(s, d)
+      .select(col("keeper_doc_id").as("doc_id"))
+    // stage 2: near-dup drops (doc_b side of every verified pair)
+    val drops = Dedup.dedupMinhashLsh(s, d)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val surviving = documents(s, d)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(drops, Seq("doc_id"), "left_anti")
+    // stage 3+4: quality gate + annotations over survivors
+    val tmpView = surviving
+    val quality = TextAnalysis.textQuality(s, d)
+      .filter(col("is_quality"))
+      .select(col("doc_id"), col("n_words"), col("uniq_pct"))
+    val lang = TextAnalysis.textLangid(s, d).select(col("doc_id"), col("lang_pred"))
+    val fp = TextAnalysis.textFingerprint(s, d).select(col("doc_id"), col("fingerprint"))
+    tmpView.select(col("doc_id"), col("source"))
+      .join(quality, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .join(fp, Seq("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> pipelineCurate _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_curate" ->
+      s"""WITH sh2 AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+        |    THEN [array_to_string(string_split(text,' ')[i:i+2], ' ')
+        |          FOR i IN range(1, len(string_split(text,' ')) - 1)]
+        |    ELSE [] END) AS shs FROM documents),
+        |sig2 AS (SELECT doc_id, shs,
+        |  [list_min([substr(md5(s::VARCHAR || ':' || x), 1, 8) FOR x IN shs]) FOR s IN range(0, 16)] AS sigs
+        |  FROM sh2),
+        |bands2 AS (SELECT doc_id, b AS band_id,
+        |  sigs[4*b+1] || sigs[4*b+2] || sigs[4*b+3] || sigs[4*b+4] AS band_key
+        |  FROM sig2, unnest(range(0, 4)) t(b)),
+        |cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands2 a JOIN bands2 b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |near AS (SELECT doc_a, doc_b FROM cand2
+        |  JOIN sh2 x ON x.doc_id = doc_a JOIN sh2 y ON y.doc_id = doc_b
+        |  WHERE 2 * len(list_intersect(x.shs, y.shs)) >= len(list_distinct(x.shs || y.shs))),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |drops AS (SELECT DISTINCT doc_b AS doc_id FROM near),
+        |surviving AS (
+        |  SELECT d.doc_id, d.source, d.text FROM documents d
+        |  JOIN keepers k ON d.doc_id = k.doc_id
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)),
+        |q AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) * 100
+        |      // len(string_split(text, ' ')) AS uniq_pct
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 200
+        |    AND len(list_distinct(string_split(text, ' '))) * 100
+        |      // len(string_split(text, ' ')) >= 30),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','los','y')))
+        |          AND len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das','mit')))
+        |          AND len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('le','les','des','et','une')))
+        |          AND len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('shi','bu','wo','ni','ta'))) THEN 'en'
+        |         WHEN len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','los','y'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das','mit')))
+        |          AND len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','los','y'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('le','les','des','et','une')))
+        |          AND len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','los','y'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('shi','bu','wo','ni','ta'))) THEN 'es'
+        |         WHEN len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das','mit'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('le','les','des','et','une')))
+        |          AND len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das','mit'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('shi','bu','wo','ni','ta'))) THEN 'de'
+        |         WHEN len(list_filter(string_split(text, ' '), w -> w IN ('le','les','des','et','une'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('shi','bu','wo','ni','ta'))) THEN 'fr'
+        |         ELSE 'zh' END AS lang_pred
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_min([substr(md5(array_to_string(string_split(text,' ')[i:i+4], ' ')), 1, 16)
+        |      FOR i IN range(1, len(string_split(text,' ')) - 3)]) AS fingerprint
+        |  FROM documents WHERE len(string_split(text,' ')) >= 5)
+        |SELECT s.doc_id, s.source, q.n_words, q.uniq_pct, lang.lang_pred, fp.fingerprint
+        |FROM surviving s
+        |JOIN q ON s.doc_id = q.doc_id
+        |JOIN lang ON s.doc_id = lang.doc_id
+        |JOIN fp ON s.doc_id = fp.doc_id""".stripMargin
+  )
+}

@@ -137,7 +137,35 @@ object EventStreams {
         col("last_value").cast(DecimalType(12, 2)).as("last_value"))
   }
 
+  /** Streaming upsert sink — the EP2 redesign end-to-end on Spark's
+    * engine: the event stream is a changelog keyed by user_id; each
+    * micro-batch is last-wins-compacted and merged into a
+    * PartitionedTable via foreachBatch (partition-pruned, atomic
+    * manifest swap per batch = the reference's per-diff commit). The
+    * final table state is the current row per user. */
+  def streamUpsertSink(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsink")
+    val table = new PartitionedTable(dir.resolve("users"), "user_id", nBuckets = 8)
+    val q = eventsStream(s, d)
+      .select(c("user_id"), c("event_id"), c("event_type"),
+        c("value").cast(DecimalType(12, 2)).as("value"), c("ts"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val compacted = graft.operators.Upsert.lastWins(
+          batch, Seq("user_id"), Seq(c("ts"), c("event_id")))
+        table.mergeInto(batch.sparkSession, compacted)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read(s).select(c("user_id"), c("event_id"), c("event_type"), c("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_upsert_sink" -> streamUpsertSink _,
     "stream_window_agg" -> streamWindowAgg _,
     "stream_sliding_agg" -> streamSlidingAgg _,
     "stream_session_window" -> streamSessionWindow _,
@@ -145,6 +173,12 @@ object EventStreams {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_upsert_sink" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(value AS DECIMAL(12,2)) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1""".stripMargin,
     // Spark tumbling windows align to the 1970 epoch: bucket = µs - µs mod 6h.
     "stream_window_agg" ->
       """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS win_start,

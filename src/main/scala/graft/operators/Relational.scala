@@ -225,6 +225,20 @@ object Relational {
         (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
   }
 
+  /** RANGE frame: for every order, aggregate over the *value range*
+    * (±3 days of order date per customer), not a row count — the
+    * frame-spec coverage of §2e (`rangeBetween`). */
+  def winRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val days = datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_no"))
+      .rangeBetween(-3, 3)
+    orders(s, d)
+      .withColumn("day_no", days)
+      .select(col("o_orderkey"), col("o_custkey"), col("day_no"),
+        count(lit(1)).over(w).as("n_near"),
+        sum(dec(col("o_totalprice"))).over(w).as("sum_near"))
+  }
+
   /** Running totals (cumulative frame) — the loader's cumulative
     * rows/sec progress metric (`changesetmd.py:115-117`) as a window. */
   def aggRunningRate(s: SparkSession, d: String): DataFrame = {
@@ -360,6 +374,7 @@ object Relational {
     "win_dedup_lastwins" -> winDedupLastwins _,
     "win_rank" -> winRank _,
     "win_lag" -> winLag _,
+    "win_range_frame" -> winRangeFrame _,
     "agg_running_rate" -> aggRunningRate _,
     "sort_seq" -> sortSeq _,
     "sort_limit_topk" -> sortLimitTopk _,
@@ -463,6 +478,15 @@ object Relational {
       """SELECT user_id, event_id,
         |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
         |FROM events""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_no,
+        |  count(*) OVER w AS n_near,
+        |  sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS sum_near
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin,
     "agg_running_rate" ->
       """SELECT event_type, event_id,
         |  count(*) OVER w AS n_so_far,

@@ -73,6 +73,17 @@ class OsmXmlSpec extends AnyFunSuite {
     assert(hits.select("id").collect().map(_.getLong(0)).toSeq === Seq(10L))
   }
 
+  test("typed API boundary: scan lifts into Dataset[Changeset]/Dataset[Comment] (Schemas)") {
+    val typed = Schemas.changesets(cs).collect().sortBy(_.id)
+    assert(typed.map(_.id).toSeq === Seq(10L, 11L, 12L))
+    val c10 = typed(0)
+    assert(c10.user_name === Some("alice") && c10.num_changes === Some(12))
+    assert(c10.tags("created_by").startsWith("JOSM"))
+    assert(typed(1).closed_at === None && typed(1).open === Some(true))
+    val tcm = Schemas.comments(cm).collect()
+    assert(tcm.length === 2 && tcm.forall(_.comment_changeset_id === 10L))
+  }
+
   test("gzip path reads identically (changesetmd.py:239-248)") {
     val p = Files.createTempDirectory("graft_t_gz").resolve("dump.osm.xml.gz")
     OsmXml.writeFixture(p, OsmXml.bulkFixture)

@@ -31,7 +31,8 @@ object Bench {
     "dedup_minhash_lsh",   // MinHash+LSH near-dup
     "sim_topk",            // brute-force cosine top-k
     "text_tokens",         // text analysis
-    "stream_window_agg")   // streaming windowed agg
+    "stream_window_agg",   // streaming windowed agg
+    "pipeline_curate")     // end-to-end curation pipeline
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

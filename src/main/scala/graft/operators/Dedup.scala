@@ -7,6 +7,10 @@ import graft.Tables._
 
 /** Deduplication suite for training-data pipelines (SURVEY.md §2j):
   * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  * (MinHash: Broder, "On the resemblance and containment of
+  * documents", 1997; banded LSH: Indyk & Motwani 1998 / Leskovec-
+  * Rajaraman-Ullman MMDS ch.3; SimHash: Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002.)
   *
   * Design for 100 TB:
   *  - Signatures (shingle sets, MinHash sketches, SimHash bits) are

@@ -8,8 +8,10 @@ import graft.Tables._
 
 /** Similarity search over embedding columns (SURVEY.md §2j sim_topk):
   * brute-force cosine top-k as the exact baseline, plus two
-  * sub-linear scale paths — random-hyperplane LSH bucketing and an
-  * IVF (inverted-file) coarse quantizer.
+  * sub-linear scale paths — random-hyperplane LSH bucketing
+  * (Charikar, STOC 2002) and an IVF (inverted-file) coarse quantizer
+  * (Jégou, Douze & Schmid, "Product quantization for nearest neighbor
+  * search", TPAMI 2011 — the coarse-quantizer half, without PQ codes).
   *
   * Scale design:
   *  - The query side is tiny and broadcast; the corpus side never

@@ -176,6 +176,17 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_part"))
 
+  /** Exact interpolated percentiles (median / p90) per group — the
+    * distribution-shape summary the reference's per-user rollups
+    * imply; at 100 TB swap to approx_percentile (t-digest-like
+    * mergeable sketch) exactly as agg_distinct ↔ approx_count_distinct. */
+  def aggPercentile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("med"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+
   /** ROLLUP: multi-granularity summary (region→nation→total). */
   def aggRollup(s: SparkSession, d: String): DataFrame =
     customer(s, d)
@@ -369,6 +380,7 @@ object Relational {
     "agg_group" -> aggGroup _,
     "agg_distinct" -> aggDistinct _,
     "agg_approx_distinct" -> aggApproxDistinct _,
+    "agg_percentile" -> aggPercentile _,
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
     "win_dedup_lastwins" -> winDedupLastwins _,
@@ -451,6 +463,11 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |  count(DISTINCT l_partkey) AS n_part
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS med,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
         |  sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal

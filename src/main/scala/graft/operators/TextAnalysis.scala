@@ -67,6 +67,18 @@ object TextAnalysis {
         col("n_words") >= 20 && col("n_words") <= 200 && col("uniq_pct") >= 30)
   }
 
+  /** Text normalization — the cleaning stage upstream of dedup in a
+    * real pipeline: lowercase, collapse whitespace runs, strip
+    * non-alphanumerics, plus the normalized content hash that
+    * normalized-exact dedup keys on. */
+  def textNormalize(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm_text"))
+      .withColumn("norm_alnum",
+        regexp_replace(col("norm_text"), "[^a-z0-9 ]", ""))
+      .withColumn("norm_hash", md5(col("norm_alnum")))
+
   /** Token counting: whitespace tokens plus a BPE-ish greedy subword
     * segmentation (regex, deterministic in both engines). */
   def textTokens(s: SparkSession, d: String): DataFrame =
@@ -93,6 +105,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> textLangid _,
     "text_quality" -> textQuality _,
+    "text_normalize" -> textNormalize _,
     "text_tokens" -> textTokens _,
     "text_fingerprint" -> textFingerprint _
   )
@@ -132,6 +145,12 @@ object TextAnalysis {
         |SELECT *, n_uniq * 100 // n_words AS uniq_pct,
         |  n_words >= 20 AND n_words <= 200 AND (n_uniq * 100 // n_words) >= 30 AS is_quality
         |FROM q""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text,
+        |  regexp_replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g') AS norm_alnum,
+        |  md5(regexp_replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g')) AS norm_hash
+        |FROM documents""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,

@@ -55,7 +55,8 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
   def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame = {
     val m = manifest
     val paths = buckets.flatMap(b => m.get(b).map(v => bucketPath(b, v).toString))
-    if (paths.isEmpty) null else spark.read.parquet(paths: _*)
+    require(paths.nonEmpty, s"no committed buckets under $dir")
+    spark.read.parquet(paths: _*)
   }
 
   def read(spark: SparkSession): DataFrame =

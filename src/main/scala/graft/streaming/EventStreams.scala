@@ -164,7 +164,23 @@ object EventStreams {
     table.read(s).select(c("user_id"), c("event_id"), c("event_type"), c("value"))
   }
 
+  /** Streaming exact dedup with bounded state:
+    * dropDuplicatesWithinWatermark keeps each key's state only until
+    * the watermark passes — at-least-once sources (the replication
+    * feed re-delivers diffs by design, README.md:58-59) become
+    * effectively-once without unbounded key state. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val deduped = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+    runToTable(deduped, OutputMode.Complete())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup" -> streamDedup _,
     "stream_upsert_sink" -> streamUpsertSink _,
     "stream_window_agg" -> streamWindowAgg _,
     "stream_sliding_agg" -> streamSlidingAgg _,
@@ -173,6 +189,11 @@ object EventStreams {
   )
 
   val oracles: Map[String, String] = Map(
+    // event_id is unique in the corpus, so streaming dedup = identity
+    "stream_dedup" ->
+      """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS win_start,
+        |  count(DISTINCT event_id) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "stream_upsert_sink" ->
       """SELECT user_id, event_id, event_type,
         |  CAST(value AS DECIMAL(12,2)) AS value

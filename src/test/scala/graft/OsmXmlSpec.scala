@@ -95,4 +95,17 @@ class OsmXmlSpec extends AnyFunSuite {
     assert(norm(gz).exceptAll(norm(cs)).count() === 0 &&
       norm(cs).exceptAll(norm(gz)).count() === 0)
   }
+
+  test("bz2 path (the weekly-dump codec, changesetmd.py:23-27) reads identically") {
+    val dir = Files.createTempDirectory("graft_t_bz2")
+    val p = dir.resolve("dump.osm.xml.bz2")
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(spark.sparkContext.hadoopConfiguration)
+    val out = codec.createOutputStream(Files.newOutputStream(p))
+    try out.write(OsmXml.bulkFixture.getBytes("UTF-8")) finally out.close()
+    val bz = OsmXml.changesets(OsmXml.scan(spark, p.toString))
+    assert(bz.count() === 3)
+    assert(bz.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(10L, 11L, 12L))
+  }
 }

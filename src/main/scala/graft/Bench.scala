@@ -103,11 +103,9 @@ object Bench {
     }
     val out = dir.resolve("out").toString
     val t0 = System.nanoTime()
-    val cs = graft.sources.OsmXml.changesets(
-      graft.sources.OsmXml.scan(spark, dir.toString + "/part*.osm.xml"))
-    cs.write.mode("overwrite").parquet(out)
+    val (rows, _) = graft.sources.BulkLoad.run(
+      spark, dir.toString + "/part*.osm.xml", out)
     val sec = (System.nanoTime() - t0) / 1e9
-    val rows = spark.read.parquet(out).count()
     (rows, sec)
   }
 }

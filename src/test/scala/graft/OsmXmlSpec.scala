@@ -73,6 +73,20 @@ class OsmXmlSpec extends AnyFunSuite {
     assert(hits.select("id").collect().map(_.getLong(0)).toSeq === Seq(10L))
   }
 
+  test("EP1 bulk load: scan -> partitioned, sorted columnar tables (BulkLoad.run)") {
+    val in = Files.createTempDirectory("graft_t_bl").resolve("dump.osm.xml")
+    OsmXml.writeFixture(in, OsmXml.bulkFixture)
+    val out = Files.createTempDirectory("graft_t_bl_out").toString
+    val (nCs, nCm) = graft.sources.BulkLoad.run(spark, in.toString, out)
+    assert(nCs === 3 && nCm === 2)
+    // partition layout: created_month=2015-11 directory exists
+    val loaded = spark.read.parquet(s"$out/changesets")
+    assert(loaded.select("created_month").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("2015-11"))
+    // date-range queries prune on the partition column
+    assert(loaded.filter(col("created_month") === "2015-11").count() === 3)
+  }
+
   test("typed API boundary: scan lifts into Dataset[Changeset]/Dataset[Comment] (Schemas)") {
     val typed = Schemas.changesets(cs).collect().sortBy(_.id)
     assert(typed.map(_.id).toSeq === Seq(10L, 11L, 12L))

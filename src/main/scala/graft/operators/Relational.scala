@@ -351,6 +351,35 @@ object Relational {
       abs(col("o_custkey") - 100L).as("abs_off"),
       sqrt(col("o_totalprice")).as("sqrt_price"))
 
+  /** Regex scalar functions: extraction, replacement, matching —
+    * the pattern toolbox behind quality filters and tag parsing. */
+  def fnRegex(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+      regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+      col("c_name").rlike("^Customer#0*[0-9]+$").as("name_wellformed"))
+
+  /** Hash functions: content addressing / partition keys (md5 feeds
+    * the dedup family; sha256 the content-integrity path). */
+  def fnHash(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      md5(col("c_name")).as("name_md5"),
+      sha2(col("c_name"), 256).as("name_sha256"))
+
+  /** GROUPING SETS: the explicit multi-grouping generalization of
+    * rollup/cube (SQL surface; Spark's DataFrame API exposes it via
+    * SQL). */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
   /** Conditional / null-handling (`.get(k, None)` defaulting,
     * `changesetmd.py:108-113`). */
   def fnConditional(s: SparkSession, d: String): DataFrame =
@@ -396,7 +425,10 @@ object Relational {
     "fn_string" -> fnString _,
     "fn_datetime" -> fnDatetime _,
     "fn_math" -> fnMath _,
-    "fn_conditional" -> fnConditional _
+    "fn_conditional" -> fnConditional _,
+    "fn_regex" -> fnRegex _,
+    "fn_hash" -> fnHash _,
+    "agg_grouping_sets" -> aggGroupingSets _
   )
 
   val oracles: Map[String, String] = Map(
@@ -566,6 +598,22 @@ object Relational {
         |  coalesce(nullif(CAST(l_discount AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))),
         |           CAST(-1 AS DECIMAL(12,2))) AS disc_or_neg1,
         |  l_tax > l_discount AS tax_gt_disc
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "fn_regex" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |  regexp_matches(c_name, '^Customer#0*[0-9]+$') AS name_wellformed
+        |FROM customer""".stripMargin,
+    "fn_hash" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS name_md5,
+        |  sha256(c_name) AS name_sha256
+        |FROM customer""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
   )
 }

@@ -26,6 +26,14 @@ object Relational {
   /** Exact-decimal view of a 2-decimal double column. */
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  /** Output-boundary canonicalization: internal arithmetic stays exact
+    * DECIMAL (order-independent at any partitioning), but the *final*
+    * representation is DOUBLE — an exact decimal below 2^53 converts to
+    * the identical IEEE double in every engine, so the driver's
+    * normalizer sees one rendering instead of two decimal dialects.
+    * Every oracle mirrors this with a terminal CAST(... AS DOUBLE). */
+  private def outD(c: Column): Column = c.cast(DoubleType)
+
   // ---- §2a scans -----------------------------------------------------
 
   /** Columnar scan with pushed filter + pruned columns: the Postgres
@@ -54,7 +62,7 @@ object Relational {
       col("l_orderkey"),
       col("l_linenumber"),
       col("l_quantity").cast(IntegerType).as("qty_int"),
-      dec(col("l_extendedprice")).as("price_dec"),
+      outD(dec(col("l_extendedprice"))).as("price_dec"),
       col("l_shipdate").cast(DateType).as("ship_day"),
       col("l_orderkey").cast(StringType).as("key_str"),
       (col("l_returnflag") === "R").as("is_return"))
@@ -79,7 +87,7 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum(dec(col("l_extendedprice"))).as("sum_price"))
+        outD(sum(dec(col("l_extendedprice")))).as("sum_price"))
 
   /** Star join through two explicitly-broadcast dimensions — at 100 TB
     * the fact side never shuffles for dims this small. */
@@ -88,7 +96,7 @@ object Relational {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).as("sum_bal"))
+      .agg(count(lit(1)).as("n_cust"), outD(sum(dec(col("c_acctbal")))).as("sum_bal"))
 
   /** Left outer join preserving parents with no children. */
   def joinLeft(s: SparkSession, d: String): DataFrame =
@@ -135,7 +143,7 @@ object Relational {
         factSalted("l_returnflag") === dimSalted("flag") &&
         factSalted("salt") === dimSalted("salt"))
       .groupBy(col("flag_desc"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("sum_price"))
+      .agg(count(lit(1)).as("n"), outD(sum(dec(col("l_extendedprice")))).as("sum_price"))
   }
 
   // ---- §2d aggregations ----------------------------------------------
@@ -152,13 +160,13 @@ object Relational {
     val df = lineitem(s, d)
     df.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"))))
+        outD(sum(dec(col("l_quantity")))).as("sum_qty"),
+        outD(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        outD(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount")))))
           .as("sum_disc_price"),
         count(lit(1)).as("n_rows"),
-        min(dec(col("l_quantity"))).as("min_qty"),
-        max(dec(col("l_quantity"))).as("max_qty"))
+        outD(min(dec(col("l_quantity")))).as("min_qty"),
+        outD(max(dec(col("l_quantity")))).as("max_qty"))
   }
 
   /** Exact distinct counts per group (`queries.py:43-44` editors). */
@@ -193,13 +201,13 @@ object Relational {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).as("sum_bal"))
+      .agg(count(lit(1)).as("n_cust"), outD(sum(dec(col("c_acctbal")))).as("sum_bal"))
 
   /** CUBE over two independent dimensions. */
   def aggCube(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("sum_price"))
+      .agg(count(lit(1)).as("n_orders"), outD(sum(dec(col("o_totalprice")))).as("sum_price"))
 
   // ---- §2e windows ---------------------------------------------------
 
@@ -212,7 +220,7 @@ object Relational {
     events(s, d)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"), col("event_type"), dec(col("value")).as("last_value"))
+      .select(col("user_id"), col("event_id"), col("event_type"), outD(dec(col("value"))).as("last_value"))
   }
 
   /** rank() per partition with deterministic tiebreak: top editors
@@ -223,7 +231,7 @@ object Relational {
     customer(s, d)
       .withColumn("rnk", rank().over(w))
       .filter(col("rnk") <= 5)
-      .select(col("c_mktsegment"), col("c_custkey"), dec(col("c_acctbal")).as("bal"), col("rnk"))
+      .select(col("c_mktsegment"), col("c_custkey"), outD(dec(col("c_acctbal"))).as("bal"), col("rnk"))
   }
 
   /** lag(): inter-event gap per user in exact microseconds. */
@@ -247,7 +255,7 @@ object Relational {
       .withColumn("day_no", days)
       .select(col("o_orderkey"), col("o_custkey"), col("day_no"),
         count(lit(1)).over(w).as("n_near"),
-        sum(dec(col("o_totalprice"))).over(w).as("sum_near"))
+        outD(sum(dec(col("o_totalprice"))).over(w)).as("sum_near"))
   }
 
   /** Running totals (cumulative frame) — the loader's cumulative
@@ -259,7 +267,7 @@ object Relational {
     events(s, d).select(
       col("event_type"), col("event_id"),
       count(lit(1)).over(w).as("n_so_far"),
-      sum(dec(col("value"))).over(w).as("value_so_far"))
+      outD(sum(dec(col("value"))).over(w)).as("value_so_far"))
   }
 
   // ---- §2f sorts / top-k / set ops -----------------------------------
@@ -375,7 +383,8 @@ object Relational {
     orders(s, d).createOrReplaceTempView("orders_gs")
     s.sql(
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_price
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders_gs
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
   }
@@ -388,8 +397,8 @@ object Relational {
       when(col("l_returnflag") === "R", lit("returned"))
         .when(col("l_returnflag") === "A", lit("ack"))
         .otherwise(lit("none")).as("flag_desc"),
-      coalesce(nullif(dec(col("l_discount")), lit(0).cast(DecimalType(12, 2))),
-        lit(-1).cast(DecimalType(12, 2))).as("disc_or_neg1"),
+      outD(coalesce(nullif(dec(col("l_discount")), lit(0).cast(DecimalType(12, 2))),
+        lit(-1).cast(DecimalType(12, 2)))).as("disc_or_neg1"),
       (col("l_tax") > col("l_discount")).as("tax_gt_disc"))
 
   // ---- registry ------------------------------------------------------
@@ -440,7 +449,7 @@ object Relational {
     "cast_types" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_quantity AS INTEGER) AS qty_int,
-        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
         |  CAST(l_shipdate AS DATE) AS ship_day,
         |  CAST(l_orderkey AS VARCHAR) AS key_str,
         |  l_returnflag = 'R' AS is_return
@@ -451,12 +460,12 @@ object Relational {
         |  AND o_orderpriority IS NOT NULL AND o_orderdate < TIMESTAMP '1999-01-01'""".stripMargin,
     "join_inner_hash" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
     "join_broadcast" ->
       """SELECT r_name, count(*) AS n_cust,
-        |  sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -474,7 +483,7 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "join_skew_salted" ->
       """SELECT f.flag_desc, count(*) AS n,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |JOIN (VALUES ('R','returned'),('A','accepted'),('N','none')) f(flag, flag_desc)
         |  ON l_returnflag = f.flag
@@ -484,12 +493,12 @@ object Relational {
         |FROM lineitem WHERE l_discount > 0.05""".stripMargin,
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS n_rows,
-        |  min(CAST(l_quantity AS DECIMAL(12,2))) AS min_qty,
-        |  max(CAST(l_quantity AS DECIMAL(12,2))) AS max_qty
+        |  CAST(min(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS min_qty,
+        |  CAST(max(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS max_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
@@ -502,23 +511,23 @@ object Relational {
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        |  sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "win_dedup_lastwins" ->
       """SELECT user_id, event_id, event_type,
-        |  CAST(value AS DECIMAL(12,2)) AS last_value
+        |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS last_value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1""".stripMargin,
     "win_rank" ->
-      """SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal, rnk
+      """SELECT c_mktsegment, c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal, rnk
         |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
         |        rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
         |      FROM customer) t
@@ -531,7 +540,7 @@ object Relational {
       """SELECT o_orderkey, o_custkey,
         |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_no,
         |  count(*) OVER w AS n_near,
-        |  sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS sum_near
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_near
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
@@ -539,7 +548,7 @@ object Relational {
     "agg_running_rate" ->
       """SELECT event_type, event_id,
         |  count(*) OVER w AS n_so_far,
-        |  sum(CAST(value AS DECIMAL(12,2))) OVER w AS value_so_far
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS value_so_far
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
@@ -595,8 +604,8 @@ object Relational {
         |  CASE WHEN l_returnflag = 'R' THEN 'returned'
         |       WHEN l_returnflag = 'A' THEN 'ack'
         |       ELSE 'none' END AS flag_desc,
-        |  coalesce(nullif(CAST(l_discount AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))),
-        |           CAST(-1 AS DECIMAL(12,2))) AS disc_or_neg1,
+        |  CAST(coalesce(nullif(CAST(l_discount AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))),
+        |           CAST(-1 AS DECIMAL(12,2))) AS DOUBLE) AS disc_or_neg1,
         |  l_tax > l_discount AS tax_gt_disc
         |FROM lineitem""".stripMargin,
     "fn_regex" ->
@@ -612,7 +621,8 @@ object Relational {
         |FROM customer""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_price
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
   )

@@ -66,7 +66,9 @@ object Upsert {
     val updates = lastWins(ev.filter(col("event_id") % 2 === 1), Seq("user_id"), ord)
     merge(base, updates, Seq("user_id"))
       .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value").cast(DecimalType(12, 2)).as("value"))
+        // exact decimal internally, canonical DOUBLE at the boundary
+        // (mirrored in the oracle) — see Relational.outD
+        col("value").cast(DecimalType(12, 2)).cast(DoubleType).as("value"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -83,7 +85,7 @@ object Upsert {
     // even rows for a user, then recency decides.
     "sink_upsert" ->
       """SELECT user_id, event_id, event_type,
-        |  CAST(value AS DECIMAL(12,2)) AS value
+        |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY event_id % 2 DESC, ts DESC, event_id DESC) AS rn
         |      FROM events) t

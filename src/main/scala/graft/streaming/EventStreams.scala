@@ -67,7 +67,7 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(12, 2))).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
-        col("n"), col("sum_value"))
+        col("n"), col("sum_value").cast(DoubleType).as("sum_value"))
     runToTable(agg, OutputMode.Complete())
   }
 
@@ -134,7 +134,7 @@ object EventStreams {
     graft.operators.Upsert.lastWins(table, Seq("user_id"), Seq(col("n_events")))
       .select(col("user_id"), col("n_events"),
         timestamp_micros(col("last_ts_us")).as("last_ts"),
-        col("last_value").cast(DecimalType(12, 2)).as("last_value"))
+        col("last_value").cast(DecimalType(12, 2)).cast(DoubleType).as("last_value"))
   }
 
   /** Streaming upsert sink — the EP2 redesign end-to-end on Spark's
@@ -161,7 +161,8 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    table.read(s).select(c("user_id"), c("event_id"), c("event_type"), c("value"))
+    table.read(s).select(c("user_id"), c("event_id"), c("event_type"),
+      c("value").cast(DoubleType).as("value"))
   }
 
   /** Streaming exact dedup with bounded state:
@@ -196,7 +197,7 @@ object EventStreams {
         |FROM events GROUP BY 1""".stripMargin,
     "stream_upsert_sink" ->
       """SELECT user_id, event_id, event_type,
-        |  CAST(value AS DECIMAL(12,2)) AS value
+        |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn = 1""".stripMargin,
@@ -204,7 +205,7 @@ object EventStreams {
     "stream_window_agg" ->
       """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS win_start,
         |  event_type, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "stream_sliding_agg" ->
       """WITH shifted AS (
@@ -228,10 +229,19 @@ object EventStreams {
         |  FROM brk)
         |SELECT min(ts) AS session_start, user_id, count(*) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+    // last_value tie-break is explicit (ts DESC, event_id DESC) — the
+    // same total order the Spark state update uses; arg_max(value, ts)
+    // alone would be nondeterministic on timestamp-tied events.
     "stream_state_mgmt" ->
-      """SELECT user_id, count(*) AS n_events,
-        |  max(ts) AS last_ts,
-        |  CAST(arg_max(value, ts) AS DECIMAL(12,2)) AS last_value
-        |FROM events GROUP BY user_id""".stripMargin
+      """WITH lastv AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |  WHERE rn = 1)
+        |SELECT e.user_id, count(*) AS n_events,
+        |  max(e.ts) AS last_ts,
+        |  CAST(CAST(min(l.value) AS DECIMAL(12,2)) AS DOUBLE) AS last_value
+        |FROM events e JOIN lastv l USING (user_id)
+        |GROUP BY e.user_id""".stripMargin
   )
 }

@@ -8,9 +8,17 @@ Reads each <name>/ parquet result dumped by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the sfdir
 tables, and compares: schema (column names), row count, and an
 order-insensitive hash of the values with columns sorted by name.
+
+IMPORTANT (round-1 lesson): the Spark result is read with pyarrow, NOT
+through DuckDB. Reading both sides through DuckDB shares DuckDB's value
+rendering and masks representation mismatches (e.g. decimal scale) that
+the real driver gate catches — round 1 passed 70/70 locally while the
+driver failed 15. Two independent readers stringifying cells is the
+faithful replica.
 """
 import sys, json, glob, os
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -19,7 +27,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm_cell(v):
     if isinstance(v, float):
         return repr(v)
+    # Spark parquet timestamps are UTC-adjusted (pyarrow yields tz-aware
+    # datetimes); DuckDB yields naive ones. Timestamp-output queries pass
+    # the real driver gate, so normalize to naive-UTC like the driver.
+    import datetime
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return str(v.astimezone(datetime.timezone.utc).replace(tzinfo=None))
     return str(v)
+
+
+def read_spark_result(files):
+    """Read graft.Verify output with pyarrow, preserving Spark's own
+    output representation (decimals stay python Decimal at the file's
+    declared scale, timestamps stay datetime, binary stays bytes)."""
+    cols, rows = None, []
+    for f in sorted(files):
+        t = pq.read_table(f)
+        if cols is None:
+            cols = t.column_names
+        for r in t.to_pylist():
+            rows.append(tuple(r[c] for c in cols))
+    return rows, cols
 
 
 def table_hash(rows, cols):
@@ -51,9 +79,7 @@ def main():
             print(f"FAIL  {name}: no result parquet")
             n_fail += 1
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchall()
-        got_cols = [d[0] for d in con.description]
+        got, got_cols = read_spark_result(files)
         if name not in oracles:
             print(f"NOORACLE {name}: rows={len(got)} cols={got_cols}")
             n_noora += 1

@@ -118,21 +118,44 @@ object Dedup {
       .filter(col("inter") * 2 >= col("uni")) // J >= 0.5, integer-exact
   }
 
-  /** SimHash near-dup pairs: 32-bit signatures, Hamming ≤ 6, blocked
-    * by `source` so the pair join stays equi-join shaped. */
+  /** SimHash near-dup pairs: 32-bit signatures, Hamming ≤ 6 within a
+    * `source` block. Candidate generation is multi-index banding
+    * (Manku-Jain-Sarma, WWW 2007 §3): the signature splits into 7
+    * chunks, and by pigeonhole any pair with Hamming ≤ 6 differs in at
+    * most 6 chunks, so at least one chunk matches EXACTLY. The
+    * self-join is therefore equi-join shaped on
+    * (source, chunk_id, chunk_value) — pair work is O(bucket), never
+    * O(n²) within a source block — and exact Hamming verification runs
+    * on candidates only. Output is identical to the exhaustive form
+    * (the banding is lossless for the threshold, not approximate). */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     // native SimHash32 expression: one md5 + one vote loop per row
     // (the portable SQL form it is bit-equal to — simhashOverHexes —
     // is what the DuckDB oracle mirrors; equality is spec-tested)
+    val widths = Seq(5, 5, 5, 5, 4, 4, 4) // 7 chunks covering 32 bits
+    val offsets = widths.scanLeft(0)(_ + _).init
     val sigs = documents(s, d).select(
       col("doc_id"), col("source"),
       graft.functions.SimHash32.simhash32(
         array_distinct(split(col("text"), " "))).as("sim"))
       .cache() // materialize before self-join (see dedupMinhashLsh)
-    sigs.as("a").join(sigs.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(expr("a.sim ^ b.sim")).as("hamming"))
+    val chunkArr = array(widths.zip(offsets).map { case (w, off) =>
+      expr(s"(sim >> $off) & ${(1 << w) - 1}")
+    }: _*)
+    val chunks = sigs.select(col("doc_id"), col("source"),
+      posexplode(chunkArr).as(Seq("chunk_id", "chunk_val")))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        col("a.source") === col("b.source") &&
+        col("a.chunk_id") === col("b.chunk_id") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("sim_a ^ sim_b")).as("hamming"))
       .filter(col("hamming") <= 6)
   }
 
@@ -162,18 +185,42 @@ object Dedup {
       .filter(col("inter") * 2 >= col("uni"))
   }
 
-  /** Embedding near-dup: cosine ≥ 0.35 between vectors sharing a
-    * label (the blocking key). Dot products in explicit left-to-right
-    * double arithmetic for cross-engine determinism. */
+  /** Embedding near-dup, cluster-then-verify (the SemDeDup shape —
+    * Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", 2023): every vector is assigned
+    * to its max-cosine IVF cell (centroids = every 97th vector, the
+    * same deterministic coarse quantizer as Similarity.simIvf, so the
+    * DuckDB oracle can mirror the assignment exactly), and cosine ≥
+    * 0.35 is verified only on pairs sharing (label, cell).
+    *
+    * Scale: centroid count grows with the corpus (n/97), so cell
+    * population stays bounded — pair work is O(n · cell) through a
+    * plain equi-join on (label, cell), never O(n²) inside a label
+    * block. Assignment is a broadcast cross-join + partial-aggregated
+    * max_by: the corpus shuffles once, carrying one row per vector.
+    * Like any clustered dedup, recall < 1 vs the exhaustive
+    * within-label scan (pairs straddling a cell boundary are unseen) —
+    * DedupSpec checks containment in the exhaustive pair set.
+    * Dot products are explicit left-to-right double folds for
+    * cross-engine determinism. */
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("a.label").as("label"),
-        aggregate(
-          zip_with(col("a.embedding"), col("b.embedding"),
-            (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-          lit(0.0), (acc, v) => acc + v).as("cos"))
+    val cells = e.crossJoin(broadcast(
+        e.filter(col("vec_id") % 97 === 3)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"),
+        round(Similarity.dot(col("embedding"), col("c_emb")), 4).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        any_value(col("label")).as("label"),
+        any_value(col("embedding")).as("embedding"),
+        expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
+    cells.as("a").join(cells.as("b"),
+        col("a.label") === col("b.label") && col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        Similarity.dot(col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("label"), round(col("cos"), 4).as("cos_r"))
   }
@@ -265,19 +312,35 @@ object Dedup {
         |  bit_count(xor(a.sim, b.sim)) AS hamming
         |FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 6""".stripMargin,
+    // len(gs) > 0 guards mirror the Spark side, where a gram-less doc
+    // (< 2 words) vanishes in the explode — without them two such docs
+    // in one source would emit a phantom (0,0) pair here.
     "dedup_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, source, $gram2SqlDuck AS gs FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  len(list_intersect(a.gs, b.gs)) AS inter,
         |  len(list_distinct(a.gs || b.gs)) AS uni
         |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE 2 * len(list_intersect(a.gs, b.gs)) >= len(list_distinct(a.gs || b.gs))""".stripMargin,
+        |WHERE 2 * len(list_intersect(a.gs, b.gs)) >= len(list_distinct(a.gs || b.gs))
+        |  AND len(a.gs) > 0 AND len(b.gs) > 0""".stripMargin,
+    // mirrors the IVF cell assignment (same centroids + tie-break as
+    // the Spark side), then the within-(label, cell) cosine verify
     "dedup_embed_cosine" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+      """WITH c AS (SELECT vec_id AS cent_id, embedding AS cv
+        |           FROM embeddings WHERE vec_id % 97 = 3),
+        |cells AS (
+        |  SELECT vec_id, label, embedding, cent_id AS cell FROM (
+        |    SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), 4) DESC,
+        |        c.cent_id ASC) AS arnk
+        |    FROM embeddings e, c) t WHERE arnk = 1)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
         |  round(list_sum(list_transform(range(1, 65),
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) AS cos_r
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |FROM cells a JOIN cells b
+        |  ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(range(1, 65),
         |  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) >= 0.35""".stripMargin
   )

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 import java.nio.file.Files
 import graft.Tables._
 import graft.sources.OsmXml
@@ -15,13 +16,17 @@ object Ingest {
 
   /** Distributed XML scan of the bulk-dump fixture → changesets
     * relation joined with its exploded comments child relation
-    * (EP1's extract step end-to-end). */
+    * (EP1's extract step end-to-end). DECIMAL(10,7) coords are
+    * canonicalized to DOUBLE at the query boundary (oracle-parity
+    * rule; the relation itself stays decimal-typed). */
   def scanXml(s: SparkSession, d: String): DataFrame = {
     val p = Files.createTempDirectory("graft_xml").resolve("dump.osm.xml")
     OsmXml.writeFixture(p, OsmXml.bulkFixture)
     val raw = OsmXml.scan(s, p.toString)
-    OsmXml.changesets(raw)
-      .withColumn("tags_json", to_json(col("tags"))).drop("tags")
+    Seq("min_lat", "max_lat", "min_lon", "max_lon").foldLeft(
+      OsmXml.changesets(raw)
+        .withColumn("tags_json", to_json(col("tags"))).drop("tags")
+    )((df, c) => df.withColumn(c, col(c).cast(DoubleType)))
   }
 
   /** Same scan through the gzip codec path (changesetmd.py:239-248);
@@ -118,7 +123,54 @@ object Ingest {
     "ddl_index_constraints" -> ddlIndexConstraints _
   )
 
+  /** Known-answer oracles: the XML fixtures are deterministic
+    * (FIXTURES.md §A), so every fixture-world query has an exact
+    * VALUES-table oracle — no more rows-only checks. */
   val oracles: Map[String, String] = Map(
+    "scan_xml" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(10 AS BIGINT), CAST(7 AS BIGINT), TIMESTAMP '2015-11-15 22:00:01',
+        |   CAST(40.6884971 AS DOUBLE), CAST(40.6911817 AS DOUBLE),
+        |   CAST(-74.0474545 AS DOUBLE), CAST(-74.0433990 AS DOUBLE),
+        |   TIMESTAMP '2015-11-15 22:05:00', false, 12, 'alice',
+        |   '{"comment":"fix buildings","created_by":"JOSM/1.5 (8339)"}'),
+        |  (11, 8, TIMESTAMP '2015-11-15 23:00:00', NULL, NULL, NULL, NULL,
+        |   NULL, true, NULL, 'bob', '{}'),
+        |  (12, 9, TIMESTAMP '2015-11-15 23:30:00',
+        |   CAST(-95.0 AS DOUBLE), CAST(91.0 AS DOUBLE),
+        |   CAST(-10.0 AS DOUBLE), CAST(10.0 AS DOUBLE),
+        |   NULL, false, NULL, NULL, '{"created_by":"Potlatch 2"}')
+        |) AS t(id, user_id, created_at, min_lat, max_lat, min_lon, max_lon,
+        |       closed_at, open, num_changes, user_name, tags_json)""".stripMargin,
+    "scan_compressed" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(10 AS BIGINT), CAST(8 AS BIGINT), 'bob',
+        |   TIMESTAMP '2015-11-16 00:00:00', 'looks good'),
+        |  (10, 9, 'carol', TIMESTAMP '2015-11-16 01:00:00', 'thanks')
+        |) AS t(comment_changeset_id, comment_user_id, comment_user_name,
+        |       comment_date, comment_text)""".stripMargin,
+    "extract_comments" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(10 AS BIGINT), CAST(8 AS BIGINT), 'bob',
+        |   TIMESTAMP '2015-11-16 00:00:00', 'looks good'),
+        |  (10, 9, 'carol', TIMESTAMP '2015-11-16 01:00:00', 'thanks')
+        |) AS t(comment_changeset_id, comment_user_id, comment_user_name,
+        |       comment_date, comment_text)""".stripMargin,
+    // diff seq s carries changeset 11 (num_changes=s) + new id 100+s
+    "source_http_replication" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '000/000/001.osm.gz', CAST(11 AS BIGINT), 1),
+        |  (1, '000/000/001.osm.gz', 101, 1),
+        |  (2, '000/000/002.osm.gz', 11, 2),
+        |  (2, '000/000/002.osm.gz', 102, 1),
+        |  (3, '000/000/003.osm.gz', 11, 3),
+        |  (3, '000/000/003.osm.gz', 103, 1),
+        |  (4, '000/000/004.osm.gz', 11, 4),
+        |  (4, '000/000/004.osm.gz', 104, 1)
+        |) AS t(seq, seq_path, id, num_changes)""".stripMargin,
+    "source_state_yaml" ->
+      """SELECT CAST(1612345 AS BIGINT) AS sequence,
+        |  '2015-11-16 12:00:00.000000000 +00:00' AS last_run""".stripMargin,
     "ddl_create" ->
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
     "ddl_truncate" ->

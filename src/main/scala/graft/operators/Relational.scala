@@ -178,11 +178,19 @@ object Relational {
         countDistinct(col("l_partkey")).as("n_part"))
 
   /** Sketch-based distinct (HLL++) — the 100 TB-scale variant of
-    * aggDistinct; no oracle (approximate by design). */
+    * aggDistinct. Approximate by design, so the oracle-checkable
+    * surface is the exact count plus a checked error bound: HLL++ at
+    * rsd=0.01 must land within 5% of the exact distinct (it lands
+    * within ~1%); `approx_ok` makes a wrong sketch fail the gate. */
   def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_part"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_part"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
+      .select(col("l_returnflag"), col("n_part"),
+        (abs(col("approx") - col("n_part")) <=
+          col("n_part") * lit(0.05)).as("approx_ok"))
 
   /** Exact interpolated percentiles (median / p90) per group — the
     * distribution-shape summary the reference's per-user rollups
@@ -273,15 +281,36 @@ object Relational {
   // ---- §2f sorts / top-k / set ops -----------------------------------
 
   /** Global sequence ordering — replication diffs applied in strict
-    * ascending order (`changesetmd.py:181-186`). A whole-table window
-    * is the correct *semantic*; at 100 TB the same contract is kept
-    * with a range-partitioned sort + per-partition offsets (Spark's
-    * orderBy already range-partitions; only the dense global numbering
-    * below is the single-partition step). */
+    * ascending order (`changesetmd.py:181-186`). Dense global
+    * numbering WITHOUT the single-partition window: two-pass
+    * range-partitioned numbering. Pass 1 range-partitions by the sort
+    * key (each partition owns a contiguous key range) and counts rows
+    * per partition — a driver-side collect bounded by #partitions.
+    * Pass 2 adds the cumulative-count offset of each partition to its
+    * per-partition row_number. Same dense sequence as
+    * `Window.orderBy(...)`, no stage through which the whole table
+    * funnels. (The numbering is partition-boundary-independent — it
+    * only depends on the total order — so nondeterministic range
+    * sampling cannot change the output; the cache pins one
+    * partitioning across the two passes.) */
   def sortSeq(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("ts").asc, col("event_id").asc)
-    events(s, d)
-      .withColumn("seq", row_number().over(w))
+    val sorted = events(s, d)
+      .select(col("ts"), col("event_id"), col("user_id"))
+      .repartitionByRange(col("ts").asc, col("event_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val counts = sorted.groupBy(col("pid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = counts.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p)).init)
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("pid")), lit(0L))
+    val wp = Window.partitionBy(col("pid")).orderBy(col("ts").asc, col("event_id").asc)
+    sorted
+      .withColumn("seq", row_number().over(wp) + offCol)
       .select(col("seq"), col("event_id"), col("user_id"))
   }
 
@@ -503,6 +532,10 @@ object Relational {
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |  count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_part,
+        |  true AS approx_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderpriority,

@@ -38,18 +38,41 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
 
   /** Exact brute-force top-10 cosine neighbors for each of 3 query
-    * vectors: broadcast queries × corpus scan, per-query top-k via
-    * rank window (ties broken by vec_id). */
+    * vectors: broadcast queries × corpus scan, then TWO-LEVEL top-k.
+    * Each scan task keeps at most k rows per query in a bounded heap
+    * (mapPartitions — no shuffle), so only k·partitions·queries rows
+    * reach the final per-query rank window. The corpus-sized shuffle
+    * into #queries reducers that a direct window would cost is gone;
+    * at 100 TB the heavy stage is embarrassingly parallel and the
+    * merge input is KB-sized. Ties broken by vec_id, identical to the
+    * single-window form. */
   def simTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 10
     val corpus = embeddings(s, d)
     val scored = corpus.join(broadcast(queryVectors(s, d)),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dot(col("q"), col("embedding")), 4).as("cos_r"))
+    // worst-first ordering: the heap head is the row that falls out
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+    val partial = scored.as[(Long, Long, Double)].mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (q, v, c) =>
+        val h = heaps.getOrElseUpdate(q,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        if (h.size < k) h.enqueue((c, v))
+        else if (worstFirst.gt(h.head, (c, v))) { h.dequeue(); h.enqueue((c, v)) }
+      }
+      heaps.iterator.flatMap { case (q, h) =>
+        h.iterator.map { case (c, v) => (q, v, c) } }
+    }.toDF("query_id", "vec_id", "cos_r")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_r").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+    partial.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
   }
 
   /** Random-hyperplane LSH: 8 data-derived hyperplanes (vectors

@@ -197,5 +197,21 @@ object Replication {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_microbatch" -> streamMicrobatch _
   )
-  val oracles: Map[String, String] = Map.empty
+
+  /** Known-answer oracle: bulk fixture (ids 10,11,12) + 5 diffs; diff
+    * seq s rewrites id 11 (num_changes=s, tag seq=s) and inserts id
+    * 100+s — last-wins leaves id 11 at seq 5. */
+  val oracles: Map[String, String] = Map(
+    "stream_microbatch" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(10 AS BIGINT), 'alice', 12, false, CAST(NULL AS VARCHAR)),
+        |  (11, 'bob', 5, false, '5'),
+        |  (12, NULL, NULL, false, NULL),
+        |  (101, 'dave', 1, true, NULL),
+        |  (102, 'dave', 1, true, NULL),
+        |  (103, 'dave', 1, true, NULL),
+        |  (104, 'dave', 1, true, NULL),
+        |  (105, 'dave', 1, true, NULL)
+        |) AS t(id, user_name, num_changes, open, seq_tag)""".stripMargin
+  )
 }

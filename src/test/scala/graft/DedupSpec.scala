@@ -71,6 +71,41 @@ class DedupSpec extends AnyFunSuite {
     both.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("banded simhash candidates are lossless: identical to the exhaustive pair set") {
+    // pigeonhole property: 7 chunks over 32 bits must recover EVERY
+    // Hamming<=6 pair the all-pairs scan finds (banding is an
+    // optimization, not an approximation)
+    val d = "/root/testdata/sf0.001"
+    val banded = Dedup.dedupSimhash(spark, d)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val sigs = graft.Tables.documents(spark, d).select(
+      col("doc_id"), col("source"),
+      graft.functions.SimHash32.simhash32(
+        array_distinct(split(col("text"), " "))).as("sim"))
+    val exhaustive = sigs.as("a").join(sigs.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(expr("a.sim ^ b.sim")).cast("int"))
+      .as[(Long, Long, Int)].collect().filter(_._3 <= 6).toSet
+    assert(banded === exhaustive)
+    assert(banded.nonEmpty)
+  }
+
+  test("embed cosine dedup: cell-blocked pairs are contained in the exhaustive qualifying set") {
+    val d = "/root/testdata/sf0.001"
+    val blocked = Dedup.dedupEmbedCosine(spark, d)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val e = graft.Tables.embeddings(spark, d)
+    val exhaustive = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.operators.Similarity.dot(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .select(col("a.vec_id"), col("b.vec_id")).as[(Long, Long)].collect().toSet
+    assert(blocked.nonEmpty)
+    assert(blocked.subsetOf(exhaustive)) // cluster-then-verify never invents pairs
+  }
+
   test("simhash: exact dups at Hamming 0; near-dups closer than unrelated") {
     val sigs = docs.select(col("doc_id"),
         Dedup.simhashExpr("array_distinct(split(text, ' '))").as("sim"))

@@ -36,6 +36,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sim_topk two-level top-k equals the direct single-window form") {
+    val d = "/root/testdata/sf0.001"
+    val twoLevel = Similarity.simTopk(spark, d)
+      .select("query_id", "vec_id", "cos_r", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val e = Tables.embeddings(spark, d)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.dot(col("q"), col("embedding")), 4).as("cos_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_r").desc, col("vec_id").asc)
+    val direct = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(twoLevel === direct)
+  }
+
   test("language ID: priority argmax picks the list language on planted stopwords") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_text")
     Seq(

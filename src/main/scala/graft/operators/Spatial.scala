@@ -73,6 +73,53 @@ object Spatial {
         floor(col("area_m2") / 1e6).cast(LongType).as("area_km2"))
   }
 
+  /** bbox → geometry envelope (the reference's `-g` build,
+    * `changesetmd.py:55-64` + `queries.py:49-52` `ST_MakeEnvelope(...,
+    * 4326)`): the engine's geometry type is a typed STRUCT — an
+    * SRID-tagged axis-aligned envelope — rather than an opaque PostGIS
+    * POLYGON, because every documented spatial operation (equal-area
+    * size, containment, bbox join) is closed over envelopes; the
+    * struct keeps min/max stats usable for pruning where a binary
+    * geometry blob would be opaque. */
+  def geomEnvelope(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column): Column =
+    struct(
+      lit(4326).as("srid"),
+      minLon.as("min_lon"), minLat.as("min_lat"),
+      maxLon.as("max_lon"), maxLat.as("max_lat"))
+
+  /** WKT rendering of the envelope — the interop surface
+    * (`ST_AsText(ST_MakeEnvelope(...))` ring order: counter-clockwise
+    * from (min_lon, min_lat), closed). Corner columns must render
+    * identically in any engine, so callers pass integer-valued
+    * corners or pre-format. */
+  def envelopeWkt(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column): Column =
+    concat(lit("POLYGON(("),
+      minLon, lit(" "), minLat, lit(","),
+      maxLon, lit(" "), minLat, lit(","),
+      maxLon, lit(" "), maxLat, lit(","),
+      minLon, lit(" "), maxLat, lit(","),
+      minLon, lit(" "), minLat, lit("))"))
+
+  /** Gate query: envelope build over the synthetic bbox — emits the
+    * flattened struct fields plus WKT from the integer corners (flat
+    * columns are representation-stable across both engines' hashers;
+    * the struct constructor itself is covered by SpatialSpec). */
+  def geomEnvelopeQuery(s: SparkSession, d: String): DataFrame = {
+    val b = ordersBbox(s, d)
+      .withColumn("geom", geomEnvelope(
+        col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")))
+    b.select(
+      col("o_orderkey"),
+      col("geom.srid").as("srid"),
+      col("geom.min_lon").as("g_min_lon"),
+      col("geom.min_lat").as("g_min_lat"),
+      col("geom.max_lon").as("g_max_lon"),
+      col("geom.max_lat").as("g_max_lat"),
+      envelopeWkt(
+        col("geom.min_lon").cast(LongType), col("geom.min_lat").cast(LongType),
+        col("geom.max_lon").cast(LongType), col("geom.max_lat").cast(LongType)).as("wkt"))
+  }
+
   /** Envelope containment join (`ST_CoveredBy(c.geom, s.geom)` with a
     * literal query envelope, README.md:120-124): theta join against a
     * tiny broadcast dimension → BroadcastNestedLoopJoin; the fact side
@@ -107,7 +154,8 @@ object Spatial {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "filter_clamp_latlon" -> filterClampLatlon _,
     "filter_area" -> filterArea _,
-    "join_range_bbox" -> joinRangeBbox _
+    "join_range_bbox" -> joinRangeBbox _,
+    "geom_envelope" -> geomEnvelopeQuery _
   )
 
   // Shared SQL fragment: the synthetic bbox (must mirror ordersBbox).
@@ -146,6 +194,18 @@ object Spatial {
         |FROM b, e
         |WHERE min_lon >= lon_lo AND max_lon <= lon_hi
         |  AND min_lat >= lat_lo AND max_lat <= lat_hi
-        |GROUP BY env_id""".stripMargin
+        |GROUP BY env_id""".stripMargin,
+    "geom_envelope" ->
+      s"""WITH b AS ($bboxSql)
+        |SELECT o_orderkey, 4326 AS srid,
+        |  min_lon AS g_min_lon, min_lat AS g_min_lat,
+        |  max_lon AS g_max_lon, max_lat AS g_max_lat,
+        |  'POLYGON((' ||
+        |    CAST(CAST(min_lon AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(min_lat AS BIGINT) AS VARCHAR) || ',' ||
+        |    CAST(CAST(max_lon AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(min_lat AS BIGINT) AS VARCHAR) || ',' ||
+        |    CAST(CAST(max_lon AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(max_lat AS BIGINT) AS VARCHAR) || ',' ||
+        |    CAST(CAST(min_lon AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(max_lat AS BIGINT) AS VARCHAR) || ',' ||
+        |    CAST(CAST(min_lon AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(min_lat AS BIGINT) AS VARCHAR) || '))' AS wkt
+        |FROM b""".stripMargin
   )
 }

@@ -10,16 +10,18 @@ import graft.operators.Upsert
   * SCALING.md (SURVEY.md §7 "hard parts": delete+insert on immutable
   * storage must not rewrite the table).
   *
-  * Layout: rows are hash-bucketed by key into `nBuckets`; each bucket
-  * holds immutable version directories; a manifest file maps
-  * bucket → current version. A merge:
+  * Layout: rows are hash-bucketed by key into `nBuckets`; a manifest
+  * file maps bucket → current data directory (relative to the table
+  * root). A merge:
   *
   *   1. computes the bucket set of the update batch (tiny collect —
   *      bounded by nBuckets, not data),
   *   2. anti-join+unions ONLY those buckets' current data with the
-  *      bucket-filtered updates,
-  *   3. writes new version dirs for touched buckets and atomically
-  *      swaps one manifest.
+  *      updates — one distributed merge plan over all touched buckets,
+  *   3. writes every touched bucket in ONE Spark job
+  *      (`partitionBy("__b")` into a fresh commit directory — the
+  *      dynamic-partition-overwrite shape; no serial per-bucket driver
+  *      loop), then atomically swaps one manifest.
   *
   * Untouched buckets are untouched files: merge cost is
   * O(touched buckets), not O(table). Crash before the manifest swap
@@ -34,7 +36,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
 
   def exists: Boolean = Files.exists(manifestFile)
 
-  /** bucket -> current version dir name (relative). */
+  /** bucket -> current data dir (relative to `dir`). */
   def manifest: Map[Int, String] =
     if (!exists) Map.empty
     else Files.readAllLines(manifestFile).asScala
@@ -49,12 +51,9 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def bucketPath(b: Int, version: String): Path =
-    dir.resolve(f"b=$b%03d").resolve(version)
-
   def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame = {
     val m = manifest
-    val paths = buckets.flatMap(b => m.get(b).map(v => bucketPath(b, v).toString))
+    val paths = buckets.flatMap(b => m.get(b).map(v => dir.resolve(v).toString))
     require(paths.nonEmpty, s"no committed buckets under $dir")
     spark.read.parquet(paths: _*)
   }
@@ -62,27 +61,46 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
   def read(spark: SparkSession): DataFrame =
     readBuckets(spark, manifest.keys.toSeq.sorted)
 
+  /** next commit id: one more than the largest already on disk. */
+  private def nextCommit(m: Map[Int, String]): Long =
+    m.values.collect { case PartitionedTable.CommitDir(n) => n.toLong }
+      .maxOption.map(_ + 1).getOrElse(0L)
+
   /** Merge `updates` (last-wins-compacted by caller) into the table,
-    * rewriting only the buckets that hold update keys. Returns the
-    * touched bucket ids. */
+    * rewriting only the buckets that hold update keys — in a single
+    * Spark write job. Returns the touched bucket ids (empty input →
+    * no-op, no jobs beyond the bucket probe). */
   def mergeInto(spark: SparkSession, updates: DataFrame): Seq[Int] = {
     val withBucket = updates.withColumn("__b", bucketExpr).cache()
     val touched = withBucket.select("__b").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) { withBucket.unpersist(); return Nil }
     val m = manifest
-    val newVersions = touched.map { b =>
-      val upd = withBucket.filter(col("__b") === b).drop("__b")
-      val merged = m.get(b) match {
-        case Some(v) =>
-          Upsert.merge(spark.read.parquet(bucketPath(b, v).toString), upd, Seq(keyCol))
-        case None => upd
-      }
-      val next = "v" + (m.get(b).map(_.drop(1).toLong + 1).getOrElse(0L))
-      merged.write.mode(SaveMode.Overwrite).parquet(bucketPath(b, next).toString)
-      b -> next
-    }.toMap
+    val existingPaths = touched.flatMap(b => m.get(b).map(v => dir.resolve(v).toString))
+    // one merge plan over all touched buckets: existing bucket ids are
+    // recomputed from the key (hash-stable), so no per-bucket reads
+    val existing =
+      if (existingPaths.isEmpty) None
+      else Some(spark.read.parquet(existingPaths: _*))
+    val updFlat = withBucket.drop("__b")
+    val merged = existing match {
+      case Some(ex) => Upsert.merge(ex, updFlat, Seq(keyCol))
+      case None => updFlat
+    }
+    val commit = nextCommit(m)
+    val commitRel = s"commits/c$commit"
+    merged.withColumn("__b", bucketExpr)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__b")
+      .parquet(dir.resolve(commitRel).toString)
     withBucket.unpersist()
-    writeManifest(m ++ newVersions) // single atomic swap commits the merge
+    // partitionBy writes one __b=<n> dir per touched bucket under the
+    // commit dir; repoint only those buckets, one atomic manifest swap
+    writeManifest(m ++ touched.map(b => b -> s"$commitRel/__b=$b"))
     touched
   }
+}
+
+object PartitionedTable {
+  private val CommitDir = "commits/c(\\d+)/.*".r
 }

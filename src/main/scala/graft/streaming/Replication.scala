@@ -59,10 +59,69 @@ object Replication {
 
   /** Head-of-stream discovery: the upstream `state.yaml`
     * (changesetmd.py:167-171) — driver-side metadata, one tiny read. */
-  def readServerState(baseDir: Path): (Long, String) = {
-    val lines = Files.readAllLines(baseDir.resolve("state.yaml")).asScala
+  def readServerState(baseDir: Path): (Long, String) =
+    parseServerState(Files.readAllLines(baseDir.resolve("state.yaml")).asScala.toSeq)
+
+  private def parseServerState(lines: Seq[String]): (Long, String) = {
     val kv = lines.map(_.split(":", 2)).collect { case Array(k, v) => k.trim -> v.trim }.toMap
     (kv("sequence").toLong, kv.getOrElse("last_run", ""))
+  }
+
+  // ---- feed transport (changesetmd.py:127-135, 167-171) ---------------
+
+  /** Where `state.yaml` and sequence-numbered diffs come from. The
+    * reference fetches both over HTTP from the planet replication
+    * feed; hermetic tests use a local directory. Staging is
+    * driver-side — minutely diffs are KB-sized; the distributed XML
+    * scan then reads the staged local copies. */
+  sealed trait ReplicationSource {
+    /** (sequence, last_run) of the feed head. */
+    def serverState(): (Long, String)
+    /** Make `seqs` available locally; returns paths for OsmXml.scan. */
+    def stage(seqs: Seq[Long]): Seq[String]
+  }
+
+  final case class LocalDirSource(base: Path) extends ReplicationSource {
+    def serverState(): (Long, String) = readServerState(base)
+    def stage(seqs: Seq[Long]): Seq[String] =
+      seqs.map(s => base.resolve(sequencePath(s)).toString)
+  }
+
+  /** HTTP(S) transport — `urllib2.urlopen(baseUrl + seq_path)` parity
+    * (changesetmd.py:127-135): GET `<baseUrl>/state.yaml` and
+    * `<baseUrl>/nnn/nnn/nnn.osm.gz`, staging diffs under `staging`
+    * with an atomic rename (re-runs reuse already-staged files — the
+    * feed's diffs are immutable once published). */
+  final case class HttpSource(baseUrl: String, staging: Path) extends ReplicationSource {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .build()
+
+    private def get(rel: String): Array[Byte] = {
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"${baseUrl.stripSuffix("/")}/$rel"))
+        .GET().build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      require(resp.statusCode() == 200, s"GET $baseUrl/$rel -> HTTP ${resp.statusCode()}")
+      resp.body()
+    }
+
+    def serverState(): (Long, String) =
+      parseServerState(new String(get("state.yaml"), "UTF-8").split("\n").toSeq)
+
+    def stage(seqs: Seq[Long]): Seq[String] = seqs.map { s =>
+      val rel = sequencePath(s)
+      val dest = staging.resolve(rel)
+      if (!Files.exists(dest)) {
+        Files.createDirectories(dest.getParent)
+        val tmp = dest.resolveSibling(dest.getFileName.toString + ".tmp")
+        Files.write(tmp, get(rel))
+        Files.move(tmp, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      dest.toString
+    }
   }
 
   // ---- versioned parquet table (atomic-swap sink) --------------------
@@ -118,35 +177,62 @@ object Replication {
 
   // ---- bounded catch-up loop (changesetmd.py:179-186) ----------------
 
+  /** Replication table handles: changesets + comments as
+    * partition-pruned bucket tables (a minutely diff rewrites
+    * O(buckets-hit), never O(table) — the scale contract SURVEY §7
+    * demands; VersionedTable remains the whole-table snapshot sink for
+    * bulk loads and demos). */
+  def changesetTable(tableDir: Path, nBuckets: Int = 8): PartitionedTable =
+    new PartitionedTable(tableDir, "id", nBuckets)
+
+  def commentsTable(tableDir: Path, nBuckets: Int = 8): PartitionedTable =
+    new PartitionedTable(
+      tableDir.resolveSibling(tableDir.getFileName.toString + "_comments"),
+      "comment_changeset_id", nBuckets)
+
+  /** Read the current changesets relation maintained by catchUp. */
+  def readTable(spark: SparkSession, tableDir: Path): DataFrame =
+    changesetTable(tableDir).read(spark)
+
   /** While local < server: fetch diff, parse, last-wins compact, merge
     * both relations, commit offset. `batchSize` > 1 compacts several
     * diffs into one merge — a capability the reference lacks.
-    * Returns the number of diffs applied. */
+    * Merges go through PartitionedTable: each batch rewrites only the
+    * buckets its keys hash into (one Spark write job per batch), and
+    * an empty comments batch is a no-op without a separate isEmpty
+    * probe job. Returns the number of diffs applied. */
   def catchUp(spark: SparkSession, baseDir: Path, tableDir: Path,
-      statePath: Path, batchSize: Int = 8): Int = {
+      statePath: Path, batchSize: Int = 8, nBuckets: Int = 8): Int = {
+    StateDoc.init(statePath)
+    require(StateDoc.read(statePath).lastSequence >= 0 ||
+        Files.exists(baseDir.resolve("state.yaml")),
+      "uninitialized state and no upstream state.yaml") // guard ≙ changesetmd.py:156-158
+    catchUp(spark, LocalDirSource(baseDir), tableDir, statePath, batchSize, nBuckets)
+  }
+
+  /** Transport-generic catch-up: same loop over any ReplicationSource
+    * (local dir for hermetic tests, HttpSource for the live feed). */
+  def catchUp(spark: SparkSession, source: ReplicationSource, tableDir: Path,
+      statePath: Path, batchSize: Int, nBuckets: Int): Int = {
     StateDoc.init(statePath)
     val st0 = StateDoc.read(statePath)
-    require(st0.lastSequence >= 0 || Files.exists(baseDir.resolve("state.yaml")),
-      "uninitialized state and no upstream state.yaml") // guard ≙ changesetmd.py:156-158
-    val (serverSeq, serverTs) = readServerState(baseDir)
+    val (serverSeq, serverTs) = source.serverState()
+    val table = changesetTable(tableDir, nBuckets)
+    val comments = commentsTable(tableDir, nBuckets)
     var applied = 0
     withWriterLock(tableDir.getParent) {
       var local = st0.lastSequence
       while (local < serverSeq) {
         val hi = math.min(local + batchSize, serverSeq)
-        val paths = ((local + 1) to hi)
-          .map(seq => baseDir.resolve(sequencePath(seq)).toString)
+        val paths = source.stage((local + 1) to hi)
         val raw = OsmXml.scan(spark, paths: _*)
         // within-batch last-wins: newest num_changes wins per id (the
         // diff files carry monotonically growing versions)
         val cs = Upsert.lastWins(OsmXml.changesets(raw),
           Seq("id"), Seq(col("closed_at"), col("num_changes")))
-        VersionedTable.mergeInto(spark, tableDir, cs, Seq("id"))
-        val cm = OsmXml.comments(raw).dropDuplicates(
-          "comment_changeset_id", "comment_user_id", "comment_date")
-        if (!cm.isEmpty)
-          VersionedTable.mergeInto(spark, tableDir.resolveSibling(
-            tableDir.getFileName.toString + "_comments"), cm, Seq("comment_changeset_id"))
+        table.mergeInto(spark, cs)
+        comments.mergeInto(spark, OsmXml.comments(raw).dropDuplicates(
+          "comment_changeset_id", "comment_user_id", "comment_date"))
         applied += (hi - local).toInt
         local = hi
         // offset committed after each applied batch → crash-safe replay ≤ batchSize
@@ -178,18 +264,18 @@ object Replication {
     val base = root.resolve("replication")
     val table = root.resolve("tables/changesets")
     val state = root.resolve("state.txt")
-    // bulk load (EP1)
+    // bulk load (EP1) straight into the bucketed table
     val dump = root.resolve("dump/changesets.osm.xml.gz")
     OsmXml.writeFixture(dump, OsmXml.bulkFixture)
     val raw = OsmXml.scan(spark, dump.toString)
-    VersionedTable.commit(OsmXml.changesets(raw), table)
+    changesetTable(table).mergeInto(spark, OsmXml.changesets(raw))
     // operator bootstraps the offset after bulk load (the reference
     // refuses to replicate from the -1 sentinel, changesetmd.py:156-158)
     StateDoc.write(state, ReplState(0L, None, updateInProgress = false))
     // replication catch-up (EP2)
     writeFixtureWorld(base, 5)
     catchUp(spark, base, table, state, batchSize = 3)
-    VersionedTable.read(spark, table)
+    readTable(spark, table)
       .select(col("id"), col("user_name"), col("num_changes"), col("open"),
         element_at(col("tags"), "seq").as("seq_tag"))
   }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.streaming.Replication
+
+/** End-to-end CLI parity with the reference argparse surface
+  * (changesetmd.py:202-230): create → load → init-sequence →
+  * replicate → geometry, composed like `changesetmd.py -c -f dump`
+  * then `changesetmd.py -r`. */
+class CliSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("parse maps every reference flag") {
+    val c = Main.parse(List("-d", "/tmp/db", "-c", "-t", "-f", "dump.osm.gz",
+      "-r", "http://example.org/feed", "-g", "--init-sequence", "7"))
+    assert(c.db.get.toString === "/tmp/db")
+    assert(c.create && c.truncate && c.geometry)
+    assert(c.bulkFile === Some("dump.osm.gz"))
+    assert(c.replicateSrc === Some("http://example.org/feed"))
+    assert(c.initSequence === Some(7L))
+    intercept[IllegalArgumentException](Main.parse(List("--bogus")))
+  }
+
+  test("create+load+replicate+geometry lifecycle end-to-end") {
+    val root = Files.createTempDirectory("graft_cli")
+    val db = root.resolve("db")
+    val dump = root.resolve("dump.osm.xml.gz")
+    graft.sources.OsmXml.writeFixture(dump, graft.sources.OsmXml.bulkFixture)
+    val feed = root.resolve("feed")
+    Replication.writeFixtureWorld(feed, 3)
+
+    // -c -f dump (EP1)
+    val log1 = Main.run(spark, Main.parse(List(
+      "-d", db.toString, "-c", "-f", dump.toString)))
+    assert(log1.exists(_.startsWith("create:")))
+    assert(log1.exists(_.startsWith("load:")))
+    assert(Replication.readTable(spark, db.resolve("tables/changesets")).count() === 3)
+
+    // -r refuses the -1 sentinel (changesetmd.py:156-158)
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Main.parse(List("-d", db.toString, "-r", feed.toString)))
+    }
+
+    // --init-sequence 0 then -r (EP2)
+    val log2 = Main.run(spark, Main.parse(List(
+      "-d", db.toString, "--init-sequence", "0", "-r", feed.toString)))
+    assert(log2.exists(_.contains("applied 3 diffs")))
+    val cs = Replication.readTable(spark, db.resolve("tables/changesets"))
+    assert(cs.count() === 6) // 3 bulk + ids 101..103
+    assert(cs.filter($"id" === 11).select("num_changes").head().getInt(0) === 3)
+
+    // -g materializes the envelope struct column
+    val log3 = Main.run(spark, Main.parse(List("-d", db.toString, "-g")))
+    assert(log3.exists(_.startsWith("geometry:")))
+    val geom = spark.read.parquet(db.resolve("tables/changesets_geom").toString)
+    val row = geom.filter($"id" === 10).select("geom").head().getStruct(0)
+    assert(row.getAs[Int]("srid") === 4326)
+    assert(math.abs(row.getAs[Double]("min_lon") - (-74.0474545)) < 1e-9)
+
+    // -t drops contents; a fresh -f reloads
+    Main.run(spark, Main.parse(List("-d", db.toString, "-t")))
+    assert(!Replication.changesetTable(db.resolve("tables/changesets")).exists)
+  }
+}

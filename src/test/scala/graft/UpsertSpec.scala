@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import graft.operators.Upsert
 import graft.streaming.Replication
 import graft.streaming.Replication.VersionedTable
@@ -89,7 +90,7 @@ class UpsertSpec extends AnyFunSuite {
       Replication.ReplState(0L, None, updateInProgress = false))
 
     assert(Replication.catchUp(spark, base, table, state, batchSize = 3) === 4)
-    val after = VersionedTable.read(spark, table).cache()
+    val after = Replication.readTable(spark, table).cache()
     assert(after.filter($"id" === 11).select("num_changes").head().getInt(0) === 4)
 
     // caught up -> no work
@@ -99,7 +100,55 @@ class UpsertSpec extends AnyFunSuite {
     Replication.StateDoc.write(state,
       Replication.ReplState(0L, None, updateInProgress = false))
     assert(Replication.catchUp(spark, base, table, state, batchSize = 2) === 4)
-    assert(sameRows(after, VersionedTable.read(spark, table)))
+    assert(sameRows(after, Replication.readTable(spark, table)))
+  }
+
+  test("catchUp merge is partition-pruned: untouched bucket dirs stay byte-identical") {
+    val root = Files.createTempDirectory("graft_t_prune")
+    val base = root.resolve("repl")
+    val tableDir = root.resolve("tables/cs")
+    val state = root.resolve("state.txt")
+    // bulk-load many keys so every bucket is populated
+    val pt = Replication.changesetTable(tableDir)
+    val wide = spark.range(1000, 1200).select(
+      col("id"),
+      col("id").as("user_id"),
+      lit(null).cast("timestamp").as("created_at"),
+      lit(null).cast("decimal(10,7)").as("min_lat"),
+      lit(null).cast("decimal(10,7)").as("max_lat"),
+      lit(null).cast("decimal(10,7)").as("min_lon"),
+      lit(null).cast("decimal(10,7)").as("max_lon"),
+      lit(null).cast("timestamp").as("closed_at"),
+      lit(true).as("open"),
+      lit(1).as("num_changes"),
+      lit("bulk").as("user_name"),
+      map().cast("map<string,string>").as("tags"))
+    pt.mergeInto(spark, wide)
+    val manifestBefore = pt.manifest
+    assert(manifestBefore.size === 8) // all buckets hit
+    def bucketBytes(rel: String): Seq[(String, Long)] = {
+      val d = tableDir.resolve(rel)
+      val s = java.nio.file.Files.walk(d)
+      try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (d.relativize(p).toString, java.nio.file.Files.size(p))).toSeq.sorted
+      finally s.close()
+    }
+    val bytesBefore = manifestBefore.map { case (b, rel) => b -> bucketBytes(rel) }
+
+    // diffs touch only ids {11, 101..104}: a few buckets at most
+    Replication.writeFixtureWorld(base, 4)
+    Replication.StateDoc.write(state,
+      Replication.ReplState(0L, None, updateInProgress = false))
+    Replication.catchUp(spark, base, tableDir, state, batchSize = 4)
+
+    val manifestAfter = pt.manifest
+    val untouched = manifestAfter.filter { case (b, rel) => manifestBefore(b) == rel }
+    assert(untouched.nonEmpty, "some buckets must be untouched by a 5-key diff")
+    untouched.foreach { case (b, rel) =>
+      assert(bucketBytes(rel) === bytesBefore(b), s"bucket $b files changed")
+    }
+    // every key still present exactly once
+    assert(Replication.readTable(spark, tableDir).count() === 200 + 5)
   }
 
   test("failure isolation: missing diff aborts the run, lock released, offset not advanced past applied batches (changesetmd.py:165-195)") {
@@ -122,6 +171,46 @@ class UpsertSpec extends AnyFunSuite {
       graft.sources.OsmXml.diffFixture(3L))
     assert(Replication.catchUp(spark, base, table, state, batchSize = 2) === 2)
     assert(Replication.StateDoc.read(state).lastSequence === 4L)
+  }
+
+  test("HTTP transport: catchUp over a live HTTP server completes and matches local-dir catchUp") {
+    val root = Files.createTempDirectory("graft_t_http")
+    val feed = root.resolve("feed")
+    Replication.writeFixtureWorld(feed, 4)
+    // serve the fixture world over real HTTP (loopback)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/replication/changesets", { exchange =>
+      val rel = exchange.getRequestURI.getPath
+        .stripPrefix("/replication/changesets/")
+      val f = feed.resolve(rel)
+      if (Files.isRegularFile(f)) {
+        val bytes = Files.readAllBytes(f)
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+      } else exchange.sendResponseHeaders(404, -1L)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val src = Replication.HttpSource(
+        s"http://127.0.0.1:$port/replication/changesets",
+        root.resolve("staging"))
+      assert(src.serverState()._1 === 4L)
+      val table = root.resolve("tables/cs")
+      val state = root.resolve("state.txt")
+      Replication.StateDoc.write(state,
+        Replication.ReplState(0L, None, updateInProgress = false))
+      assert(Replication.catchUp(spark, src, table, state,
+        batchSize = 3, nBuckets = 8) === 4)
+      val got = Replication.readTable(spark, table)
+      assert(got.count() === 5) // id 11 + ids 101..104
+      assert(got.filter($"id" === 11).select("num_changes").head().getInt(0) === 4)
+      // diffs staged once, reused on re-run
+      assert(Files.isRegularFile(root.resolve("staging")
+        .resolve(Replication.sequencePath(4L))))
+    } finally server.stop(0)
   }
 
   test("writer lock refuses concurrent catch-up (changesetmd.py:138-160)") {

@@ -14,8 +14,13 @@ import java.nio.file.{Files, Paths}
   */
 object PlanAudit {
 
+  /** needle prefixes: `EXECUTED:` looks in the post-run adaptive plan
+    * (codegen markers only appear there); `ABSENT:` asserts the string
+    * does NOT occur; `REGEX:` matches as a regex. `conf` pairs are set
+    * for plan construction and restored after (e.g. disabling
+    * auto-broadcast to prove a join CAN shuffle). */
   case class Check(query: String, property: String, needle: String,
-      rationale: String)
+      rationale: String, conf: Map[String, String] = Map.empty)
 
   val checks: Seq[Check] = Seq(
     Check("scan_parquet", "filter pushdown", "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate",
@@ -24,8 +29,9 @@ object PlanAudit {
       "3-column projection + filter column scans 4 of 11 columns"),
     Check("join_broadcast", "broadcast join", "BroadcastHashJoin",
       "dimension tables broadcast: the fact side never shuffles"),
-    Check("join_inner_hash", "shuffle join", "Join Inner",
-      "fact-fact join shuffles both sides on the key (AQE may pick SMJ or SHJ at runtime)"),
+    Check("join_inner_hash", "shuffle join", "REGEX:SortMergeJoin|ShuffledHashJoin",
+      "fact-fact join shuffles both sides on the key when neither side is broadcast-small (asserted with auto-broadcast off; at sf0.01 AQE broadcasts it, which is also right)",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
     Check("sort_limit_topk", "top-k", "TakeOrderedAndProject",
       "ORDER BY+LIMIT lowers to per-partition top-k + merge, never a global sort"),
     Check("join_range_bbox", "broadcast theta join", "BroadcastNestedLoopJoin",
@@ -39,7 +45,15 @@ object PlanAudit {
     Check("sim_topk", "broadcast queries", "BroadcastNestedLoopJoin",
       "query vectors broadcast; corpus scanned map-side only"),
     Check("map_contains", "codegen map predicate", "EXECUTED:*(1)",
-      "property-bag containment stays inside generated code (no UDF barrier)"))
+      "property-bag containment stays inside generated code (no UDF barrier)"),
+    Check("sort_seq", "no single-partition stage", "ABSENT:SinglePartition",
+      "global dense numbering via range partitions + offsets: nothing funnels the table through one task"),
+    Check("sim_topk", "per-partition top-k", "MapPartitions",
+      "bounded heaps shrink each task to k rows per query before the merge: no corpus-sized shuffle into #queries reducers"),
+    Check("dedup_simhash", "banded candidate equi-join", "chunk_val",
+      "multi-index banding joins on (source, chunk_id, chunk_value): pair work is O(bucket), not O(n^2) per source"),
+    Check("dedup_embed_cosine", "cell-blocked candidates", "max_by",
+      "IVF cell assignment (partial-aggregated max_by) blocks the pair join on (label, cell), not label alone"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -52,6 +66,14 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    def withConf[T](conf: Map[String, String])(body: => T): T = {
+      val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
     val audited = checks.map(_.query).distinct
     val plans: Map[String, String] = audited.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -64,10 +86,21 @@ object PlanAudit {
       df.collect() // finalize this queryExecution's adaptive plan
       name -> df.queryExecution.executedPlan.toString
     }.toMap
-    def planHas(c: Check): Boolean =
-      if (c.needle.startsWith("EXECUTED:"))
-        executed(c.query).contains(c.needle.stripPrefix("EXECUTED:"))
-      else plans(c.query).contains(c.needle)
+    def planHas(c: Check): Boolean = {
+      val plan =
+        if (c.conf.nonEmpty) withConf(c.conf) {
+          SparkEntry.queries(c.query)(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        }
+        else if (c.needle.startsWith("EXECUTED:")) executed(c.query)
+        else plans(c.query)
+      c.needle match {
+        case n if n.startsWith("EXECUTED:") => plan.contains(n.stripPrefix("EXECUTED:"))
+        case n if n.startsWith("ABSENT:") => !plan.contains(n.stripPrefix("ABSENT:"))
+        case n if n.startsWith("REGEX:") => n.stripPrefix("REGEX:").r.findFirstIn(plan).nonEmpty
+        case n => plan.contains(n)
+      }
+    }
 
     var failed = 0
     val md = new StringBuilder

@@ -18,7 +18,16 @@ import org.apache.spark.sql.functions._
 object BulkLoad {
 
   def run(spark: SparkSession, dumpPath: String, outDir: String): (Long, Long) = {
-    val raw = OsmXml.scan(spark, dumpPath)
+    // Phase 1 — ONE pass over the XML: parse and stage the raw relation
+    // columnar. XML pull-parsing is the expensive pass; without staging
+    // it runs three times (changesets write, comments write, and the
+    // sampling pass repartitionByRange needs for its range boundaries).
+    // Downstream reads of the snappy-parquet staging are cheap scans.
+    // The extra write volume is the classic ELT staging trade and holds
+    // at cluster scale for the same reason.
+    val staging = s"$outDir/_staging_raw"
+    OsmXml.scan(spark, dumpPath).write.mode(SaveMode.Overwrite).parquet(staging)
+    val raw = spark.read.parquet(staging)
     val cs = OsmXml.changesets(raw)
       .withColumn("created_month", date_format(col("created_at"), "yyyy-MM"))
     // range-partition on (month, id): keeps month-dir locality AND id
@@ -31,7 +40,17 @@ object BulkLoad {
       .parquet(s"$outDir/changesets")
     val cm = OsmXml.comments(raw)
     cm.write.mode(SaveMode.Overwrite).parquet(s"$outDir/comments")
-    (spark.read.parquet(s"$outDir/changesets").count(),
+    val counts = (spark.read.parquet(s"$outDir/changesets").count(),
       spark.read.parquet(s"$outDir/comments").count())
+    // staging is scratch: drop it so the layout holds only the tables
+    val stPath = java.nio.file.Paths.get(staging.stripPrefix("file:"))
+    if (java.nio.file.Files.exists(stPath)) {
+      val s = java.nio.file.Files.walk(stPath)
+      try {
+        val it = s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+        while (it.hasNext) java.nio.file.Files.delete(it.next())
+      } finally s.close()
+    }
+    counts
   }
 }

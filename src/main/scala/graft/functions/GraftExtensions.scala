@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.bboxAreaDesc)
     e.injectFunction(GraftExtensions.minhashSketchDesc)
+    e.injectFunction(GraftExtensions.dotF32Desc)
   }
 }
 
@@ -40,10 +41,16 @@ object GraftExtensions {
       exprs => MinHashAgg(exprs.head,
         exprs(1).eval().asInstanceOf[Int]).toAggregateExpression())
 
+  val dotF32Desc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("dot_f32"),
+      info("dot_f32",
+        "dot_f32(a, b) - strict left-fold double dot product of two ARRAY<FLOAT> vectors"),
+      exprs => DotF32(exprs(0), exprs(1)))
+
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(bboxAreaDesc, minhashSketchDesc).foreach { case (id, inf, builder) =>
+    Seq(bboxAreaDesc, minhashSketchDesc, dotF32Desc).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }

@@ -27,8 +27,17 @@ import graft.Tables._
 object Similarity {
 
   /** Deterministic left-fold cosine of two (normalized) float
-    * vectors. */
+    * vectors — the native codegen expression (functions/
+    * DotProductExpr.scala). Bit-equal to the portable HOF form below;
+    * higher-order-function lambdas run INTERPRETED in Spark, which
+    * made this fold the hot-loop tax of every ANN scan. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotF32.dotF32(a, b)
+
+  /** Portable higher-order-function form of the same fold (what the
+    * DuckDB oracle mirrors; SimilaritySpec asserts bit-equality with
+    * the native expression). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)

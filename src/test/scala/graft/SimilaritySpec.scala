@@ -36,6 +36,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("native dot_f32 is bit-equal to the higher-order-function fold on the corpus") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val both = e.crossJoin(broadcast(q)).select(
+      Similarity.dot(col("embedding"), col("q")).as("native"),
+      Similarity.dotHof(col("embedding"), col("q")).as("hof"))
+    both.collect().foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // null semantics match zip_with padding: length mismatch -> NULL
+    import spark.implicits._
+    val odd = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    assert(odd.select(Similarity.dot(col("a"), col("b"))).head().isNullAt(0))
+    assert(odd.select(Similarity.dotHof(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("sim_topk two-level top-k equals the direct single-window form") {
     val d = "/root/testdata/sf0.001"
     val twoLevel = Similarity.simTopk(spark, d)

@@ -280,8 +280,27 @@ object Replication {
         element_at(col("tags"), "seq").as("seq_tag"))
   }
 
+  /** The registered V2 streaming source end-to-end: 5-diff fixture
+    * world drained through `format("osm-replication")` with
+    * maxSeqsPerBatch=2 (so AvailableNow takes 3 micro-batches), raw
+    * per-diff rows into a table. Coordinates are absent in diff
+    * fixtures; timestamps prove the StAX parse. */
+  def streamSourceV2(spark: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_srcv2")
+    writeFixtureWorld(root.resolve("feed"), 5)
+    val df = spark.readStream.format("osm-replication")
+      .option("path", root.resolve("feed").toString)
+      .option("maxSeqsPerBatch", "2")
+      .load()
+      .select(col("seq"), col("id"), col("created_at"),
+        col("num_changes"), col("open"), col("user_name"),
+        element_at(col("tags"), "seq").as("seq_tag"))
+    EventStreams.runToTable(df, org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_microbatch" -> streamMicrobatch _
+    "stream_microbatch" -> streamMicrobatch _,
+    "stream_source_v2" -> streamSourceV2 _
   )
 
   /** Known-answer oracle: bulk fixture (ids 10,11,12) + 5 diffs; diff
@@ -298,6 +317,21 @@ object Replication {
         |  (103, 'dave', 1, true, NULL),
         |  (104, 'dave', 1, true, NULL),
         |  (105, 'dave', 1, true, NULL)
-        |) AS t(id, user_name, num_changes, open, seq_tag)""".stripMargin
+        |) AS t(id, user_name, num_changes, open, seq_tag)""".stripMargin,
+    // diff seq s: changeset 11 (closed, num_changes=s, tag seq=s) +
+    // new id 100+s created at 0s:10
+    "stream_source_v2" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(11 AS BIGINT), TIMESTAMP '2015-11-15 23:00:00', 1, false, 'bob', '1'),
+        |  (1, 101, TIMESTAMP '2015-11-16 01:10:00', 1, true, 'dave', NULL),
+        |  (2, 11, TIMESTAMP '2015-11-15 23:00:00', 2, false, 'bob', '2'),
+        |  (2, 102, TIMESTAMP '2015-11-16 02:10:00', 1, true, 'dave', NULL),
+        |  (3, 11, TIMESTAMP '2015-11-15 23:00:00', 3, false, 'bob', '3'),
+        |  (3, 103, TIMESTAMP '2015-11-16 03:10:00', 1, true, 'dave', NULL),
+        |  (4, 11, TIMESTAMP '2015-11-15 23:00:00', 4, false, 'bob', '4'),
+        |  (4, 104, TIMESTAMP '2015-11-16 04:10:00', 1, true, 'dave', NULL),
+        |  (5, 11, TIMESTAMP '2015-11-15 23:00:00', 5, false, 'bob', '5'),
+        |  (5, 105, TIMESTAMP '2015-11-16 05:10:00', 1, true, 'dave', NULL)
+        |) AS t(seq, id, created_at, num_changes, open, user_name, seq_tag)""".stripMargin
   )
 }

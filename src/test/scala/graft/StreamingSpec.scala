@@ -20,6 +20,41 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("osm-replication V2 source: sequence offsets checkpoint; restart reads only new diffs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_v2src")
+    val feed = root.resolve("feed")
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    graft.streaming.Replication.writeFixtureWorld(feed, 3)
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("osm-replication")
+        .option("path", feed.toString)
+        .option("maxSeqsPerBatch", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    drain()
+    val first = spark.read.parquet(out)
+    assert(first.count() === 6) // 3 diffs x 2 changesets
+    assert(first.select("seq").distinct().as[Long].collect().toSet === Set(1L, 2L, 3L))
+
+    // feed advances to seq 5 (files 1-3 rewritten byte-identically)
+    graft.streaming.Replication.writeFixtureWorld(feed, 5)
+    drain()
+    val second = spark.read.parquet(out)
+    assert(second.count() === 10) // only diffs 4-5 appended, no re-read
+    assert(second.filter($"seq" <= 3).count() === 6)
+    assert(second.filter($"id" === 11 && $"seq" === 5L)
+      .select("num_changes").head().getInt(0) === 5)
+  }
+
   test("watermark finalizes windows; in-watermark late rows count, beyond-watermark rows drop") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_late_src").toString

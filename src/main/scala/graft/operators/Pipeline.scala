@@ -31,17 +31,21 @@ object Pipeline {
     val surviving = documents(s, d)
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(drops, Seq("doc_id"), "left_anti")
-    // stage 3+4: quality gate + annotations over survivors
-    val tmpView = surviving
-    val quality = TextAnalysis.textQuality(s, d)
-      .filter(col("is_quality"))
-      .select(col("doc_id"), col("n_words"), col("uniq_pct"))
-    val lang = TextAnalysis.textLangid(s, d).select(col("doc_id"), col("lang_pred"))
-    val fp = TextAnalysis.textFingerprint(s, d).select(col("doc_id"), col("fingerprint"))
-    tmpView.select(col("doc_id"), col("source"))
-      .join(quality, Seq("doc_id"))
-      .join(lang, Seq("doc_id"))
-      .join(fp, Seq("doc_id"))
+    // stage 3+4 FUSED: every annotation is a row-local function of
+    // `text`, so quality gate + language ID + fingerprint run as ONE
+    // projection over the survivors — no extra scans of `documents`,
+    // no annotation joins (the three inner joins the unfused form
+    // implies are non-restrictive: the ≥20-word quality gate subsumes
+    // the fingerprint's ≥5-word guard, and langid is total). At 100 TB
+    // this is 3 fewer table scans and 3 fewer shuffles.
+    surviving
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .withColumn("uniq_pct",
+        expr("(size(array_distinct(split(text, ' '))) * 100) div size(split(text, ' '))"))
+      .filter(col("n_words").between(20, 200) && col("uniq_pct") >= 30)
+      .select(col("doc_id"), col("source"), col("n_words"), col("uniq_pct"),
+        TextAnalysis.langPred(col("text")).as("lang_pred"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -30,6 +30,25 @@ object TextAnalysis {
   private def inList(words: Column, list: Seq[String]): Column =
     size(filter(words, w => w.isInCollection(list)))
 
+  /** Row-local language prediction over a text column — the same
+    * priority-argmax the textLangid operator selects, as a single
+    * expression (reused by Pipeline's fused annotation projection). */
+  def langPred(text: Column): Column = {
+    val words = split(text, " ")
+    val score = stopwords.map { case (l, ws) => l -> inList(words, ws) }.toMap
+    val langs = stopwords.map(_._1)
+    langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), elseCol) =>
+        val isMax = langs.drop(i + 1).map(o => score(l) >= score(o)).reduce(_ && _)
+        when(isMax, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /** Row-local winnowing fingerprint (min 16-hex md5 prefix over
+    * 5-word shingles) — shared with Pipeline. */
+  def fingerprint(text: Column): Column =
+    array_min(transform(Dedup.shingles(text, 5), sh => substring(md5(sh), 1, 16)))
+
   /** Language ID: stopword-hit argmax with fixed priority tie-break
     * (list order above). */
   def textLangid(s: SparkSession, d: String): DataFrame = {
@@ -94,8 +113,7 @@ object TextAnalysis {
     * shingles (a winnowing-style content fingerprint); docs sharing a
     * fingerprint cluster together. */
   def textFingerprint(s: SparkSession, d: String): DataFrame = {
-    val fp = array_min(transform(Dedup.shingles(col("text"), 5),
-      sh => substring(md5(sh), 1, 16)))
+    val fp = fingerprint(col("text"))
     documents(s, d)
       .filter(size(split(col("text"), " ")) >= 5)
       .select(col("doc_id"), fp.as("fingerprint"))

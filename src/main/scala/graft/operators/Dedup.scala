@@ -225,6 +225,42 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("label"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Near-dup transitive closure: connected components of the verified
+    * LSH pair graph by iterative hash-min label propagation (the
+    * Pregel/GraphX pattern as plain DataFrame joins): every vertex
+    * starts labeled with itself; each round it takes the min label of
+    * itself and its neighbors; convergence in O(component diameter)
+    * rounds. The cluster representative (component min doc_id) is what
+    * a curation pipeline keeps — pairwise drops under-delete chains
+    * (a~b, b~c ⇒ one keeper for {a,b,c}, even if a~c was never a
+    * candidate pair).
+    *
+    * Scale: each round is one equi-join + partial-aggregated min —
+    * all-horizontal; `localCheckpoint` cuts the growing lineage so
+    * round N doesn't replan rounds 1..N-1. Near-dup components are
+    * small (diameter ≤ a few hops), so the loop terminates fast; the
+    * driver only sees one converged-count per round. */
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, d).select(col("doc_a"), col("doc_b")).cache()
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("comp", col("v")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = sym.join(labels, col("dst") === col("v"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val stepped = labels.join(neighborMin, col("v") === col("src"), "left")
+        .select(col("v"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("comp2") < col("comp")).count()
+      labels = stepped.select(col("v"), col("comp2").as("comp"))
+    }
+    labels.select(col("v").as("doc_id"), col("comp").as("component"))
+  }
+
   /** Corpus-level MinHash sketches via the custom
     * TypedImperativeAggregate (functions/MinHashAgg.scala): one 16-slot
     * sketch per `source`, then pairwise slot-match counts — the
@@ -247,7 +283,8 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
-    "dedup_embed_cosine" -> dedupEmbedCosine _
+    "dedup_embed_cosine" -> dedupEmbedCosine _,
+    "dedup_components" -> dedupComponents _
   )
 
   private val shinglesSqlDuck = // DuckDB k=3 shingle list (distinct)
@@ -342,6 +379,30 @@ object Dedup {
         |FROM cells a JOIN cells b
         |  ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(range(1, 65),
-        |  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) >= 0.35""".stripMargin
+        |  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) >= 0.35""".stripMargin,
+    // connected components = min doc_id reachable in the undirected
+    // verified-pair graph (recursive reachability closure)
+    "dedup_components" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $shinglesSqlDuck AS shs FROM documents),
+        |sig AS (SELECT doc_id, shs,
+        |  [list_min([substr(md5(s::VARCHAR || ':' || x), 1, 8) FOR x IN shs]) FOR s IN range(0, 16)] AS sigs
+        |  FROM sh),
+        |bands AS (SELECT doc_id, b AS band_id,
+        |  sigs[4*b+1] || sigs[4*b+2] || sigs[4*b+3] || sigs[4*b+4] AS band_key
+        |  FROM sig, unnest(range(0, 4)) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM cand
+        |  JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+        |  WHERE 2 * len(list_intersect(x.shs, y.shs)) >= len(list_distinct(x.shs || y.shs))),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(v, comp) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.v)
+        |SELECT v AS doc_id, min(comp) AS component
+        |FROM reach GROUP BY v""".stripMargin
   )
 }

@@ -71,6 +71,25 @@ class DedupSpec extends AnyFunSuite {
     both.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("components: chained near-dups collapse to one keeper (transitive closure)") {
+    // chain: A~B (one word changed), B~C (one more word changed);
+    // A~C may or may not be a direct pair — the component must still
+    // unify all three. D/E are an unrelated near-dup pair.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+    val b = a.replace("beta", "bravo")
+    val c = b.replace("omicron", "oscar")
+    val u = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen"
+    val v = u.replace("seven", "sevens")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cc")
+    Seq((1L, a, "s0"), (2L, b, "s0"), (3L, c, "s0"), (4L, u, "s0"), (5L, v, "s0"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val comp = Dedup.dedupComponents(spark, tmp.toString)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L)
+    assert(comp(4L) === 4L && comp(5L) === 4L)
+  }
+
   test("banded simhash candidates are lossless: identical to the exhaustive pair set") {
     // pigeonhole property: 7 chunks over 32 bits must recover EVERY
     // Hamming<=6 pair the all-pairs scan finds (banding is an

@@ -46,21 +46,45 @@ object Ingest {
     OsmXml.comments(OsmXml.scan(s, p.toString))
   }
 
-  /** Offset→URL replication addressing (changesetmd.py:127-135): the
-    * deterministic sequence→path function plus a fetch of the
-    * addressed diffs; returns one row per fetched changeset with its
-    * source sequence. */
+  /** Offset→URL replication addressing (changesetmd.py:127-135) over
+    * REAL HTTP: the fixture world is served by a loopback HTTP server,
+    * `HttpSource` GETs `state.yaml` + each addressed diff
+    * (`nnn/nnn/nnn.osm.gz`) and stages it atomically, and the
+    * distributed scan reads the staged files — the same transport a
+    * user points at the live planet feed. Returns one row per fetched
+    * changeset with its source sequence. */
   def sourceHttpReplication(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_httprepl")
-    graft.streaming.Replication.writeFixtureWorld(base, 4)
-    val bySeq = (1L to 4L).map { seq =>
-      val path = graft.streaming.Replication.sequencePath(seq)
-      OsmXml.changesets(OsmXml.scan(s, base.resolve(path).toString))
-        .withColumn("seq", lit(seq))
-        .withColumn("seq_path", lit(path))
-    }
-    bySeq.reduce(_ unionByName _)
-      .select(col("seq"), col("seq_path"), col("id"), col("num_changes"))
+    val root = Files.createTempDirectory("graft_httprepl")
+    val feed = root.resolve("feed")
+    graft.streaming.Replication.writeFixtureWorld(feed, 4)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val f = feed.resolve(exchange.getRequestURI.getPath.stripPrefix("/"))
+      if (Files.isRegularFile(f)) {
+        val bytes = Files.readAllBytes(f)
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+      } else exchange.sendResponseHeaders(404, -1L)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val src = graft.streaming.Replication.HttpSource(
+        s"http://127.0.0.1:${server.getAddress.getPort}", root.resolve("staging"))
+      val (serverSeq, _) = src.serverState()
+      val staged = src.stage(1L to serverSeq) // fetched over the wire
+      val bySeq = staged.zip(1L to serverSeq).map { case (path, seq) =>
+        OsmXml.changesets(OsmXml.scan(s, path))
+          .withColumn("seq", lit(seq))
+          .withColumn("seq_path", lit(graft.streaming.Replication.sequencePath(seq)))
+      }
+      // staging already fetched every diff over the wire (eager GETs);
+      // the lazy scan reads only the staged local copies, so the
+      // server can stop before the query runs
+      bySeq.reduce(_ unionByName _)
+        .select(col("seq"), col("seq_path"), col("id"), col("num_changes"))
+    } finally server.stop(0)
   }
 
   /** state.yaml discovery (changesetmd.py:167-171): driver-side scalar

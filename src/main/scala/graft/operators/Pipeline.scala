@@ -12,10 +12,11 @@ import graft.Tables._
   *
   *   documents
   *     → exact dedup        (content-hash survivorship, min doc_id)
-  *     → near-dup removal   (MinHash+LSH verified pairs; the higher
-  *                           doc_id of each pair is dropped — one
-  *                           deterministic pass; a transitive-closure
-  *                           loop is the iterative variant at scale)
+  *     → near-dup removal   (MinHash+LSH verified pairs closed into
+  *                           connected components; every
+  *                           non-representative member is dropped —
+  *                           chains a~b~c keep exactly one doc even
+  *                           when a~c was never a candidate pair)
   *     → quality filter     (integer thresholds from textQuality)
   *     → annotation         (language ID + token counts + fingerprint)
   */
@@ -25,9 +26,10 @@ object Pipeline {
     // stage 1: exact dedup keepers
     val keepers = Dedup.dedupExact(s, d)
       .select(col("keeper_doc_id").as("doc_id"))
-    // stage 2: near-dup drops (doc_b side of every verified pair)
-    val drops = Dedup.dedupMinhashLsh(s, d)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // stage 2: near-dup drops = non-representative component members
+    val drops = Dedup.dedupComponents(s, d)
+      .filter(col("component") < col("doc_id"))
+      .select(col("doc_id"))
     val surviving = documents(s, d)
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(drops, Seq("doc_id"), "left_anti")
@@ -54,7 +56,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "pipeline_curate" ->
-      s"""WITH sh2 AS (
+      s"""WITH RECURSIVE sh2 AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
         |    THEN [array_to_string(string_split(text,' ')[i:i+2], ' ')
         |          FOR i IN range(1, len(string_split(text,' ')) - 1)]
@@ -72,7 +74,13 @@ object Pipeline {
         |  JOIN sh2 x ON x.doc_id = doc_a JOIN sh2 y ON y.doc_id = doc_b
         |  WHERE 2 * len(list_intersect(x.shs, y.shs)) >= len(list_distinct(x.shs || y.shs))),
         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        |drops AS (SELECT DISTINCT doc_b AS doc_id FROM near),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+        |  UNION ALL SELECT doc_b, doc_a FROM near),
+        |reach(v, comp) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.v),
+        |drops AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING min(comp) < v),
         |surviving AS (
         |  SELECT d.doc_id, d.source, d.text FROM documents d
         |  JOIN keepers k ON d.doc_id = k.doc_id

@@ -53,7 +53,10 @@ object PlanAudit {
     Check("dedup_simhash", "banded candidate equi-join", "chunk_val",
       "multi-index banding joins on (source, chunk_id, chunk_value): pair work is O(bucket), not O(n^2) per source"),
     Check("dedup_embed_cosine", "cell-blocked candidates", "max_by",
-      "IVF cell assignment (partial-aggregated max_by) blocks the pair join on (label, cell), not label alone"))
+      "IVF cell assignment (partial-aggregated max_by) blocks the pair join on (label, cell), not label alone"),
+    Check("join_bucketed", "co-located join, no input shuffle", "ABSENT:Exchange hashpartitioning(o_orderkey",
+      "bucketBy layout pre-partitions both fact sides: the FK join reads buckets aligned, zero shuffle on join inputs",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -146,6 +146,31 @@ object Relational {
       .agg(count(lit(1)).as("n"), outD(sum(dec(col("l_extendedprice")))).as("sum_price"))
   }
 
+  /** Co-located (bucketed) fact-fact join — the zero-shuffle FK-join
+    * layout SCALING.md prescribes for changesets⋈comments at 100 TB:
+    * both sides written `bucketBy(8, key)` + sorted, so the join plans
+    * with NO exchange on either input (asserted by PlanAudit and
+    * BucketedJoinSpec); only the final small aggregation shuffles.
+    * Same result as join_inner_hash — bucketing is a layout choice,
+    * not a semantic one. */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bkt")
+    val tag = wh.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val (ot, lt) = (s"orders_$tag", s"lineitem_$tag")
+    orders(s, d).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", wh.resolve("orders").toString).saveAsTable(ot)
+    lineitem(s, d).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", wh.resolve("lineitem").toString).saveAsTable(lt)
+    s.table(ot)
+      .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        outD(sum(dec(col("l_extendedprice")))).as("sum_price"))
+  }
+
   // ---- §2d aggregations ----------------------------------------------
 
   /** COUNT(*) vs COUNT(col) (null-skipping) — `README.md:110-112`. */
@@ -443,6 +468,7 @@ object Relational {
     "join_semi" -> joinSemi _,
     "join_anti" -> joinAnti _,
     "join_skew_salted" -> joinSkewSalted _,
+    "join_bucketed" -> joinBucketed _,
     "agg_count" -> aggCount _,
     "agg_group" -> aggGroup _,
     "agg_distinct" -> aggDistinct _,
@@ -517,6 +543,11 @@ object Relational {
         |JOIN (VALUES ('R','returned'),('A','accepted'),('N','none')) f(flag, flag_desc)
         |  ON l_returnflag = f.flag
         |GROUP BY f.flag_desc""".stripMargin,
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "agg_count" ->
       """SELECT count(*) AS n_rows, count(l_orderkey) AS n_keys
         |FROM lineitem WHERE l_discount > 0.05""".stripMargin,

@@ -165,6 +165,31 @@ object EventStreams {
       c("value").cast(DoubleType).as("value"))
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * clicks within the preceding 30 minutes. Both sides carry
+    * watermarks and the join predicate bounds event time, so the state
+    * store holds only a 30-minute window per side — the unbounded-state
+    * trap of naive stream joins is structurally excluded. Append mode:
+    * a match emits once both watermarks pass it. */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"))
+    runToTable(joined, OutputMode.Append())
+  }
+
   /** Streaming exact dedup with bounded state:
     * dropDuplicatesWithinWatermark keeps each key's state only until
     * the watermark passes — at-least-once sources (the replication
@@ -181,6 +206,7 @@ object EventStreams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_join" -> streamStreamJoin _,
     "stream_dedup" -> streamDedup _,
     "stream_upsert_sink" -> streamUpsertSink _,
     "stream_window_agg" -> streamWindowAgg _,
@@ -190,6 +216,15 @@ object EventStreams {
   )
 
   val oracles: Map[String, String] = Map(
+    // bounded batch equivalent: with AvailableNow + Complete drain the
+    // stream-stream interval join emits exactly the batch join result
+    "stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.ts AS purchase_ts, c.ts AS click_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts""".stripMargin,
     // event_id is unique in the corpus, so streaming dedup = identity
     "stream_dedup" ->
       """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS win_start,

@@ -258,6 +258,10 @@ object Dedup {
       changed = stepped.filter(col("comp2") < col("comp")).count()
       labels = stepped.select(col("v"), col("comp2").as("comp"))
     }
+    // the loop ran eagerly and labels is checkpointed — release the
+    // working caches instead of holding them for the session's lifetime
+    sym.unpersist()
+    pairs.unpersist()
     labels.select(col("v").as("doc_id"), col("comp").as("component"))
   }
 

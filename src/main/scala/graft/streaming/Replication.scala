@@ -298,9 +298,57 @@ object Replication {
     EventStreams.runToTable(df, org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Single-writer mutex semantics as a checkable relation
+    * (changesetmd.py:138-160): a held lock refuses a second writer;
+    * release makes it acquirable again. */
+  def streamSingleWriter(spark: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_lockq")
+    val refused = withWriterLock(dir) {
+      try { withWriterLock(dir) { false } }
+      catch { case _: IllegalStateException => true }
+    }
+    val reacquired = withWriterLock(dir) { true }
+    import spark.implicits._
+    Seq(("second_writer_refused", refused),
+      ("reacquired_after_release", reacquired)).toDF("probe", "ok")
+  }
+
+  /** Failure-isolation semantics as a checkable relation
+    * (changesetmd.py:165-195): a missing diff aborts the run AFTER the
+    * preceding batch committed, the lock is released, and a repaired
+    * rerun completes exactly the remaining work. */
+  def streamFailureIsolation(spark: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_failq")
+    val base = root.resolve("repl")
+    val tableDir = root.resolve("tables/cs")
+    val state = root.resolve("state.txt")
+    writeFixtureWorld(base, 4)
+    Files.delete(base.resolve(sequencePath(3L))) // sabotage batch 2
+    StateDoc.write(state, ReplState(0L, None, updateInProgress = false))
+    val failed =
+      try { catchUp(spark, base, tableDir, state, batchSize = 2); false }
+      catch { case _: Exception => true }
+    val offsetAfterFailure = StateDoc.read(state).lastSequence
+    val lockReleased = !Files.exists(tableDir.getParent.resolve("LOCK"))
+    OsmXml.writeFixture(base.resolve(sequencePath(3L)), OsmXml.diffFixture(3L))
+    val appliedAfterRepair = catchUp(spark, base, tableDir, state, batchSize = 2)
+    val finalOffset = StateDoc.read(state).lastSequence
+    val finalRows = readTable(spark, tableDir).count()
+    import spark.implicits._
+    Seq(
+      ("failed_mid_run", if (failed) 1L else 0L),
+      ("offset_after_failure", offsetAfterFailure),
+      ("lock_released", if (lockReleased) 1L else 0L),
+      ("applied_after_repair", appliedAfterRepair.toLong),
+      ("final_offset", finalOffset),
+      ("final_rows", finalRows)).toDF("probe", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_microbatch" -> streamMicrobatch _,
-    "stream_source_v2" -> streamSourceV2 _
+    "stream_source_v2" -> streamSourceV2 _,
+    "stream_single_writer" -> streamSingleWriter _,
+    "stream_failure_isolation" -> streamFailureIsolation _
   )
 
   /** Known-answer oracle: bulk fixture (ids 10,11,12) + 5 diffs; diff
@@ -332,6 +380,23 @@ object Replication {
         |  (4, 104, TIMESTAMP '2015-11-16 04:10:00', 1, true, 'dave', NULL),
         |  (5, 11, TIMESTAMP '2015-11-15 23:00:00', 5, false, 'bob', '5'),
         |  (5, 105, TIMESTAMP '2015-11-16 05:10:00', 1, true, 'dave', NULL)
-        |) AS t(seq, id, created_at, num_changes, open, user_name, seq_tag)""".stripMargin
+        |) AS t(seq, id, created_at, num_changes, open, user_name, seq_tag)""".stripMargin,
+    "stream_single_writer" ->
+      """SELECT * FROM (VALUES
+        |  ('second_writer_refused', true),
+        |  ('reacquired_after_release', true)
+        |) AS t(probe, ok)""".stripMargin,
+    // batch 1 (diffs 1-2) commits before the missing diff 3 aborts the
+    // run; repaired rerun applies exactly diffs 3-4; final table =
+    // id 11 + ids 101..104
+    "stream_failure_isolation" ->
+      """SELECT * FROM (VALUES
+        |  ('failed_mid_run', CAST(1 AS BIGINT)),
+        |  ('offset_after_failure', 2),
+        |  ('lock_released', 1),
+        |  ('applied_after_repair', 2),
+        |  ('final_offset', 4),
+        |  ('final_rows', 5)
+        |) AS t(probe, value)""".stripMargin
   )
 }

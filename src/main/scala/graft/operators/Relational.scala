@@ -228,6 +228,20 @@ object Relational {
         expr("percentile(o_totalprice, 0.5)").as("med"),
         expr("percentile(o_totalprice, 0.9)").as("p90"))
 
+  /** Sketch-based percentile (QuantileSummaries / Greenwald-Khanna —
+    * mergeable, constant state, map-side partials): the 100 TB
+    * counterpart of aggPercentile, gated like aggApproxDistinct by the
+    * exact value plus a checked error bound (the sketch's merge order
+    * varies with partitioning, so the *bound* is the stable fact). */
+  def aggApproxPercentile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("med"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx"))
+      .select(col("o_orderpriority"), col("med"),
+        (abs(col("approx") - col("med")) <= col("med") * lit(0.05)).as("approx_ok"))
+
   /** ROLLUP: multi-granularity summary (region→nation→total). */
   def aggRollup(s: SparkSession, d: String): DataFrame =
     customer(s, d)
@@ -474,6 +488,7 @@ object Relational {
     "agg_distinct" -> aggDistinct _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "agg_percentile" -> aggPercentile _,
+    "agg_approx_percentile" -> aggApproxPercentile _,
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
     "win_dedup_lastwins" -> winDedupLastwins _,
@@ -572,6 +587,11 @@ object Relational {
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.5) AS med,
         |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "agg_approx_percentile" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS med,
+        |  true AS approx_ok
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,

@@ -24,6 +24,22 @@ class OsmXmlSpec extends AnyFunSuite {
     assert(cs.count() === 3)
   }
 
+  test("scanStax is golden-equal to the generic XML scan (plain and gz)") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      OsmXml.changesets(df).withColumn("tags", to_json(col("tags")))
+    def normCm(df: org.apache.spark.sql.DataFrame) = OsmXml.comments(df)
+    for (ext <- Seq("dump.osm.xml", "dump.osm.xml.gz")) {
+      val p = Files.createTempDirectory("graft_stax").resolve(ext)
+      OsmXml.writeFixture(p, OsmXml.bulkFixture)
+      val generic = OsmXml.scan(spark, p.toString)
+      val stax = OsmXml.scanStax(spark, p.toString)
+      assert(norm(stax).exceptAll(norm(generic)).isEmpty &&
+        norm(generic).exceptAll(norm(stax)).isEmpty, s"changesets differ ($ext)")
+      assert(normCm(stax).exceptAll(normCm(generic)).isEmpty &&
+        normCm(generic).exceptAll(normCm(stax)).isEmpty, s"comments differ ($ext)")
+    }
+  }
+
   test("hstore containment: tags ? 'comment' (README.md:110-112)") {
     assert(cs.filter(map_contains_key(col("tags"), "comment")).count() === 1)
   }

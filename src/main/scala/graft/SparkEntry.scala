@@ -25,7 +25,8 @@ object SparkEntry {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum(col("l_extendedprice").cast(DecimalType(12, 2))).as("sum_price"))
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("sum_price"))
       .orderBy(col("sum_price").desc)
       .limit(10)
   }

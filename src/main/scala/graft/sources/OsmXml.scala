@@ -142,11 +142,15 @@ object OsmXml {
   }
 
   /** Distributed StAX scan: one task per file, the specialized
-    * pull-parser instead of the generic XML source's row-tag scanner —
-    * the bulk-load (EP1) hot path. Identical output to `scan`
-    * (golden-equality tested); compressed inputs go through the same
-    * Hadoop codecs. At 100 TB a dump is thousands of files (or bz2
-    * streams), so one-task-per-file saturates the cluster. */
+    * pull-parser instead of the generic XML source's row-tag scanner.
+    * Identical output to `scan` (golden-equality tested); compressed
+    * inputs go through the same Hadoop codecs; one-task-per-file
+    * saturates a cluster on a many-file dump. NOTE: measured SLOWER
+    * than the generic source at bench scale (~18k vs ~26k rows/s) —
+    * the Dataset row-encoder on nested case classes costs more than
+    * the leaner parse saves — so BulkLoad keeps the codegen'd generic
+    * source; this stays as the validated fallback (and documents why
+    * the V2 streaming source emits InternalRow directly instead). */
   def scanStax(spark: SparkSession, paths: String*): DataFrame = {
     import spark.implicits._
     val hadoopConf = spark.sparkContext.hadoopConfiguration

@@ -39,6 +39,40 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(got.filter($"id" === 42L).select("v").head().getString(0) === "UPDATED")
   }
 
+  test("property: a random sequence of merges equals the naive whole-table merge") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val batchGen = for {
+      n <- Gen.chooseNum(0, 30)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.chooseNum(1L, 25L)
+        v <- Gen.alphaLowerStr.map(_.take(5))
+      } yield (id, v))
+    } yield rows
+    val runGen = Gen.listOfN(4, batchGen)
+    (0 until 5).foreach { i =>
+      runGen(Gen.Parameters.default, Seed(7L + i)).foreach { batches =>
+        val dir = Files.createTempDirectory(s"graft_pt_prop$i")
+        val t = new PartitionedTable(dir, "id", nBuckets = 4)
+        var naive: Option[org.apache.spark.sql.DataFrame] = None
+        batches.foreach { b =>
+          // last-wins compact within the batch (caller contract)
+          val upd = Upsert.lastWins(b.toDF("id", "v"), Seq("id"), Seq($"v"))
+          t.mergeInto(spark, upd)
+          naive = Some(naive.map(Upsert.merge(_, upd, Seq("id"))).getOrElse(upd))
+        }
+        (naive, t.exists) match {
+          case (Some(exp), true) =>
+            val got = t.read(spark)
+            assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+              s"seed ${7L + i}: bucketed merge diverged from naive merge")
+          case (Some(exp), false) => assert(exp.isEmpty)
+          case (None, exists) => assert(!exists)
+        }
+      }
+    }
+  }
+
   test("mergeInto is idempotent and inserts new keys into their buckets") {
     val dir = Files.createTempDirectory("graft_pt2")
     val t = new PartitionedTable(dir, "id", nBuckets = 4)

@@ -40,6 +40,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 4.9e12) < 1e11)
   }
 
+  test("dot_f32 registered and usable from SQL; matches the left-fold semantics") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_f32(CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>),
+        |              CAST(array(4.0, 5.0, 6.0) AS ARRAY<FLOAT>)) AS d""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) === 32.0)
+    // length mismatch -> NULL (zip_with padding semantics)
+    val n = spark.sql(
+      """SELECT dot_f32(CAST(array(1.0) AS ARRAY<FLOAT>),
+        |              CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)) AS d""".stripMargin)
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("minhash_sketch slots equal independent per-element min (cross-check vs SQL md5)") {
     val df = Seq(("g1", "aa"), ("g1", "bb"), ("g1", "cc"), ("g2", "aa"))
       .toDF("g", "el")

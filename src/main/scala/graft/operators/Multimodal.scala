@@ -53,6 +53,33 @@ object Multimodal {
     ds.mapPartitions(_.map(decodeStub)).toDF()
   }
 
+  case class Resized(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, out_bytes: Int, checksum: Int)
+
+  /** Resize stage: fit-within-target preserving aspect ratio, never
+    * upscaling — the standard vision-preprocessing step (target 64
+    * here so the synthetic 16–79 px assets exercise BOTH the downscale
+    * and the keep branch; production uses 224 etc.). The geometry
+    * (output dims, buffer size = out_w·out_h·channels) is exact
+    * integer math and IS the Spark-side contract; the pixel resampler
+    * itself is the same documented stub as decode (no codecs in this
+    * container) — it carries the payload checksum through so the
+    * oracle still checks real bytes. Typed mapPartitions batches,
+    * like decode. */
+  def multimodalResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[Asset] = assets(s, d).as[Asset]
+    val target = 64
+    ds.mapPartitions(_.map { a =>
+      val m = math.max(a.width, a.height)
+      val (ow, oh) =
+        if (m <= target) (a.width, a.height) // never upscale
+        else (math.max(1, a.width * target / m), math.max(1, a.height * target / m))
+      val sum = a.payload.foldLeft(0)((acc, b) => acc + (b & 0xff))
+      Resized(a.doc_id, a.width, a.height, ow, oh, ow * oh * a.channels, sum % 256)
+    }).toDF()
+  }
+
   /** Frame sampling: one row per sampled frame per asset (videos of
     * 1–4 frames at 25 fps) — the explode-shaped batch layout a video
     * pipeline feeds to per-frame models. */
@@ -65,6 +92,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode" -> multimodalDecode _,
+    "multimodal_resize" -> multimodalResize _,
     "multimodal_frames" -> multimodalFrames _
   )
 
@@ -83,6 +111,26 @@ object Multimodal {
         |  CAST(${hexByte.format("0")} AS INTEGER) AS first_byte,
         |  CAST(list_sum([${hexByte.format("i")} FOR i IN range(0, 16)]) % 256 AS INTEGER) AS checksum
         |FROM documents""".stripMargin,
+    // same fit-within-64 integer geometry; checksum re-derived from
+    // the md5 payload bytes like multimodal_decode
+    "multimodal_resize" ->
+      s"""WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(16 + doc_id % 64 AS INTEGER) AS width,
+        |    CAST(16 + doc_id % 48 AS INTEGER) AS height,
+        |    greatest(16 + doc_id % 64, 16 + doc_id % 48) AS m,
+        |    CAST(list_sum([${hexByte.format("i")} FOR i IN range(0, 16)]) % 256 AS INTEGER) AS checksum
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(CASE WHEN m <= 64 THEN width
+        |       ELSE greatest(1, width * 64 // m) END AS INTEGER) AS out_w,
+        |  CAST(CASE WHEN m <= 64 THEN height
+        |       ELSE greatest(1, height * 64 // m) END AS INTEGER) AS out_h,
+        |  CAST((CASE WHEN m <= 64 THEN width ELSE greatest(1, width * 64 // m) END)
+        |     * (CASE WHEN m <= 64 THEN height ELSE greatest(1, height * 64 // m) END)
+        |     * 3 AS INTEGER) AS out_bytes,
+        |  checksum
+        |FROM g""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id, CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
         |  CAST(f AS INTEGER) AS frame_idx,

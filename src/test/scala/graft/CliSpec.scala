@@ -66,4 +66,34 @@ class CliSpec extends AnyFunSuite {
     Main.run(spark, Main.parse(List("-d", db.toString, "-t")))
     assert(!Replication.changesetTable(db.resolve("tables/changesets")).exists)
   }
+
+  test("-r with an http:// URL replicates through the HTTP transport") {
+    val root = Files.createTempDirectory("graft_cli_http")
+    val db = root.resolve("db")
+    val feed = root.resolve("feed")
+    Replication.writeFixtureWorld(feed, 2)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val f = feed.resolve(exchange.getRequestURI.getPath.stripPrefix("/"))
+      if (java.nio.file.Files.isRegularFile(f)) {
+        val bytes = java.nio.file.Files.readAllBytes(f)
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+      } else exchange.sendResponseHeaders(404, -1L)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val log = Main.run(spark, Main.parse(List(
+        "-d", db.toString, "-c", "--init-sequence", "0",
+        "-r", s"http://127.0.0.1:${server.getAddress.getPort}")))
+      assert(log.exists(_.contains("applied 2 diffs")))
+      assert(Replication.readTable(spark, db.resolve("tables/changesets"))
+        .count() === 3) // id 11 + ids 101, 102
+      // staged under the warehouse, fetched over the wire
+      assert(java.nio.file.Files.isRegularFile(
+        db.resolve("staging").resolve(Replication.sequencePath(2L))))
+    } finally server.stop(0)
+  }
 }

@@ -34,6 +34,24 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // Registered as SQL `dot_f32`, so arbitrary types can reach it:
+  // without this check, ARRAY<DOUBLE> input silently returns garbage
+  // via getFloat on the UnsafeArrayData path. (ExpectsInputTypes is
+  // unavailable — AbstractDataType is private[sql] — so validate
+  // explicitly; no implicit casts, a clean analysis error instead.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isFloatArray(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_f32 requires (ARRAY<FLOAT>, ARRAY<FLOAT>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val a = left.eval(input)
     if (a == null) return null
@@ -56,17 +74,18 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc") // freshName: two DotF32 in one stage must not collide
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
+         |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = acc;
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
        """.stripMargin
     })

@@ -45,7 +45,11 @@ object GraftExtensions {
     (FunctionIdentifier("dot_f32"),
       info("dot_f32",
         "dot_f32(a, b) - strict left-fold double dot product of two ARRAY<FLOAT> vectors"),
-      exprs => DotF32(exprs(0), exprs(1)))
+      exprs => {
+        require(exprs.length == 2,
+          s"dot_f32 requires exactly 2 arguments, got ${exprs.length}")
+        DotF32(exprs(0), exprs(1))
+      })
 
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -101,6 +101,9 @@ object Replication {
     private def get(rel: String): Array[Byte] = {
       val req = java.net.http.HttpRequest
         .newBuilder(java.net.URI.create(s"${baseUrl.stripSuffix("/")}/$rel"))
+        // per-request timeout: a stalled transfer must fail (releasing
+        // the writer LOCK via withWriterLock's finally), not hang catchUp
+        .timeout(java.time.Duration.ofMinutes(2))
         .GET().build()
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
       require(resp.statusCode() == 200, s"GET $baseUrl/$rel -> HTTP ${resp.statusCode()}")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,9 +42,13 @@ class ReplicationSourceV2 extends TableProvider with DataSourceRegister {
     ReplicationSourceV2.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ReplicationTable(properties.get("path"),
-      Option(properties.get("maxseqsperbatch")).map(_.toInt).getOrElse(8))
+      properties: util.Map[String, String]): Table = {
+    // Spark hands getTable the ORIGINAL-case options map (DataSourceV2Utils
+    // uses asCaseSensitiveMap), so `.option("maxSeqsPerBatch", ...)` only
+    // resolves through a case-insensitive wrapper.
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ReplicationTable(opts.get("path"), opts.getInt("maxSeqsPerBatch", 8))
+  }
 }
 
 object ReplicationSourceV2 {
@@ -134,7 +138,7 @@ object ReplicationSourceV2 {
   }
 }
 
-private[streaming] class ReplicationTable(path: String, maxSeqsPerBatch: Int)
+private[graft] class ReplicationTable(path: String, val maxSeqsPerBatch: Int)
     extends Table with SupportsRead {
   require(path != null, "osm-replication requires .option(\"path\", <replication base dir>)")
   override def name(): String = s"osm-replication($path)"
@@ -156,8 +160,17 @@ private[streaming] case class SeqOffset(seq: Long) extends Offset {
 }
 
 private[streaming] class ReplicationMicroBatchStream(path: String, maxSeqsPerBatch: Int)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val base = java.nio.file.Paths.get(path)
+
+  // AvailableNow pins the feed head at query start; the run then drains
+  // to exactly that head across admission-controlled micro-batches
+  // (without SupportsTriggerAvailableNow, Spark falls back to ONE batch
+  // and an honored maxSeqsPerBatch would under-drain the feed)
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Replication.readServerState(base)._1)
 
   override def initialOffset(): Offset = SeqOffset(0L)
   override def deserializeOffset(json: String): Offset = SeqOffset(json.trim.toLong)
@@ -168,7 +181,7 @@ private[streaming] class ReplicationMicroBatchStream(path: String, maxSeqsPerBat
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val (serverSeq, _) = Replication.readServerState(base)
+    val serverSeq = availableNowCap.getOrElse(Replication.readServerState(base)._1)
     val lo = start.asInstanceOf[SeqOffset].seq
     SeqOffset(math.min(serverSeq, lo + maxSeqsPerBatch))
   }

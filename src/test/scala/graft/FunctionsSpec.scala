@@ -55,6 +55,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("dot_f32 rejects non-float arrays and wrong arity with analysis errors") {
+    GraftExtensions.register(spark)
+    // ARRAY<DOUBLE> (the natural bare-literal call) must be a clean
+    // analysis error, not silent getFloat garbage on the unsafe path
+    val typeErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_f32(array(1.0, 2.0), array(3.0, 4.0))").collect()
+    }
+    assert(typeErr.getMessage.toLowerCase.contains("dot_f32"))
+    val arityErr = intercept[Exception] {
+      spark.sql("SELECT dot_f32(CAST(array(1.0) AS ARRAY<FLOAT>))").collect()
+    }
+    assert(arityErr.getMessage.contains("2 arguments") ||
+      arityErr.getMessage.toLowerCase.contains("dot_f32"))
+  }
+
   test("minhash_sketch slots equal independent per-element min (cross-check vs SQL md5)") {
     val df = Seq(("g1", "aa"), ("g1", "bb"), ("g1", "cc"), ("g2", "aa"))
       .toDF("g", "el")

@@ -55,6 +55,19 @@ class StreamingSpec extends AnyFunSuite {
       .select("num_changes").head().getInt(0) === 5)
   }
 
+  test("osm-replication options are case-insensitive: camelCase maxSeqsPerBatch reaches the table") {
+    // Spark passes getTable the original-case options map; the provider
+    // must resolve through CaseInsensitiveStringMap or the admission-
+    // control knob is silently ignored (default 8)
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", "/tmp/feed")
+    props.put("maxSeqsPerBatch", "2")
+    val table = new graft.streaming.ReplicationSourceV2()
+      .getTable(graft.streaming.ReplicationSourceV2.schema, Array.empty, props)
+      .asInstanceOf[graft.streaming.ReplicationTable]
+    assert(table.maxSeqsPerBatch === 2)
+  }
+
   test("watermark finalizes windows; in-watermark late rows count, beyond-watermark rows drop") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_late_src").toString

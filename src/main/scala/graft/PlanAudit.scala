@@ -56,7 +56,13 @@ object PlanAudit {
       "IVF cell assignment (partial-aggregated max_by) blocks the pair join on (label, cell), not label alone"),
     Check("join_bucketed", "co-located join, no input shuffle", "ABSENT:Exchange hashpartitioning(o_orderkey",
       "bucketBy layout pre-partitions both fact sides: the FK join reads buckets aligned, zero shuffle on join inputs",
-      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")))
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("sim_ann_lsh", "narrow bucket computation", "ABSENT:HashAggregate",
+      "bucket id is a per-row expression over 8 literal planes: the corpus never shuffles, aggregates, or inflates 8x to get bucketed"),
+    Check("sim_ivf", "bounded centroid set", "TakeOrderedAndProject",
+      "centroids are a fixed-k deterministic sample (k independent of n): assignment is O(n*k), broadcast side bounded"),
+    Check("dedup_embed_cosine", "bounded centroid set", "TakeOrderedAndProject",
+      "SemDeDup quantizer shares the fixed-k centroid sample: no quadratic assignment, no unbounded broadcast"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

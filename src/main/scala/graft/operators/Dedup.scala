@@ -188,26 +188,24 @@ object Dedup {
   /** Embedding near-dup, cluster-then-verify (the SemDeDup shape —
     * Abbas et al., "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication", 2023): every vector is assigned
-    * to its max-cosine IVF cell (centroids = every 97th vector, the
-    * same deterministic coarse quantizer as Similarity.simIvf, so the
-    * DuckDB oracle can mirror the assignment exactly), and cosine ≥
-    * 0.35 is verified only on pairs sharing (label, cell).
+    * to its max-cosine IVF cell (the same FIXED-k deterministic
+    * centroid sample as Similarity.simIvf — bounded broadcast, O(n·k)
+    * assignment with k independent of n — so the DuckDB oracle can
+    * mirror the assignment exactly), and cosine ≥ 0.35 is verified
+    * only on pairs sharing (label, cell).
     *
-    * Scale: centroid count grows with the corpus (n/97), so cell
-    * population stays bounded — pair work is O(n · cell) through a
-    * plain equi-join on (label, cell), never O(n²) inside a label
-    * block. Assignment is a broadcast cross-join + partial-aggregated
-    * max_by: the corpus shuffles once, carrying one row per vector.
-    * Like any clustered dedup, recall < 1 vs the exhaustive
-    * within-label scan (pairs straddling a cell boundary are unseen) —
-    * DedupSpec checks containment in the exhaustive pair set.
-    * Dot products are explicit left-to-right double folds for
-    * cross-engine determinism. */
+    * Scale: pair work is O(n · cell) through a plain equi-join on
+    * (label, cell), never O(n²) inside a label block. Assignment is a
+    * broadcast cross-join + partial-aggregated max_by: the corpus
+    * shuffles once, carrying one row per vector. Like any clustered
+    * dedup, recall < 1 vs the exhaustive within-label scan (pairs
+    * straddling a cell boundary are unseen) — DedupSpec checks
+    * containment in the exhaustive pair set. Dot products are explicit
+    * left-to-right double folds for cross-engine determinism. */
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val cells = e.crossJoin(broadcast(
-        e.filter(col("vec_id") % 97 === 3)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))))
+        Similarity.centroids(e).withColumnRenamed("c", "c_emb")))
       .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"),
         round(Similarity.dot(col("embedding"), col("c_emb")), 4).as("ccos"))
       .groupBy(col("vec_id"))
@@ -367,8 +365,8 @@ object Dedup {
     // mirrors the IVF cell assignment (same centroids + tie-break as
     // the Spark side), then the within-(label, cell) cosine verify
     "dedup_embed_cosine" ->
-      """WITH c AS (SELECT vec_id AS cent_id, embedding AS cv
-        |           FROM embeddings WHERE vec_id % 97 = 3),
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.CentroidK}),
         |cells AS (
         |  SELECT vec_id, label, embedding, cent_id AS cell FROM (
         |    SELECT e.vec_id, e.label, e.embedding, c.cent_id,

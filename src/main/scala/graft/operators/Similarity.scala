@@ -46,6 +46,23 @@ object Similarity {
     embeddings(s, d).filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
 
+  /** Coarse-quantizer centroid count — FIXED, independent of corpus
+    * size. A production deployment tunes this (k ≈ √n, trained by a
+    * few Lloyd rounds on a sample); what matters for scale is that k
+    * does not grow with n, so assignment is O(n·k) and the broadcast
+    * side is bounded. */
+  val CentroidK = 16
+
+  /** Bounded deterministic centroid set: the k corpus vectors with the
+    * smallest md5(vec_id) — a fixed-size pseudo-random sample the
+    * DuckDB oracle mirrors exactly. One O(n) scan with per-partition
+    * top-k (TakeOrderedAndProject — PlanAudit-asserted): k rows reach
+    * the driver, never the corpus. */
+  def centroids(e: DataFrame, k: Int = CentroidK): DataFrame =
+    e.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c"))
+
   /** Exact brute-force top-10 cosine neighbors for each of 3 query
     * vectors: broadcast queries × corpus scan, then TWO-LEVEL top-k.
     * Each scan task keeps at most k rows per query in a bounded heap
@@ -86,21 +103,30 @@ object Similarity {
 
   /** Random-hyperplane LSH: 8 data-derived hyperplanes (vectors
     * 100..107) → 8 sign bits → bucket id; queries search only their
-    * bucket. Approximate: recall < 1, cost ~ corpus/2⁸ per query. */
+    * bucket. Approximate: recall < 1, cost ~ corpus/2⁸ per query.
+    *
+    * The planes are collected to the driver (8 × 64 floats — tiny,
+    * deterministic) and inlined as ARRAY<FLOAT> literals, so the
+    * bucket id is a NARROW per-row expression: 8 codegen'd dot-product
+    * sign bits summed in one projection. The corpus never shuffles,
+    * never aggregates, and never inflates 8× to get bucketed
+    * (PlanAudit asserts ABSENT:HashAggregate) — at 100 TB the bucket
+    * stage is a pure map over the scan. */
   def simAnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val planes = e.filter(col("vec_id") >= 100 && col("vec_id") < 108)
-      .select(col("vec_id").as("plane_id"), col("embedding").as("p"))
-    // bucket id: sum over planes of sign-bit << (plane_id - 100)
-    def bucketed(df: DataFrame, vecCol: String, out: String): DataFrame =
-      df.crossJoin(broadcast(planes))
-        .groupBy(df.columns.map(col): _*)
-        .agg(sum(when(dot(col(vecCol), col("p")) >= 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(plane_id - 100 AS INT))"))
-          .otherwise(lit(0L))).as(out))
-    val corpusB = bucketed(e, "embedding", "bucket")
-    val queriesB = bucketed(
-      queryVectors(s, d).withColumnRenamed("q", "qv"), "qv", "qbucket")
+    val planes: Array[(Long, Array[Float])] = e
+      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def bucketOf(vecCol: Column): Column =
+      planes.map { case (planeId, p) =>
+        when(dot(vecCol, typedlit(p)) >= 0,
+          lit(1L << (planeId - 100).toInt)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val corpusB = e.withColumn("bucket", bucketOf(col("embedding")))
+    val queriesB = queryVectors(s, d).withColumnRenamed("q", "qv")
+      .withColumn("qbucket", bucketOf(col("qv")))
     val cand = corpusB.join(broadcast(queriesB),
       col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
     val w = Window.partitionBy(col("query_id"))
@@ -111,22 +137,23 @@ object Similarity {
       .filter(col("rnk") <= 5)
   }
 
-  /** IVF coarse quantizer: centroids = every 97th vector; every
-    * vector is assigned to its max-cosine centroid (the inverted
-    * file); a query probes only its own cell (nprobe=1). */
+  /** IVF coarse quantizer: a FIXED-k deterministic centroid sample
+    * (bounded broadcast, O(n·k) assignment — k never grows with the
+    * corpus); every vector is assigned to its max-cosine centroid via
+    * a partial-aggregated max_by (the shuffle carries one row per
+    * vector, argmax combines map-side); a query probes only its own
+    * cell (nprobe=1). */
   def simIvf(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val centroids = e.filter(col("vec_id") % 97 === 3)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c"))
-    // assignment: argmax centroid per vector (broadcast centroids)
-    def assign(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(round(dot(col(vecCol), col("c")), 4).desc, col("cent_id").asc)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("arnk", row_number().over(w))
-        .filter(col("arnk") === 1)
-        .drop("arnk", "c")
-    }
+    val cents = centroids(e)
+    // assignment: argmax centroid per vector (broadcast bounded centroids)
+    def assign(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("ccos", round(dot(col(vecCol), col("c")), 4))
+        .groupBy(col(idCol))
+        .agg(
+          any_value(col(vecCol)).as(vecCol),
+          expr("max_by(cent_id, struct(ccos, -cent_id))").as("cent_id"))
     val cells = assign(e, "embedding", "vec_id")
       .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
     val qcells = assign(queryVectors(s, d).withColumnRenamed("q", "qv"), "qv", "query_id")
@@ -183,7 +210,8 @@ object Similarity {
         |  FROM cb JOIN qb ON bucket = qbucket AND cb.vec_id <> query_id) t
         |WHERE rnk <= 5""".stripMargin,
     "sim_ivf" ->
-      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 97 = 3),
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $CentroidK),
         |cells AS (
         |  SELECT vec_id, embedding, cent_id AS cell FROM (
         |    SELECT e.vec_id, e.embedding, c.cent_id,

@@ -98,8 +98,18 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object DotF32 {
+  /** Untyped NULL literals (`dot_f32(NULL, v)`) get the implicit cast
+    * Spark built-ins enjoy: NullType -> ARRAY<FLOAT>, so the call
+    * analyzes and evaluates to NULL instead of failing the type check
+    * (the strict check still rejects every other wrong type). */
+  private[functions] def normNull(e: Expression): Expression =
+    if (e.resolved && e.dataType == NullType)
+      Cast(e, ArrayType(FloatType))
+    else e
+
   /** Column-API entry point over two ARRAY<FLOAT> columns. */
   def dotF32(a: Column, b: Column): Column =
     ExpressionUtils.column(DotF32(
-      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+      normNull(ExpressionUtils.expression(a)),
+      normNull(ExpressionUtils.expression(b))))
 }

@@ -48,7 +48,7 @@ object GraftExtensions {
       exprs => {
         require(exprs.length == 2,
           s"dot_f32 requires exactly 2 arguments, got ${exprs.length}")
-        DotF32(exprs(0), exprs(1))
+        DotF32(DotF32.normNull(exprs(0)), DotF32.normNull(exprs(1)))
       })
 
   /** Runtime registration into an existing session. */

@@ -94,28 +94,34 @@ object Dedup {
     // this, projection collapse inlines the shingle construction into
     // every one of the 16 minhash expressions AND into both join
     // sides (~64× recompute). At cluster scale this table is
-    // persisted/bucketed by band key; cache() is the local analog.
+    // persisted/bucketed by band key; cache() is the local analog —
+    // scoped to this invocation: the result is materialized eagerly
+    // (localCheckpoint) so the signature cache is released on return
+    // instead of leaking for the session's lifetime.
     val base = documents(s, d)
       .select(col("doc_id"), shingles(col("text"), 3).as("shs"))
       .withColumn("sig", minhashSig(col("shs"), 16))
       .withColumn("bands", bandKeys(col("sig"), 4, 4))
       .cache()
-    val bands = base.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_id", "band_key")))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val sets = base.select(col("doc_id"), col("shs"))
-    cand
-      .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("x.shs"), col("y.shs"))).as("inter"),
-        size(array_distinct(concat(col("x.shs"), col("y.shs")))).as("uni"))
-      .filter(col("inter") * 2 >= col("uni")) // J >= 0.5, integer-exact
+    try {
+      val bands = base.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_id", "band_key")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val sets = base.select(col("doc_id"), col("shs"))
+      cand
+        .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("x.shs"), col("y.shs"))).as("inter"),
+          size(array_distinct(concat(col("x.shs"), col("y.shs")))).as("uni"))
+        .filter(col("inter") * 2 >= col("uni")) // J >= 0.5, integer-exact
+        .localCheckpoint(true)
+    } finally base.unpersist()
   }
 
   /** SimHash near-dup pairs: 32-bit signatures, Hamming ≤ 6 within a
@@ -138,25 +144,28 @@ object Dedup {
       col("doc_id"), col("source"),
       graft.functions.SimHash32.simhash32(
         array_distinct(split(col("text"), " "))).as("sim"))
-      .cache() // materialize before self-join (see dedupMinhashLsh)
-    val chunkArr = array(widths.zip(offsets).map { case (w, off) =>
-      expr(s"(sim >> $off) & ${(1 << w) - 1}")
-    }: _*)
-    val chunks = sigs.select(col("doc_id"), col("source"),
-      posexplode(chunkArr).as(Seq("chunk_id", "chunk_val")))
-    val cand = chunks.as("a").join(chunks.as("b"),
-        col("a.source") === col("b.source") &&
-        col("a.chunk_id") === col("b.chunk_id") &&
-        col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(expr("sim_a ^ sim_b")).as("hamming"))
-      .filter(col("hamming") <= 6)
+      .cache() // invocation-scoped, like dedupMinhashLsh
+    try {
+      val chunkArr = array(widths.zip(offsets).map { case (w, off) =>
+        expr(s"(sim >> $off) & ${(1 << w) - 1}")
+      }: _*)
+      val chunks = sigs.select(col("doc_id"), col("source"),
+        posexplode(chunkArr).as(Seq("chunk_id", "chunk_val")))
+      val cand = chunks.as("a").join(chunks.as("b"),
+          col("a.source") === col("b.source") &&
+          col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(expr("sim_a ^ sim_b")).as("hamming"))
+        .filter(col("hamming") <= 6)
+        .localCheckpoint(true)
+    } finally sigs.unpersist()
   }
 
   /** Exhaustive word-2-gram Jaccard within `source` blocks (the
@@ -170,19 +179,22 @@ object Dedup {
     val grams = documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(shingles(col("text"), 2)).as("g"))
-      .cache()
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = grams.as("a").join(grams.as("b"),
-        col("a.source") === col("b.source") && col("a.g") === col("b.g") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("inter").cast(IntegerType).as("inter"),
-        (col("na") + col("nb") - col("inter")).cast(IntegerType).as("uni"))
-      .filter(col("inter") * 2 >= col("uni"))
+      .cache() // invocation-scoped, like dedupMinhashLsh
+    try {
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = grams.as("a").join(grams.as("b"),
+          col("a.source") === col("b.source") && col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("inter").cast(IntegerType).as("inter"),
+          (col("na") + col("nb") - col("inter")).cast(IntegerType).as("uni"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .localCheckpoint(true)
+    } finally grams.unpersist()
   }
 
   /** Embedding near-dup, cluster-then-verify (the SemDeDup shape —

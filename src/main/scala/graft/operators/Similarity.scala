@@ -42,6 +42,15 @@ object Similarity {
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Collect row field `i` as a float array, failing loudly on NULL
+    * elements (getSeq[Float] would silently unbox null to 0.0f). */
+  private[operators] def collectVector(r: org.apache.spark.sql.Row, i: Int): Array[Float] = {
+    val raw = r.getSeq[Any](i)
+    require(raw.forall(_ != null),
+      s"embedding vector in row $r has NULL elements")
+    raw.map(_.asInstanceOf[Float]).toArray
+  }
+
   private def queryVectors(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
@@ -117,8 +126,13 @@ object Similarity {
     val planes: Array[(Long, Array[Float])] = e
       .filter(col("vec_id") >= 100 && col("vec_id") < 108)
       .select(col("vec_id"), col("embedding"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .collect().map(r => (r.getLong(0), collectVector(r, 1)))
       .sortBy(_._1)
+    // fail loudly: a missing plane would throw on reduce (or silently
+    // shrink the bucket space); a NULL element would quietly unbox to
+    // 0.0f and diverge from the expression/oracle NULL semantics
+    require(planes.length == 8,
+      s"LSH needs the 8 plane vectors 100..107; found ${planes.length}")
     def bucketOf(vecCol: Column): Column =
       planes.map { case (planeId, p) =>
         when(dot(vecCol, typedlit(p)) >= 0,

@@ -125,6 +125,18 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked.subsetOf(exhaustive)) // cluster-then-verify never invents pairs
   }
 
+  test("dedup operators release their working caches (no session-lifetime leak)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cachechk")
+    docs.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    spark.catalog.clearCache() // isolate from other suites
+    Dedup.dedupMinhashLsh(spark, tmp.toString).count()
+    Dedup.dedupSimhash(spark, tmp.toString).count()
+    Dedup.dedupNgramJaccard(spark, tmp.toString).count()
+    Dedup.dedupComponents(spark, tmp.toString).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a dedup operator left a cached table behind for the session's lifetime")
+  }
+
   test("simhash: exact dups at Hamming 0; near-dups closer than unrelated") {
     val sigs = docs.select(col("doc_id"),
         Dedup.simhashExpr("array_distinct(split(text, ' '))").as("sim"))

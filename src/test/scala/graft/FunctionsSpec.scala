@@ -55,6 +55,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("dot_f32 accepts untyped NULL literals (implicit cast) and returns NULL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_f32(NULL, CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)) AS a,
+        |       dot_f32(CAST(array(1.0) AS ARRAY<FLOAT>), NULL) AS b""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("dot_f32 rejects non-float arrays and wrong arity with analysis errors") {
     GraftExtensions.register(spark)
     // ARRAY<DOUBLE> (the natural bare-literal call) must be a clean

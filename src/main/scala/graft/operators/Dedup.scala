@@ -134,39 +134,49 @@ object Dedup {
     * O(n²) within a source block — and exact Hamming verification runs
     * on candidates only. Output is identical to the exhaustive form
     * (the banding is lossless for the threshold, not approximate). */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+  private def simhashSigs(s: SparkSession, d: String): DataFrame =
     // native SimHash32 expression: one md5 + one vote loop per row
     // (the portable SQL form it is bit-equal to — simhashOverHexes —
     // is what the DuckDB oracle mirrors; equality is spec-tested)
-    val widths = Seq(5, 5, 5, 5, 4, 4, 4) // 7 chunks covering 32 bits
-    val offsets = widths.scanLeft(0)(_ + _).init
-    val sigs = documents(s, d).select(
+    documents(s, d).select(
       col("doc_id"), col("source"),
       graft.functions.SimHash32.simhash32(
         array_distinct(split(col("text"), " "))).as("sim"))
-      .cache() // invocation-scoped, like dedupMinhashLsh
-    try {
-      val chunkArr = array(widths.zip(offsets).map { case (w, off) =>
-        expr(s"(sim >> $off) & ${(1 << w) - 1}")
-      }: _*)
-      val chunks = sigs.select(col("doc_id"), col("source"),
-        posexplode(chunkArr).as(Seq("chunk_id", "chunk_val")))
-      val cand = chunks.as("a").join(chunks.as("b"),
-          col("a.source") === col("b.source") &&
-          col("a.chunk_id") === col("b.chunk_id") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      cand
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(expr("sim_a ^ sim_b")).as("hamming"))
-        .filter(col("hamming") <= 6)
-        .localCheckpoint(true)
-    } finally sigs.unpersist()
+
+  private def simhashPairs(sigs: DataFrame): DataFrame = {
+    val widths = Seq(5, 5, 5, 5, 4, 4, 4) // 7 chunks covering 32 bits
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkArr = array(widths.zip(offsets).map { case (w, off) =>
+      expr(s"(sim >> $off) & ${(1 << w) - 1}")
+    }: _*)
+    val chunks = sigs.select(col("doc_id"), col("source"),
+      posexplode(chunkArr).as(Seq("chunk_id", "chunk_val")))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        col("a.source") === col("b.source") &&
+        col("a.chunk_id") === col("b.chunk_id") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("sim_a ^ sim_b")).as("hamming"))
+      .filter(col("hamming") <= 6)
   }
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = simhashSigs(s, d).cache() // invocation-scoped, like dedupMinhashLsh
+    try simhashPairs(sigs).localCheckpoint(true) finally sigs.unpersist()
+  }
+
+  /** The lazy plan that executes inside dedupSimhash's eager
+    * materialization (minus the signature cache) — what PlanAudit
+    * asserts the banded equi-join shape on, since the public operator
+    * returns an already-checkpointed scan. */
+  private[graft] def dedupSimhashPlan(s: SparkSession, d: String): DataFrame =
+    simhashPairs(simhashSigs(s, d))
 
   /** Exhaustive word-2-gram Jaccard within `source` blocks (the
     * non-LSH baseline). Shaped as an exploded n-gram equi-join —
@@ -200,31 +210,27 @@ object Dedup {
   /** Embedding near-dup, cluster-then-verify (the SemDeDup shape —
     * Abbas et al., "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication", 2023): every vector is assigned
-    * to its max-cosine IVF cell (the same FIXED-k deterministic
-    * centroid sample as Similarity.simIvf — bounded broadcast, O(n·k)
-    * assignment with k independent of n — so the DuckDB oracle can
-    * mirror the assignment exactly), and cosine ≥ 0.35 is verified
-    * only on pairs sharing (label, cell).
+    * to its max-cosine IVF cell (the same dynamic-k deterministic
+    * centroid sample as Similarity.simIvf — k = ⌈n/TargetCellSize⌉,
+    * so the DuckDB oracle can mirror the assignment exactly), and
+    * cosine ≥ 0.35 is verified only on pairs sharing (label, cell).
     *
-    * Scale: pair work is O(n · cell) through a plain equi-join on
-    * (label, cell), never O(n²) inside a label block. Assignment is a
-    * broadcast cross-join + partial-aggregated max_by: the corpus
-    * shuffles once, carrying one row per vector. Like any clustered
-    * dedup, recall < 1 vs the exhaustive within-label scan (pairs
-    * straddling a cell boundary are unseen) — DedupSpec checks
-    * containment in the exhaustive pair set. Dot products are explicit
-    * left-to-right double folds for cross-engine determinism. */
+    * Scale: k grows with the corpus, so cells stay ~TargetCellSize
+    * and the within-(label, cell) verify self-join is O(n ·
+    * TargetCellSize) — bounded cell population is what keeps the
+    * verify stage from going quadratic, not a bounded broadcast.
+    * Assignment is the collected-centroid `nearest_centroid`
+    * projection: zero shuffle, zero aggregation (the sim_ann_lsh
+    * inlined-planes pattern). Like any clustered dedup, recall < 1 vs
+    * the exhaustive within-label scan (pairs straddling a cell
+    * boundary are unseen) — DedupSpec checks containment in the
+    * exhaustive pair set. Dot products are explicit left-to-right
+    * double folds for cross-engine determinism. */
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val cells = e.crossJoin(broadcast(
-        Similarity.centroids(e).withColumnRenamed("c", "c_emb")))
-      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"),
-        round(Similarity.dot(col("embedding"), col("c_emb")), 4).as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(
-        any_value(col("label")).as("label"),
-        any_value(col("embedding")).as("embedding"),
-        expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
+    val cents = Similarity.collectCentroids(e)
+    val cells = e.select(col("vec_id"), col("label"), col("embedding"),
+      graft.functions.NearestCentroid.nearest(col("embedding"), cents).as("cell"))
     cells.as("a").join(cells.as("b"),
         col("a.label") === col("b.label") && col("a.cell") === col("b.cell") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -377,8 +383,7 @@ object Dedup {
     // mirrors the IVF cell assignment (same centroids + tie-break as
     // the Spark side), then the within-(label, cell) cosine verify
     "dedup_embed_cosine" ->
-      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.CentroidK}),
+      s"""WITH ${Similarity.centroidCteSql},
         |cells AS (
         |  SELECT vec_id, label, embedding, cent_id AS cell FROM (
         |    SELECT e.vec_id, e.label, e.embedding, c.cent_id,

@@ -55,22 +55,55 @@ object Similarity {
     embeddings(s, d).filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
 
-  /** Coarse-quantizer centroid count — FIXED, independent of corpus
-    * size. A production deployment tunes this (k ≈ √n, trained by a
-    * few Lloyd rounds on a sample); what matters for scale is that k
-    * does not grow with n, so assignment is O(n·k) and the broadcast
-    * side is bounded. */
-  val CentroidK = 16
+  /** Coarse-quantizer sizing. What matters for scale is bounded CELL
+    * population, not just a bounded broadcast: the SemDeDup verify
+    * self-join does O(cell²) work per cell and an IVF probe scans one
+    * cell, so k must GROW with the corpus — k = ⌈n / TargetCellSize⌉
+    * keeps the average cell at TargetCellSize vectors regardless of n.
+    * `MinCentroidK` floors tiny corpora; `MaxCentroidK` caps the
+    * driver-collected set (64 MB of float32 at dim 64 — past that a
+    * deployment accepts larger cells or shards the centroid set). A
+    * production deployment also refines the seed sample with a few
+    * Lloyd rounds; the deterministic md5-order sample here is what the
+    * DuckDB oracle can mirror exactly. */
+  val MinCentroidK = 16
+  val TargetCellSize = 64L
+  val MaxCentroidK = 65536
 
-  /** Bounded deterministic centroid set: the k corpus vectors with the
-    * smallest md5(vec_id) — a fixed-size pseudo-random sample the
-    * DuckDB oracle mirrors exactly. One O(n) scan with per-partition
-    * top-k (TakeOrderedAndProject — PlanAudit-asserted): k rows reach
-    * the driver, never the corpus. */
-  def centroids(e: DataFrame, k: Int = CentroidK): DataFrame =
+  /** k for a corpus of n vectors: ⌈n/TargetCellSize⌉ clamped to
+    * [MinCentroidK, MaxCentroidK]. */
+  def centroidK(n: Long): Int =
+    math.min(math.max(MinCentroidK.toLong,
+      (n + TargetCellSize - 1) / TargetCellSize), MaxCentroidK.toLong).toInt
+
+  /** Deterministic centroid set: the k corpus vectors with the
+    * smallest md5(vec_id) — a pseudo-random sample the DuckDB oracle
+    * mirrors exactly. One O(n) scan with per-partition top-k
+    * (TakeOrderedAndProject): k rows reach the driver, never the
+    * corpus. */
+  def centroids(e: DataFrame, k: Int): DataFrame =
     e.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c"))
+
+  /** Size k from one count() (cheap — parquet row-group metadata),
+    * then collect the k centroids for the zero-shuffle assignment
+    * expression (functions/NearestCentroidExpr.scala). */
+  def collectCentroids(e: DataFrame): Array[(Long, Array[Float])] = {
+    val k = centroidK(e.count())
+    centroids(e, k).collect().map(r => (r.getLong(0), collectVector(r, 1)))
+  }
+
+  /** Shared DuckDB CTEs mirroring centroidK + centroids: dynamic k
+    * from count(*), then the md5-order top-k. Yields `c(cent_id, cv)`. */
+  val centroidCteSql: String =
+    s"""kk AS (SELECT least(greatest($MinCentroidK,
+      |    CAST(ceil(count(*) / $TargetCellSize.0) AS BIGINT)), $MaxCentroidK) AS k
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cent_id, embedding AS cv FROM
+      |  (SELECT vec_id, embedding,
+      |     row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+      |   FROM embeddings) tt, kk WHERE tt.rnk <= kk.k)""".stripMargin
 
   /** Exact brute-force top-10 cosine neighbors for each of 3 query
     * vectors: broadcast queries × corpus scan, then TWO-LEVEL top-k.
@@ -151,27 +184,22 @@ object Similarity {
       .filter(col("rnk") <= 5)
   }
 
-  /** IVF coarse quantizer: a FIXED-k deterministic centroid sample
-    * (bounded broadcast, O(n·k) assignment — k never grows with the
-    * corpus); every vector is assigned to its max-cosine centroid via
-    * a partial-aggregated max_by (the shuffle carries one row per
-    * vector, argmax combines map-side); a query probes only its own
-    * cell (nprobe=1). */
+  /** IVF coarse quantizer: a dynamic-k deterministic centroid sample
+    * (k = ⌈n/TargetCellSize⌉ — cells stay bounded as the corpus
+    * grows, so a probe costs O(TargetCellSize), sublinear in n); cell
+    * assignment is the collected-centroid `nearest_centroid`
+    * expression — a NARROW per-row projection over the scan, zero
+    * shuffle (the sim_ann_lsh inlined-planes pattern); a query probes
+    * only its own cell (nprobe=1) via a broadcast equi-join. */
   def simIvf(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val cents = centroids(e)
-    // assignment: argmax centroid per vector (broadcast bounded centroids)
-    def assign(df: DataFrame, vecCol: String, idCol: String): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("ccos", round(dot(col(vecCol), col("c")), 4))
-        .groupBy(col(idCol))
-        .agg(
-          any_value(col(vecCol)).as(vecCol),
-          expr("max_by(cent_id, struct(ccos, -cent_id))").as("cent_id"))
-    val cells = assign(e, "embedding", "vec_id")
-      .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
-    val qcells = assign(queryVectors(s, d).withColumnRenamed("q", "qv"), "qv", "query_id")
-      .select(col("query_id"), col("cent_id").as("qcell"), col("qv"))
+    val cents = collectCentroids(e)
+    def cellOf(vecCol: Column): Column =
+      graft.functions.NearestCentroid.nearest(vecCol, cents)
+    val cells = e.select(col("vec_id"),
+      cellOf(col("embedding")).as("cell"), col("embedding"))
+    val qcells = queryVectors(s, d).withColumnRenamed("q", "qv")
+      .select(col("query_id"), cellOf(col("qv")).as("qcell"), col("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_r").desc, col("vec_id").asc)
     cells.join(broadcast(qcells),
@@ -224,8 +252,7 @@ object Similarity {
         |  FROM cb JOIN qb ON bucket = qbucket AND cb.vec_id <> query_id) t
         |WHERE rnk <= 5""".stripMargin,
     "sim_ivf" ->
-      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $CentroidK),
+      s"""WITH $centroidCteSql,
         |cells AS (
         |  SELECT vec_id, embedding, cent_id AS cell FROM (
         |    SELECT e.vec_id, e.embedding, c.cent_id,

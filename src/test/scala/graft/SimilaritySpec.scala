@@ -72,6 +72,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(twoLevel === direct)
   }
 
+  test("nearest_centroid expression equals the crossJoin+max_by argmax form") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val cents = Similarity.collectCentroids(e)
+    val viaExpr = e.select(col("vec_id"),
+        graft.functions.NearestCentroid.nearest(col("embedding"), cents).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    // the round-3 join form this expression replaced — same argmax,
+    // same round-4 + smallest-id tie-break, via shuffle machinery
+    val centsDf = Similarity.centroids(e, Similarity.centroidK(e.count()))
+      .withColumnRenamed("c", "c_emb")
+    val viaJoin = e.crossJoin(broadcast(centsDf))
+      .select(col("vec_id"), col("cent_id"),
+        round(Similarity.dot(col("embedding"), col("c_emb")), 4).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr === viaJoin)
+    assert(viaExpr.size === 500)
+  }
+
+  test("nearest_centroid null semantics: null vector or length mismatch -> NULL cell") {
+    val cents = Array((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+    val df = Seq(
+      (1L, Some(Array(0.9f, 0.1f))),
+      (2L, None: Option[Array[Float]]),
+      (3L, Some(Array(0.9f)))).toDF("id", "v") // wrong dim
+    val r = df.select(col("id"),
+        graft.functions.NearestCentroid.nearest(col("v"), cents).as("cell"))
+      .collect().map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    assert(r(1L) === Some(1L))
+    assert(r(2L) === None)
+    assert(r(3L) === None)
+  }
+
+  test("quantizer cell population stays bounded (k grows with the corpus)") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val n = e.count()
+    val k = Similarity.centroidK(n)
+    val cents = Similarity.collectCentroids(e)
+    assert(cents.length === k)
+    val sizes = e.select(
+        graft.functions.NearestCentroid.nearest(col("embedding"), cents).as("cell"))
+      .groupBy("cell").count().as[(Long, Long)].collect().map(_._2)
+    // bounded cells are what keep the SemDeDup verify join and IVF
+    // probes from going quadratic/linear — assert max <= 4x average
+    val avgCeil = (n + k - 1) / k
+    assert(sizes.max <= 4 * avgCeil,
+      s"max cell ${sizes.max} exceeds 4x average cell $avgCeil (k=$k, n=$n)")
+    // and k itself scales: 10x the corpus must raise k 10x (mod clamps)
+    assert(Similarity.centroidK(64L * Similarity.MaxCentroidK) === Similarity.MaxCentroidK)
+    assert(Similarity.centroidK(6400) === 100)
+    assert(Similarity.centroidK(64000) === 1000)
+  }
+
   test("language ID: priority argmax picks the list language on planted stopwords") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_text")
     Seq(

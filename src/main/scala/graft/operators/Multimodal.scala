@@ -3,46 +3,101 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 import graft.Tables._
 
 /** Multimodal column handling (SURVEY.md §2j multimodal_cols): opaque
   * binary payloads (image/audio/video bytes) alongside typed metadata,
-  * with decode / feature-extract / frame-sample stages.
+  * with decode / feature-extract / resize / frame-sample stages.
   *
-  * The Spark-side plumbing is real and tested: BinaryType columns in
-  * parquet, typed Dataset batches through mapPartitions (the Scala
-  * analog of mapInPandas — one partition = one batch through the
-  * decoder), deterministic partitioning, and explode-shaped frame
-  * sampling. The decoder itself is a STUB (`decodeStub`): this
-  * container ships no image/audio codecs, so it derives features from
-  * the raw bytes deterministically; a real deployment swaps in JavaCV/
-  * ffmpeg behind the same signature without touching any plan.
+  * The decode and resize kernels are REAL: payloads are genuine PNGs
+  * (encoded with `javax.imageio` — in the JDK, no external codecs),
+  * decode reads actual pixel geometry and a raster checksum back out
+  * of the bytes, and resize runs a real Graphics2D bilinear resample
+  * before checksumming the resampled raster. The Spark shape is the
+  * production one: BinaryType columns in parquet, typed Dataset
+  * batches through mapPartitions (one partition = one batch through
+  * the decoder, init per-partition not per-row), deterministic
+  * partitioning, explode-shaped frame sampling. A deployment handling
+  * JPEG/video swaps the ImageIO calls for JavaCV/ffmpeg behind the
+  * same signatures without touching any plan.
+  *
+  * Test corpus assets are constant-color PNGs with geometry and fill
+  * derived from doc_id — so the DuckDB oracle can state the decoded
+  * width/height/checksum in closed form while the engine still does
+  * the full encode→decode→resample round trip on real bytes.
   */
 object Multimodal {
 
-  /** A "media asset": payload bytes + declared metadata. The test
-    * corpus has no real media, so the payload is a deterministic
-    * 16-byte pseudo-blob (md5 of the text). */
-  def assets(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
-      col("doc_id"),
-      unhex(md5(col("text"))).as("payload"),
-      (lit(16) + col("doc_id") % 64).cast(IntegerType).as("width"),
-      (lit(16) + col("doc_id") % 48).cast(IntegerType).as("height"),
-      lit(3).as("channels"))
+  /** Deterministic fill color for a doc's synthetic asset. */
+  private def rgb(id: Long): (Int, Int, Int) =
+    ((id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+
+  /** Encode a w×h constant-color RGB PNG. */
+  private[graft] def encodePng(w: Int, h: Int, color: (Int, Int, Int)): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(new java.awt.Color(color._1, color._2, color._3))
+      g.fillRect(0, 0, w, h)
+    } finally g.dispose()
+    encodePng(img)
+  }
+
+  private[graft] def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Sum of all R+G+B byte values of the raster, mod 256. */
+  private[graft] def rasterChecksum(img: BufferedImage): Int = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (sum % 256).toInt
+  }
+
+  /** A "media asset": payload bytes + declared metadata. Payload is a
+    * real PNG whose geometry/fill derive from doc_id (decode verifies
+    * the declared metadata against the actual bytes). */
+  def assets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (16 + id % 64).toInt
+        val h = (16 + id % 48).toInt
+        Asset(id, encodePng(w, h, rgb(id)), w, h, 3)
+      }
+    }.toDF()
+  }
 
   case class Asset(doc_id: Long, payload: Array[Byte], width: Int, height: Int, channels: Int)
   case class Features(doc_id: Long, width: Int, height: Int,
-      byte_len: Int, first_byte: Int, checksum: Int)
+      n_pixels: Int, first_byte: Int, checksum: Int)
 
-  /** STUB decoder — stands in for image decode + feature extraction.
-    * Real bytes in, deterministic features out; the batch shape
-    * (partition-wise iterator) is exactly what a JNI/ffmpeg decoder
-    * needs. */
-  def decodeStub(a: Asset): Features = {
-    val sum = a.payload.foldLeft(0)((acc, b) => acc + (b & 0xff))
-    Features(a.doc_id, a.width, a.height,
-      a.payload.length, a.payload(0) & 0xff, sum % 256)
+  /** Real PNG decode: geometry and checksum come from the decoded
+    * raster, not the declared metadata. */
+  private[graft] def decodeImage(a: Asset): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(a.payload))
+    require(img != null, s"payload of doc ${a.doc_id} is not a decodable image")
+    img
+  }
+
+  def decode(a: Asset): Features = {
+    val img = decodeImage(a)
+    Features(a.doc_id, img.getWidth, img.getHeight,
+      img.getWidth * img.getHeight, a.payload(0) & 0xff, rasterChecksum(img))
   }
 
   /** Decode pipeline: binary column → typed batches → features.
@@ -50,7 +105,7 @@ object Multimodal {
   def multimodalDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ds: Dataset[Asset] = assets(s, d).as[Asset]
-    ds.mapPartitions(_.map(decodeStub)).toDF()
+    ds.mapPartitions(_.map(decode)).toDF()
   }
 
   case class Resized(doc_id: Long, width: Int, height: Int,
@@ -59,32 +114,39 @@ object Multimodal {
   /** Resize stage: fit-within-target preserving aspect ratio, never
     * upscaling — the standard vision-preprocessing step (target 64
     * here so the synthetic 16–79 px assets exercise BOTH the downscale
-    * and the keep branch; production uses 224 etc.). The geometry
-    * (output dims, buffer size = out_w·out_h·channels) is exact
-    * integer math and IS the Spark-side contract; the pixel resampler
-    * itself is the same documented stub as decode (no codecs in this
-    * container) — it carries the payload checksum through so the
-    * oracle still checks real bytes. Typed mapPartitions batches,
-    * like decode. */
+    * and the keep branch; production uses 224 etc.). The resample is a
+    * real Graphics2D bilinear drawImage into the target buffer; the
+    * checksum is taken from the RESAMPLED raster, so the oracle checks
+    * actual resampling output (constant-color inputs stay constant
+    * under any interpolation, keeping it closed-form). */
   def multimodalResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ds: Dataset[Asset] = assets(s, d).as[Asset]
     val target = 64
     ds.mapPartitions(_.map { a =>
-      val m = math.max(a.width, a.height)
+      val img = decodeImage(a)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val m = math.max(w, h)
       val (ow, oh) =
-        if (m <= target) (a.width, a.height) // never upscale
-        else (math.max(1, a.width * target / m), math.max(1, a.height * target / m))
-      val sum = a.payload.foldLeft(0)((acc, b) => acc + (b & 0xff))
-      Resized(a.doc_id, a.width, a.height, ow, oh, ow * oh * a.channels, sum % 256)
+        if (m <= target) (w, h) // never upscale
+        else (math.max(1, w * target / m), math.max(1, h * target / m))
+      val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, ow, oh, null)
+      } finally g.dispose()
+      Resized(a.doc_id, w, h, ow, oh, ow * oh * a.channels, rasterChecksum(out))
     }).toDF()
   }
 
   /** Frame sampling: one row per sampled frame per asset (videos of
     * 1–4 frames at 25 fps) — the explode-shaped batch layout a video
-    * pipeline feeds to per-frame models. */
+    * pipeline feeds to per-frame models. Needs only ids, so it reads
+    * the pruned documents scan, not the encoded payload column. */
   def multimodalFrames(s: SparkSession, d: String): DataFrame =
-    assets(s, d)
+    documents(s, d)
       .withColumn("n_frames", (lit(1) + col("doc_id") % 4).cast(IntegerType))
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
@@ -96,30 +158,29 @@ object Multimodal {
     "multimodal_frames" -> multimodalFrames _
   )
 
-  // Oracle reconstructs the byte features from md5 hex digits
-  // (DuckDB-side nibble parse).
-  private val hexByte = // byte i (0-based) of md5(text) as integer
-    "((strpos('0123456789abcdef', substr(md5(text), 2*%1$s + 1, 1)) - 1) * 16 + " +
-    "strpos('0123456789abcdef', substr(md5(text), 2*%1$s + 2, 1)) - 1)"
+  // Closed-form expectations for the constant-color PNG corpus: the
+  // decoded raster of a w×h fill-(r,g,b) PNG sums to w*h*(r+g+b), and
+  // any resample of a constant image is the constant.
+  private val rgbSumSql =
+    "((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256))"
 
   val oracles: Map[String, String] = Map(
     "multimodal_decode" ->
       s"""SELECT doc_id,
         |  CAST(16 + doc_id % 64 AS INTEGER) AS width,
         |  CAST(16 + doc_id % 48 AS INTEGER) AS height,
-        |  16 AS byte_len,
-        |  CAST(${hexByte.format("0")} AS INTEGER) AS first_byte,
-        |  CAST(list_sum([${hexByte.format("i")} FOR i IN range(0, 16)]) % 256 AS INTEGER) AS checksum
+        |  CAST((16 + doc_id % 64) * (16 + doc_id % 48) AS INTEGER) AS n_pixels,
+        |  CAST(137 AS INTEGER) AS first_byte,
+        |  CAST((16 + doc_id % 64) * (16 + doc_id % 48) * $rgbSumSql % 256 AS INTEGER) AS checksum
         |FROM documents""".stripMargin,
-    // same fit-within-64 integer geometry; checksum re-derived from
-    // the md5 payload bytes like multimodal_decode
+    // same fit-within-64 integer geometry; resampled checksum stays
+    // the constant-fill closed form
     "multimodal_resize" ->
       s"""WITH g AS (
         |  SELECT doc_id,
         |    CAST(16 + doc_id % 64 AS INTEGER) AS width,
         |    CAST(16 + doc_id % 48 AS INTEGER) AS height,
-        |    greatest(16 + doc_id % 64, 16 + doc_id % 48) AS m,
-        |    CAST(list_sum([${hexByte.format("i")} FOR i IN range(0, 16)]) % 256 AS INTEGER) AS checksum
+        |    greatest(16 + doc_id % 64, 16 + doc_id % 48) AS m
         |  FROM documents)
         |SELECT doc_id, width, height,
         |  CAST(CASE WHEN m <= 64 THEN width
@@ -129,7 +190,9 @@ object Multimodal {
         |  CAST((CASE WHEN m <= 64 THEN width ELSE greatest(1, width * 64 // m) END)
         |     * (CASE WHEN m <= 64 THEN height ELSE greatest(1, height * 64 // m) END)
         |     * 3 AS INTEGER) AS out_bytes,
-        |  checksum
+        |  CAST((CASE WHEN m <= 64 THEN width ELSE greatest(1, width * 64 // m) END)
+        |     * (CASE WHEN m <= 64 THEN height ELSE greatest(1, height * 64 // m) END)
+        |     * $rgbSumSql % 256 AS INTEGER) AS checksum
         |FROM g""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id, CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,

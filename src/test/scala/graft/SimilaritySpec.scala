@@ -143,18 +143,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(3L) === "en") // tie -> first in priority order
   }
 
-  test("multimodal decode stub: features derived from the actual payload bytes") {
+  test("multimodal decode is a real PNG decode: round-trips arbitrary pixels") {
+    // a non-constant gradient: decode must recover the exact raster
+    // (PNG is lossless), so the checksum equals the direct pixel sum —
+    // impossible for anything short of a genuine decoder
+    val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var expected = 0L
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val (r, g, b) = (x * 40, y * 80, (x + y) * 17)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      expected += r + g + b
+    }
+    val asset = Multimodal.Asset(1L, Multimodal.encodePng(img), 5, 3, 3)
+    val f = Multimodal.decode(asset)
+    assert(f.width === 5 && f.height === 3 && f.n_pixels === 15)
+    assert(f.first_byte === 137) // PNG magic
+    assert(f.checksum === (expected % 256).toInt)
+  }
+
+  test("multimodal decode on the corpus: decoded geometry/checksum match the doc_id formula") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mm")
     Seq((7L, "hello world", "en", "s0"))
       .toDF("doc_id", "text", "lang", "source")
       .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
     val r = Multimodal.multimodalDecode(spark, tmp.toString).collect()(0)
-    // md5("hello world") = 5eb63bbbe01eeed093cb22bb8f5acdc3
-    assert(r.getAs[Int]("byte_len") === 16)
-    assert(r.getAs[Int]("first_byte") === 0x5e)
-    val bytes = Array(0x5e, 0xb6, 0x3b, 0xbb, 0xe0, 0x1e, 0xee, 0xd0,
-      0x93, 0xcb, 0x22, 0xbb, 0x8f, 0x5a, 0xcd, 0xc3)
-    assert(r.getAs[Int]("checksum") === bytes.sum % 256)
+    // doc 7: 23x23 constant fill (7, 49, 91)
+    assert(r.getAs[Int]("width") === 23 && r.getAs[Int]("height") === 23)
+    assert(r.getAs[Int]("n_pixels") === 529)
+    assert(r.getAs[Int]("first_byte") === 137)
+    assert(r.getAs[Int]("checksum") === (529L * (7 + 49 + 91) % 256).toInt)
+  }
+
+  test("multimodal resize: real resample hits both keep and downscale branches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mm3")
+    // doc 8: 24x24 (<=64, keep); doc 63: 79x31 (downscale to 64x25)
+    Seq((8L, "a", "en", "s0"), (63L, "b", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val r = Multimodal.multimodalResize(spark, tmp.toString)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("out_w"), x.getAs[Int]("out_h"), x.getAs[Int]("checksum")))).toMap
+    assert(r(8L) === ((24, 24, (24L * 24 * ((8 % 256) + (8 * 7 % 256) + (8 * 13 % 256)) % 256).toInt)))
+    val (ow, oh) = (79 * 64 / 79, 31 * 64 / 79) // 64 x 25
+    assert(r(63L) === ((ow, oh,
+      (ow.toLong * oh * ((63 % 256) + (63 * 7 % 256) + (63 * 13 % 256)) % 256).toInt)))
   }
 
   test("frame sampling emits n_frames rows per asset at 40ms offsets") {

@@ -36,17 +36,29 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
 
   def exists: Boolean = Files.exists(manifestFile)
 
-  /** bucket -> current data dir (relative to `dir`). */
+  /** bucket -> current data dir (relative to `dir`). Refuses to parse
+    * a manifest without the current format marker: path semantics have
+    * changed across layout versions, so guessing would misread old
+    * tables silently — an explicit error beats wrong data. */
   def manifest: Map[Int, String] =
     if (!exists) Map.empty
-    else Files.readAllLines(manifestFile).asScala
-      .map(_.split("=", 2)).collect { case Array(b, v) => b.toInt -> v }.toMap
+    else {
+      val lines = Files.readAllLines(manifestFile).asScala.toSeq
+      if (!lines.headOption.contains(PartitionedTable.FormatMarker))
+        throw new IllegalStateException(
+          s"incompatible table layout at $dir: manifest lacks format marker " +
+            s"'${PartitionedTable.FormatMarker}' (found '${lines.headOption.getOrElse("<empty>")}'); " +
+            "this table was written by an older layout — re-create it from source data")
+      lines.drop(1)
+        .map(_.split("=", 2)).collect { case Array(b, v) => b.toInt -> v }.toMap
+    }
 
   private def writeManifest(m: Map[Int, String]): Unit = {
     Files.createDirectories(dir)
     val tmp = dir.resolve("MANIFEST.tmp")
     Files.writeString(tmp,
-      m.toSeq.sortBy(_._1).map { case (b, v) => s"$b=$v" }.mkString("", "\n", "\n"))
+      (PartitionedTable.FormatMarker +:
+        m.toSeq.sortBy(_._1).map { case (b, v) => s"$b=$v" }).mkString("", "\n", "\n"))
     Files.move(tmp, manifestFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
@@ -99,8 +111,53 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     writeManifest(m ++ touched.map(b => b -> s"$commitRel/__b=$b"))
     touched
   }
+
+  /** GC: delete bucket-version dirs no longer referenced by MANIFEST,
+    * then commit dirs left empty. A minutely feed writes one commit
+    * per merge; without this, superseded bucket versions accumulate
+    * forever (1,440/day). Safe at any point AFTER a manifest swap:
+    * readers resolve paths through MANIFEST only, so every
+    * unreferenced dir is dead, and a crash mid-sweep just leaves
+    * garbage for the next sweep (referenced paths are never touched).
+    * Returns the number of bucket-version dirs deleted. */
+  def vacuum(): Int = {
+    val live = manifest.values.toSet
+    val commitsDir = dir.resolve("commits")
+    if (!Files.exists(commitsDir)) return 0
+    var deleted = 0
+    PartitionedTable.listDir(commitsDir).foreach { c =>
+      PartitionedTable.listDir(c).filter(Files.isDirectory(_)).foreach { b =>
+        val rel = s"commits/${c.getFileName}/${b.getFileName}"
+        if (!live.contains(rel)) {
+          PartitionedTable.deleteRecursively(b)
+          deleted += 1
+        }
+      }
+      // a commit whose buckets were all superseded leaves only spark
+      // _SUCCESS markers behind — drop the empty shell
+      if (!PartitionedTable.listDir(c).exists(Files.isDirectory(_)))
+        PartitionedTable.deleteRecursively(c)
+    }
+    deleted
+  }
 }
 
 object PartitionedTable {
+  /** Manifest format id — bump when bucket-path semantics change. */
+  val FormatMarker = "graft.partitioned.v1"
+
   private val CommitDir = "commits/c(\\d+)/.*".r
+
+  private[graft] def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private[graft] def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    try {
+      val it = s.sorted(java.util.Comparator.reverseOrder[Path]()).iterator()
+      while (it.hasNext) Files.delete(it.next())
+    } finally s.close()
+  }
 }

@@ -152,6 +152,25 @@ object Replication {
       Files.writeString(tmp, next)
       Files.move(tmp, currentFile(dir), java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // GC superseded versions AFTER the swap (the write job above has
+      // already finished reading the old version): the reference
+      // reclaims by delete+insert construction; without this a
+      // minutely feed accumulates one full table copy per merge
+      vacuum(dir)
+    }
+
+    /** Delete every version dir CURRENT does not reference. Safe only
+      * after the swap (which `commit` guarantees); crash mid-sweep
+      * leaves garbage the next commit's sweep removes. */
+    def vacuum(dir: Path): Int = {
+      if (!exists(dir)) return 0
+      val cur = Files.readString(currentFile(dir)).trim
+      val dead = PartitionedTable.listDir(dir).filter { p =>
+        Files.isDirectory(p) && p.getFileName.toString.matches("v\\d+") &&
+          p.getFileName.toString != cur
+      }
+      dead.foreach(PartitionedTable.deleteRecursively)
+      dead.size
     }
 
     /** Merge updates into the table (create if absent). At 100 TB this
@@ -234,16 +253,27 @@ object Replication {
         val cs = Upsert.lastWins(OsmXml.changesets(raw),
           Seq("id"), Seq(col("closed_at"), col("num_changes")))
         table.mergeInto(spark, cs)
-        comments.mergeInto(spark, OsmXml.comments(raw).dropDuplicates(
-          "comment_changeset_id", "comment_user_id", "comment_date"))
+        comments.mergeInto(spark, compactComments(OsmXml.comments(raw)))
         applied += (hi - local).toInt
         local = hi
         // offset committed after each applied batch → crash-safe replay ≤ batchSize
         StateDoc.write(statePath, ReplState(local, Some(serverTs), updateInProgress = false))
       }
+      // retention sweep once per run, after all swaps: superseded
+      // bucket versions from this catch-up (and any prior crash) go
+      table.vacuum()
+      comments.vacuum()
     }
     applied
   }
+
+  /** Within-batch comment dedup. Identity includes the TEXT: the
+    * reference stores every comment row verbatim (changesetmd.py:
+    * 71-76,105-106), so two distinct same-user same-second comments
+    * must both survive — only true replays (identical text) collapse. */
+  def compactComments(comments: DataFrame): DataFrame =
+    comments.dropDuplicates(
+      "comment_changeset_id", "comment_user_id", "comment_date", "comment_text")
 
   // ---- hermetic fixture world ----------------------------------------
 

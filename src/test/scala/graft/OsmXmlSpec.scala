@@ -67,6 +67,29 @@ class OsmXmlSpec extends AnyFunSuite {
     assert(texts === Seq("looks good", "thanks"))
   }
 
+  test("comment identity includes text: same-user same-second comments both survive") {
+    // the reference stores every comment row verbatim — a replication
+    // merge must not collapse two distinct comments that share
+    // (changeset, user, timestamp); only identical replays collapse
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<osm version="0.6">
+        |  <changeset id="50" created_at="2015-11-15T22:00:01Z" open="false" uid="7" user="alice">
+        |    <discussion>
+        |      <comment uid="8" user="bob" date="2015-11-16T00:00:00Z"><text>first thought</text></comment>
+        |      <comment uid="8" user="bob" date="2015-11-16T00:00:00Z"><text>second thought</text></comment>
+        |      <comment uid="8" user="bob" date="2015-11-16T00:00:00Z"><text>first thought</text></comment>
+        |    </discussion>
+        |  </changeset>
+        |</osm>""".stripMargin
+    val p = Files.createTempDirectory("graft_cmid").resolve("d.osm.xml")
+    OsmXml.writeFixture(p, xml)
+    val cm2 = graft.streaming.Replication.compactComments(
+      OsmXml.comments(OsmXml.scan(spark, p.toString)))
+    val texts = cm2.select("comment_text").collect().map(_.getString(0)).sorted
+    assert(texts === Array("first thought", "second thought")) // replay collapsed, distinct kept
+  }
+
   test("coordinates cast to DECIMAL(10,7) exactly (queries.py:11-14)") {
     val r = cs.filter(col("id") === 10).collect()(0)
     assert(r.getDecimal(r.fieldIndex("min_lat")).toPlainString === "40.6884971")

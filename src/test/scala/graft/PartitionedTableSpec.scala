@@ -73,6 +73,40 @@ class PartitionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum deletes only superseded bucket versions; readers see identical data") {
+    val dir = Files.createTempDirectory("graft_pt_gc")
+    val t = new PartitionedTable(dir, "id", nBuckets = 4)
+    // 5 merges over overlapping keys -> superseded versions accumulate
+    (1 to 5).foreach { i =>
+      t.mergeInto(spark, (1L to 40L).map(k => (k, s"r$i-$k")).toDF("id", "v"))
+    }
+    val before = t.read(spark).orderBy("id").as[(Long, String)].collect().toSeq
+    def bucketDirs = PartitionedTable.listDir(dir.resolve("commits"))
+      .flatMap(c => PartitionedTable.listDir(c).filter(Files.isDirectory(_)))
+    val deadBefore = bucketDirs.size - t.manifest.size
+    assert(deadBefore > 0, "expected dead versions before vacuum")
+    assert(t.vacuum() === deadBefore) // every dead version swept
+    assert(bucketDirs.size === t.manifest.size) // only live versions remain
+    assert(t.read(spark).orderBy("id").as[(Long, String)].collect().toSeq === before)
+    assert(t.vacuum() === 0) // idempotent
+    // crash-mid-sweep analog: a later merge + vacuum still converges
+    t.mergeInto(spark, Seq((1L, "post-gc")).toDF("id", "v"))
+    t.vacuum()
+    assert(t.read(spark).filter($"id" === 1L).select("v").head().getString(0) === "post-gc")
+    assert(t.read(spark).count() === 40)
+  }
+
+  test("manifest without the format marker is rejected with an explicit layout error") {
+    val dir = Files.createTempDirectory("graft_pt_old")
+    val t = new PartitionedTable(dir, "id", nBuckets = 2)
+    t.mergeInto(spark, Seq((1L, "a")).toDF("id", "v"))
+    // simulate a table written by the pre-marker layout
+    val old = Files.readAllLines(dir.resolve("MANIFEST"))
+    Files.write(dir.resolve("MANIFEST"), java.util.List.copyOf(old.subList(1, old.size)))
+    val err = intercept[IllegalStateException] { t.read(spark) }
+    assert(err.getMessage.contains("incompatible table layout"))
+  }
+
   test("mergeInto is idempotent and inserts new keys into their buckets") {
     val dir = Files.createTempDirectory("graft_pt2")
     val t = new PartitionedTable(dir, "id", nBuckets = 4)

@@ -178,11 +178,22 @@ object Dedup {
   private[graft] def dedupSimhashPlan(s: SparkSession, d: String): DataFrame =
     simhashPairs(simhashSigs(s, d))
 
-  /** Exhaustive word-2-gram Jaccard within `source` blocks (the
-    * non-LSH baseline). Shaped as an exploded n-gram equi-join —
+  /** Any (source, gram) key held by more than this many documents is
+    * dropped before the n-gram self-join: one ubiquitous gram ("of
+    * the") in a source block otherwise makes its join key quadratic-
+    * hot — b docs sharing a gram meet b²/2 times in the shuffle. A
+    * gram this common carries no near-dup signal (it is the stopword
+    * of the gram space); Jaccard is computed over the rare-gram space
+    * on BOTH sides of the comparison, and the DuckDB oracle applies
+    * the identical cut. */
+  val MaxGramDf = 64
+
+  /** Word-2-gram Jaccard within `source` blocks (the non-LSH
+    * baseline). Shaped as an exploded n-gram equi-join —
     * intersections come out of a (source, gram) shuffle join + count,
     * never a per-pair array scan: the pair set costs
-    * O(co-occurring grams), and every step is a plain hash
+    * O(co-occurring rare grams) with the MaxGramDf cut bounding every
+    * join key's bucket, and every step is a plain hash
     * shuffle/aggregate that scales horizontally (38 s → ~3 s at sf0.1
     * vs the pairwise array_intersect form). */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
@@ -190,9 +201,14 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         explode(shingles(col("text"), 2)).as("g"))
       .cache() // invocation-scoped, like dedupMinhashLsh
+    // hot-gram set is tiny -> the anti-join auto-broadcasts
+    val hot = grams.groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > MaxGramDf)
+      .select(col("source"), col("g"))
+    val rare = grams.join(hot, Seq("source", "g"), "left_anti").cache()
     try {
-      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = grams.as("a").join(grams.as("b"),
+      val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = rare.as("a").join(rare.as("b"),
           col("a.source") === col("b.source") && col("a.g") === col("b.g") &&
           col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -204,7 +220,7 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast(IntegerType).as("uni"))
         .filter(col("inter") * 2 >= col("uni"))
         .localCheckpoint(true)
-    } finally grams.unpersist()
+    } finally { rare.unpersist(); grams.unpersist() }
   }
 
   /** Embedding near-dup, cluster-then-verify (the SemDeDup shape —
@@ -369,17 +385,23 @@ object Dedup {
         |  bit_count(xor(a.sim, b.sim)) AS hamming
         |FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 6""".stripMargin,
-    // len(gs) > 0 guards mirror the Spark side, where a gram-less doc
-    // (< 2 words) vanishes in the explode — without them two such docs
-    // in one source would emit a phantom (0,0) pair here.
+    // Mirrors the Spark side exactly: grams with per-source document
+    // frequency > MaxGramDf are cut BEFORE pairing, and Jaccard runs
+    // over the rare-gram space. A doc left gram-less (< 2 words, or
+    // all grams hot) vanishes from `rg`, mirroring the explode side —
+    // without that, two such docs would emit a phantom (0,0) pair.
     "dedup_ngram_jaccard" ->
-      s"""WITH g AS (SELECT doc_id, source, $gram2SqlDuck AS gs FROM documents)
+      s"""WITH g AS (SELECT doc_id, source, $gram2SqlDuck AS gs FROM documents),
+        |gx AS (SELECT doc_id, source, unnest(gs) AS gr FROM g),
+        |hot AS (SELECT source, gr FROM gx GROUP BY source, gr HAVING count(*) > $MaxGramDf),
+        |rg AS (SELECT gx.doc_id, gx.source, list(gx.gr) AS gs
+        |  FROM gx LEFT JOIN hot ON gx.source = hot.source AND gx.gr = hot.gr
+        |  WHERE hot.gr IS NULL GROUP BY gx.doc_id, gx.source)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  len(list_intersect(a.gs, b.gs)) AS inter,
         |  len(list_distinct(a.gs || b.gs)) AS uni
-        |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE 2 * len(list_intersect(a.gs, b.gs)) >= len(list_distinct(a.gs || b.gs))
-        |  AND len(a.gs) > 0 AND len(b.gs) > 0""".stripMargin,
+        |FROM rg a JOIN rg b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.gs, b.gs)) >= len(list_distinct(a.gs || b.gs))""".stripMargin,
     // mirrors the IVF cell assignment (same centroids + tie-break as
     // the Spark side), then the within-(label, cell) cosine verify
     "dedup_embed_cosine" ->

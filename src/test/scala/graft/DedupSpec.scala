@@ -125,6 +125,27 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked.subsetOf(exhaustive)) // cluster-then-verify never invents pairs
   }
 
+  test("ngram jaccard df-cut: a ubiquitous gram cannot pair-bomb its source block") {
+    // MaxGramDf+10 docs share a 4-word template (3 hot grams each, all
+    // above the cap) plus a unique tail gram. WITHOUT the cut every
+    // template pair passes Jaccard (3/5 = 0.6) -> ~n²/2 output pairs
+    // and a quadratic-hot join key; WITH it the template grams are cut
+    // and the docs share nothing. A genuine near-dup pair whose grams
+    // stay under the cap must still be found.
+    val n = Dedup.MaxGramDf + 10
+    val hotDocs = (1 to n).map(i => (i.toLong, s"the quick brown fox unique$i", "s0"))
+    val near = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta", "s0"),
+      (901L, "alpha beta gamma delta epsilon eta", "s0"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gramcap")
+    (hotDocs ++ near).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val pairs = Dedup.dedupNgramJaccard(spark, tmp.toString)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((900L, 901L)),
+      s"expected only the rare-gram near-dup pair, got ${pairs.size} pairs")
+  }
+
   test("dedup operators release their working caches (no session-lifetime leak)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cachechk")
     docs.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)

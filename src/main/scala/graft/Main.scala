@@ -123,6 +123,58 @@ object Main {
     log.result()
   }
 
+  /** The full CLI composition as a checkable relation (gate entry
+    * `cli_entry`): create → bulk-load the dump fixture →
+    * --init-sequence → replicate 5 diffs → geometry, exactly the
+    * reference's flag order (`changesetmd.py:202-230`), then probe the
+    * action log order and the resulting tables. Known answers: bulk
+    * fixture = ids {10,11,12} with 2 comments on id 10; diffs 1..5
+    * rewrite id 11 and insert 101..105 → 8 changesets, offset 5. */
+  def cliEntry(spark: SparkSession, d: String): Seq[(String, Long)] = {
+    val root = Files.createTempDirectory("graft_cli_entry")
+    val db = root.resolve("db")
+    val dump = root.resolve("dump/changesets.osm.xml.gz")
+    graft.sources.OsmXml.writeFixture(dump, graft.sources.OsmXml.bulkFixture)
+    val feed = root.resolve("feed")
+    Replication.writeFixtureWorld(feed, 5)
+    val log = run(spark, parse(List(
+      "-d", db.toString, "-c", "-f", dump.toString,
+      "--init-sequence", "0", "-r", feed.toString, "-g")))
+    def pos(prefix: String): Long = log.indexWhere(_.startsWith(prefix)) + 1L
+    val csDir = changesetsDir(db)
+    Seq(
+      ("action_create", pos("create:")),
+      ("action_load", pos("load:")),
+      ("action_init_sequence", pos("init-sequence:")),
+      ("action_replicate", pos("replicate: applied 5")),
+      ("action_geometry", pos("geometry:")),
+      ("final_changesets", Replication.readTable(spark, csDir).count()),
+      ("final_comments", Replication.commentsTable(csDir).read(spark).count()),
+      ("final_offset", Replication.StateDoc.read(stateFile(db)).lastSequence),
+      ("geom_rows",
+        spark.read.parquet(tablesDir(db).resolve("changesets_geom").toString).count()))
+  }
+
+  val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "cli_entry" -> ((s, d) => {
+      import s.implicits._
+      cliEntry(s, d).toDF("probe", "value")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "cli_entry" ->
+      """SELECT * FROM (VALUES
+        |  ('action_create', CAST(1 AS BIGINT)),
+        |  ('action_load', 2),
+        |  ('action_init_sequence', 3),
+        |  ('action_replicate', 4),
+        |  ('action_geometry', 5),
+        |  ('final_changesets', 8),
+        |  ('final_comments', 2),
+        |  ('final_offset', 5),
+        |  ('geom_rows', 8)
+        |) AS t(probe, value)""".stripMargin)
+
   def main(args: Array[String]): Unit = {
     val cfg = parse(args.toList)
     val spark = SparkSession.builder()

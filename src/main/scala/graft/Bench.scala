@@ -7,11 +7,14 @@ import java.nio.file.Files
   * `SPARK_GRAFT_SF_DIR` and prints exactly ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Two extra context keys ride along (ignored by consumers that only
-  * read the contract keys): `ingest_rows_per_sec` — distributed-XML
-  * bulk-load throughput, directly comparable to the reference's
-  * 3,000–4,600 changesets/sec single-thread rate (BASELINE.md) — and
-  * `ingest_rows`.
+  * Extra context keys ride along (ignored by consumers that only read
+  * the contract keys): `runs` — EVERY per-run time behind each
+  * median, so a machine-contention outlier is visible in the artifact
+  * instead of silently skewing it (the round-3 lesson: one anomalous
+  * 49 s run recorded as a 13× "regression" that never existed) —
+  * plus `ingest_rows_per_sec` (distributed-XML bulk-load throughput,
+  * directly comparable to the reference's 3,000–4,600 changesets/sec
+  * single-thread rate, BASELINE.md) and `ingest_rows`.
   */
 object Bench {
 
@@ -24,6 +27,7 @@ object Bench {
     "agg_distinct",        // shuffle-heavy distinct
     "join_inner_hash",     // fact-fact join
     "join_broadcast",      // star join, broadcast dims
+    "join_bucketed",       // co-located zero-shuffle FK join (read-only)
     "win_dedup_lastwins",  // window dedup
     "sort_limit_topk",     // top-k
     "map_contains",        // property-bag predicate
@@ -32,7 +36,12 @@ object Bench {
     "sim_topk",            // brute-force cosine top-k
     "text_tokens",         // text analysis
     "stream_window_agg",   // streaming windowed agg
+    "stream_source_v2",    // V2 source AvailableNow drain
     "pipeline_curate")     // end-to-end curation pipeline
+
+  private val runsPerQuery = 3
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,29 +59,40 @@ object Bench {
     // warm the session (codegen, parquet footers) outside timing
     Tables.lineitem(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
+    // the bucketed LAYOUT is write-time ETL, not query work: build it
+    // once here so join_bucketed times the read-only co-located join
+    val (bktOrders, bktLineitem) =
+      graft.operators.Relational.buildBucketedTables(spark, sfDir)
+    val benchFns: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      SparkEntry.queries + ("join_bucketed" ->
+        ((s: SparkSession, _: String) =>
+          graft.operators.Relational.joinBucketedOn(s, bktOrders, bktLineitem)))
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     headline.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = benchFns(name)
       try {
-        val t = (1 to 2).map(_ => time(fn(spark, sfDir).write
-          .mode("overwrite").format("noop").save())).min
-        results += name -> t
-      } catch { case _: Throwable => results += name -> -1.0 }
+        runs += name -> (1 to runsPerQuery).map(_ => time(fn(spark, sfDir).write
+          .mode("overwrite").format("noop").save()))
+      } catch { case _: Throwable => runs += name -> Seq(-1.0) }
     }
+    val medians = runs.map { case (k, v) =>
+      k -> (if (v.exists(_ < 0)) -1.0 else median(v)) }
 
     // distributed XML bulk-load throughput (EP1 analog)
     val (ingestRows, ingestSec) = xmlIngestBench(spark)
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val qs = medians.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val rs = runs.map { case (k, v) =>
+      s""""$k":${v.mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
+    val total = medians.values.filter(_ >= 0).sum
     val rate = if (ingestSec > 0) (ingestRows / ingestSec).round else 0L
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""ingest_rows_per_sec":$rate,"ingest_rows":$ingestRows,"sf":"$sfDir"}""")
+      s""""runs":$rs,"ingest_rows_per_sec":$rate,"ingest_rows":$ingestRows,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -41,9 +41,13 @@ object Dedup {
         .otherwise(array().cast(ArrayType(StringType))))
   }
 
-  /** MinHash signature: for each seed, the minimum md5-prefix of the
-    * seeded shingle — an 8-hex-digit string whose lexicographic min
-    * equals the numeric min of the 32-bit hash. */
+  /** MinHash signature, portable HOF form: for each seed, the minimum
+    * md5-prefix of the seeded shingle — an 8-hex-digit string whose
+    * lexicographic min equals the numeric min of the 32-bit hash.
+    * This is what the DuckDB oracle mirrors; the operator itself uses
+    * the bit-equal native expression (functions/MinHashSigExpr.scala,
+    * equality spec-tested) because the 16 `transform` lambdas here run
+    * interpreted. */
   def minhashSig(shingleSet: Column, nHashes: Int): Column =
     array((0 until nHashes).map { s =>
       array_min(transform(shingleSet,
@@ -99,8 +103,8 @@ object Dedup {
     // (localCheckpoint) so the signature cache is released on return
     // instead of leaking for the session's lifetime.
     val base = documents(s, d)
-      .select(col("doc_id"), shingles(col("text"), 3).as("shs"))
-      .withColumn("sig", minhashSig(col("shs"), 16))
+      .select(col("doc_id"), graft.functions.WordShingles.shingles(col("text"), 3).as("shs"))
+      .withColumn("sig", graft.functions.MinHashSig.minhashSig(col("shs"), 16))
       .withColumn("bands", bandKeys(col("sig"), 4, 4))
       .cache()
     try {
@@ -199,7 +203,7 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val grams = documents(s, d)
       .select(col("doc_id"), col("source"),
-        explode(shingles(col("text"), 2)).as("g"))
+        explode(graft.functions.WordShingles.shingles(col("text"), 2)).as("g"))
       .cache() // invocation-scoped, like dedupMinhashLsh
     // hot-gram set is tiny -> the anti-join auto-broadcasts
     val hot = grams.groupBy(col("source"), col("g"))
@@ -304,7 +308,7 @@ object Dedup {
     * (n_match/16 ≈ Jaccard). */
   def aggMinhashSketch(s: SparkSession, d: String): DataFrame = {
     val sk = documents(s, d)
-      .select(col("source"), explode(shingles(col("text"), 3)).as("sh"))
+      .select(col("source"), explode(graft.functions.WordShingles.shingles(col("text"), 3)).as("sh"))
       .groupBy(col("source"))
       .agg(graft.functions.MinHashAgg.minhashSketch(col("sh"), 16).as("sk"))
     sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))

@@ -63,6 +63,39 @@ class DedupSpec extends AnyFunSuite {
     assert(r(3L) === 1L)
   }
 
+  test("native WordShingles expression is bit-equal to the portable HOF form") {
+    val corpus = docs.select(col("text"))
+      .unionAll(Seq("one", "one two", "a  b c", " lead", "trail ", "a b a b a b")
+        .toDF("text"))
+    val both = corpus.select(
+      graft.functions.WordShingles.shingles(col("text"), 3).as("native"),
+      Dedup.shingles(col("text"), 3).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1)) // incl. distinct order
+    }
+    val k2 = corpus.select(
+      graft.functions.WordShingles.shingles(col("text"), 2).as("native"),
+      Dedup.shingles(col("text"), 2).as("hof"))
+    k2.collect().foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
+  test("native MinHashSig expression is bit-equal to the portable HOF form") {
+    val both = docs.select(
+      graft.functions.MinHashSig.minhashSig(
+        Dedup.shingles(col("text"), 3), 16).as("native"),
+      Dedup.minhashSig(Dedup.shingles(col("text"), 3), 16).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+    // empty shingle set (doc shorter than k words) -> all-NULL slots
+    val short = Seq("one two").toDF("text").select(
+      graft.functions.MinHashSig.minhashSig(Dedup.shingles(col("text"), 3), 4).as("sig"),
+      Dedup.minhashSig(Dedup.shingles(col("text"), 3), 4).as("hof"))
+    val row = short.collect()(0)
+    assert(row.getSeq[String](0) === Seq(null, null, null, null))
+    assert(row.getSeq[String](0) === row.getSeq[String](1))
+  }
+
   test("native SimHash32 expression is bit-equal to the portable SQL form") {
     val both = docs.select(
       graft.functions.SimHash32.simhash32(

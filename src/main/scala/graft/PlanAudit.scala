@@ -52,6 +52,10 @@ object PlanAudit {
       "bounded heaps shrink each task to k rows per query before the merge: no corpus-sized shuffle into #queries reducers"),
     Check("dedup_simhash", "banded candidate equi-join", "chunk_val",
       "multi-index banding joins on (source, chunk_id, chunk_value): pair work is O(bucket), not O(n^2) per source"),
+    Check("dedup_minhash_lsh", "native one-pass signatures", "minhash_sig",
+      "shingling + 16-slot MinHash run as single native expressions in the scan projection, not 16 interpreted lambdas"),
+    Check("dedup_minhash_lsh", "banded candidate equi-join", "band_key",
+      "LSH bands join on (band_id, band_key): candidate generation is equi-join shaped, never all-pairs"),
     Check("dedup_embed_cosine", "cell-blocked candidates", "nearest_centroid",
       "IVF cell id is a narrow per-row argmax expression; the pair join is blocked on (label, cell), not label alone"),
     Check("join_bucketed", "co-located join, no input shuffle", "ABSENT:Exchange hashpartitioning(o_orderkey",
@@ -89,7 +93,8 @@ object PlanAudit {
     // hygiene) return an opaque checkpoint scan — audit the lazy plan
     // that executes inside the materialization instead
     val planOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("dedup_simhash" -> graft.operators.Dedup.dedupSimhashPlan _)
+      Map("dedup_simhash" -> graft.operators.Dedup.dedupSimhashPlan _,
+        "dedup_minhash_lsh" -> graft.operators.Dedup.dedupMinhashLshPlan _)
     def build(name: String) =
       planOnly.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
     val audited = checks.map(_.query).distinct

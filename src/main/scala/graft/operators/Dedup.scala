@@ -93,40 +93,48 @@ object Dedup {
 
   /** MinHash(16) + LSH(4 bands × 4 rows) near-dup candidate pairs,
     * verified by exact shingle Jaccard ≥ 0.5. */
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    // Materialize the signature table before the self-join: without
-    // this, projection collapse inlines the shingle construction into
-    // every one of the 16 minhash expressions AND into both join
-    // sides (~64× recompute). At cluster scale this table is
-    // persisted/bucketed by band key; cache() is the local analog —
-    // scoped to this invocation: the result is materialized eagerly
-    // (localCheckpoint) so the signature cache is released on return
-    // instead of leaking for the session's lifetime.
-    val base = documents(s, d)
+  private def minhashBase(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("doc_id"), graft.functions.WordShingles.shingles(col("text"), 3).as("shs"))
       .withColumn("sig", graft.functions.MinHashSig.minhashSig(col("shs"), 16))
       .withColumn("bands", bandKeys(col("sig"), 4, 4))
-      .cache()
-    try {
-      val bands = base.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_id", "band_key")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      val sets = base.select(col("doc_id"), col("shs"))
-      cand
-        .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
-        .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("x.shs"), col("y.shs"))).as("inter"),
-          size(array_distinct(concat(col("x.shs"), col("y.shs")))).as("uni"))
-        .filter(col("inter") * 2 >= col("uni")) // J >= 0.5, integer-exact
-        .localCheckpoint(true)
-    } finally base.unpersist()
+
+  private def minhashPairs(base: DataFrame): DataFrame = {
+    val bands = base.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_id", "band_key")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = base.select(col("doc_id"), col("shs"))
+    cand
+      .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("x.shs"), col("y.shs"))).as("inter"),
+        size(array_distinct(concat(col("x.shs"), col("y.shs")))).as("uni"))
+      .filter(col("inter") * 2 >= col("uni")) // J >= 0.5, integer-exact
   }
+
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // Materialize the signature table before the self-join: without
+    // this, projection collapse inlines the shingle construction into
+    // both join sides. At cluster scale this table is persisted/
+    // bucketed by band key; cache() is the local analog — scoped to
+    // this invocation: the result is materialized eagerly
+    // (localCheckpoint) so the signature cache is released on return
+    // instead of leaking for the session's lifetime.
+    val base = minhashBase(s, d).cache()
+    try minhashPairs(base).localCheckpoint(true) finally base.unpersist()
+  }
+
+  /** The lazy plan inside dedupMinhashLsh's eager materialization
+    * (minus the signature cache) — what PlanAudit asserts the native
+    * signature projection and banded equi-join on. */
+  private[graft] def dedupMinhashLshPlan(s: SparkSession, d: String): DataFrame =
+    minhashPairs(minhashBase(s, d))
 
   /** SimHash near-dup pairs: 32-bit signatures, Hamming ≤ 6 within a
     * `source` block. Candidate generation is multi-index banding

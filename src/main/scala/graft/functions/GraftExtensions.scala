@@ -16,11 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * adds the same functions to an existing session's registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.bboxAreaDesc)
-    e.injectFunction(GraftExtensions.minhashSketchDesc)
-    e.injectFunction(GraftExtensions.dotF32Desc)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
@@ -51,10 +48,54 @@ object GraftExtensions {
         DotF32(DotF32.normNull(exprs(0)), DotF32.normNull(exprs(1)))
       })
 
+  /** A foldable integer argument (e.g. the k of a signature). */
+  private def intArg(fn: String, e: Expression): Int = {
+    require(e.foldable, s"$fn: k must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn: k must be an INT literal, got $other")
+    }
+  }
+
+  val wordShinglesDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(words_array, k) - distinct k-word shingles, first-occurrence order"),
+      exprs => {
+        require(exprs.length == 2,
+          s"word_shingles requires exactly 2 arguments, got ${exprs.length}")
+        WordShingles(exprs(0), intArg("word_shingles", exprs(1)))
+      })
+
+  val minhashSigDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(shingles_array, k) - k-slot MinHash signature (md5-prefix family)"),
+      exprs => {
+        require(exprs.length == 2,
+          s"minhash_sig requires exactly 2 arguments, got ${exprs.length}")
+        MinHashSig(exprs(0), intArg("minhash_sig", exprs(1)))
+      })
+
+  val simhash32Desc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("simhash32"),
+      info("simhash32",
+        "simhash32(tokens_array) - 32-bit SimHash bit-majority signature"),
+      exprs => {
+        require(exprs.length == 1,
+          s"simhash32 requires exactly 1 argument, got ${exprs.length}")
+        SimHash32(exprs.head)
+      })
+
+  private[functions] val all = Seq(
+    bboxAreaDesc, minhashSketchDesc, dotF32Desc,
+    wordShinglesDesc, minhashSigDesc, simhash32Desc)
+
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(bboxAreaDesc, minhashSketchDesc, dotF32Desc).foreach { case (id, inf, builder) =>
+    all.foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }

@@ -79,6 +79,31 @@ class FunctionsSpec extends AnyFunSuite {
       arityErr.getMessage.toLowerCase.contains("dot_f32"))
   }
 
+  test("word_shingles / minhash_sig / simhash32 registered and usable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT word_shingles(split('a b c d', ' '), 3) AS sh,
+        |       minhash_sig(array('x', 'y'), 2) AS sig,
+        |       simhash32(array('x', 'y')) AS sim""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
+    // slots = min over {x, y} of substr(md5(seed:el), 1, 8)
+    val exp = (0 until 2).map { s =>
+      Seq("x", "y").map { el =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.digest(s"$s:$el".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      }.min
+    }
+    assert(r.getSeq[String](1) === exp)
+    val simViaCol = Seq(Seq("x", "y")).toDF("t")
+      .select(graft.functions.SimHash32.simhash32(col("t"))).collect()(0).getLong(0)
+    assert(r.getLong(2) === simViaCol)
+    // non-literal k -> clean error
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('x'), cast(rand()*4 AS INT))").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("minhash_sketch slots equal independent per-element min (cross-check vs SQL md5)") {
     val df = Seq(("g1", "aa"), ("g1", "bb"), ("g1", "cc"), ("g2", "aa"))
       .toDF("g", "el")

@@ -68,7 +68,9 @@ object PlanAudit {
     Check("sim_ivf", "broadcast probe join", "BroadcastHashJoin",
       "queries probe their cell via a broadcast equi-join on cell id; the corpus side never moves for the probe"),
     Check("dedup_embed_cosine", "zero-shuffle cell assignment", "ABSENT:BroadcastNestedLoopJoin",
-      "SemDeDup assignment has no centroid cross-join: the only shuffle left is the (label, cell) candidate equi-join itself"))
+      "SemDeDup assignment has no centroid cross-join: the only shuffle left is the (label, cell) candidate equi-join itself"),
+    Check("sim_ivf_nprobe", "corpus-side work unchanged under multi-probe", "ABSENT:HashAggregate",
+      "nprobe=2 ranks probes on the tiny query side only: the corpus keeps the zero-shuffle nearest_centroid projection and one broadcast probe join"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

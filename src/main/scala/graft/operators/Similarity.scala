@@ -210,10 +210,46 @@ object Similarity {
       .filter(col("rnk") <= 5)
   }
 
+  /** IVF with multi-probe (nprobe=2): each query searches its 2
+    * nearest cells instead of 1 — the standard IVF recall knob (probe
+    * cost is nprobe·TargetCellSize, still sublinear in n). The probe
+    * ranking is QUERY-side work only: #queries × k rows through a tiny
+    * broadcast cross-join + rank window; the corpus side is identical
+    * to simIvf — a zero-shuffle `nearest_centroid` projection joined
+    * once on cell id. A vector lives in exactly one cell, so probing
+    * two cells never duplicates a candidate. */
+  def simIvfNprobe(s: SparkSession, d: String, nprobe: Int = 2): DataFrame = {
+    val e = embeddings(s, d)
+    val k = centroidK(e.count())
+    val cents = centroids(e, k).collect()
+      .map(r => (r.getLong(0), collectVector(r, 1)))
+    val cells = e.select(col("vec_id"),
+      graft.functions.NearestCentroid.nearest(col("embedding"), cents).as("cell"),
+      col("embedding"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("cent_id").asc)
+    val qprobes = queryVectors(s, d).withColumnRenamed("q", "qv")
+      .crossJoin(broadcast(centroids(e, k).withColumnRenamed("c", "cv")))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        round(dot(col("qv"), col("cv")), 4).as("pcos"))
+      .withColumn("probe_rank", row_number().over(pw))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("qcell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    cells.join(broadcast(qprobes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(dot(col("qv"), col("embedding")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk _,
     "sim_ann_lsh" -> simAnnLsh _,
-    "sim_ivf" -> simIvf _
+    "sim_ivf" -> simIvf _,
+    "sim_ivf_nprobe" -> ((s: SparkSession, d: String) => simIvfNprobe(s, d))
   )
 
   private val dotSql =
@@ -250,6 +286,27 @@ object Similarity {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY round(${dotSql.format("qv", "cb.embedding")}, 4) DESC, cb.vec_id ASC) AS rnk
         |  FROM cb JOIN qb ON bucket = qbucket AND cb.vec_id <> query_id) t
+        |WHERE rnk <= 5""".stripMargin,
+    "sim_ivf_nprobe" ->
+      s"""WITH $centroidCteSql,
+        |cells AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dotSql.format("e.embedding", "cv")}, 4) DESC, c.cent_id ASC) AS arnk
+        |    FROM embeddings e, c) t WHERE arnk = 1),
+        |qprobes AS (
+        |  SELECT query_id, qv, qcell FROM (
+        |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cent_id AS qcell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(${dotSql.format("q.embedding", "cv")}, 4) DESC, c.cent_id ASC) AS arnk
+        |    FROM embeddings q, c WHERE q.vec_id < 3) t WHERE arnk <= 2)
+        |SELECT query_id, vec_id, cell, cos_r, rnk FROM (
+        |  SELECT query_id, cells.vec_id, cell,
+        |    round(${dotSql.format("qv", "cells.embedding")}, 4) AS cos_r,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(${dotSql.format("qv", "cells.embedding")}, 4) DESC, cells.vec_id ASC) AS rnk
+        |  FROM cells JOIN qprobes ON cell = qcell AND cells.vec_id <> query_id) t
         |WHERE rnk <= 5""".stripMargin,
     "sim_ivf" ->
       s"""WITH $centroidCteSql,

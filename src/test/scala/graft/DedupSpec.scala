@@ -79,6 +79,31 @@ class DedupSpec extends AnyFunSuite {
     k2.collect().foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("property: native shingle/minhash kernels equal HOF forms on random texts") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(4)),
+      Gen.const(""),           // consecutive-space artifacts
+      Gen.const("émoji✓"),     // multi-byte UTF-8
+      Gen.const("a"))
+    val textGen = for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val texts = Gen.listOfN(80, textGen)(Gen.Parameters.default, Seed(42L)).get
+    val both = texts.toDF("text").select(
+      graft.functions.WordShingles.shingles(col("text"), 3).as("ns"),
+      Dedup.shingles(col("text"), 3).as("hs"),
+      graft.functions.MinHashSig.minhashSig(
+        graft.functions.WordShingles.shingles(col("text"), 3), 8).as("nm"),
+      Dedup.minhashSig(Dedup.shingles(col("text"), 3), 8).as("hm"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+      assert(r.getSeq[String](2) === r.getSeq[String](3))
+    }
+  }
+
   test("native MinHashSig expression is bit-equal to the portable HOF form") {
     val both = docs.select(
       graft.functions.MinHashSig.minhashSig(

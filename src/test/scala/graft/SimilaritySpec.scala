@@ -107,6 +107,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(3L) === None)
   }
 
+  test("IVF nprobe=2 never loses recall vs nprobe=1; candidates stay cell-bounded") {
+    val d = "/root/testdata/sf0.001"
+    def weakest(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.groupBy("query_id").agg(min(col("cos_r")).as("w"))
+        .as[(Long, Double)].collect().toMap
+    val one = weakest(Similarity.simIvf(spark, d))
+    val two = weakest(Similarity.simIvfNprobe(spark, d))
+    // a strictly larger candidate pool can only raise (or keep) the
+    // weakest of the returned top-5 per query
+    one.foreach { case (q, w1) => assert(two(q) >= w1,
+      s"query $q: nprobe=2 weakest ${two(q)} < nprobe=1 weakest $w1") }
+    assert(two.keySet === Set(0L, 1L, 2L))
+  }
+
   test("quantizer cell population stays bounded (k grows with the corpus)") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, d)

@@ -33,7 +33,9 @@ object Bench {
     "map_contains",        // property-bag predicate
     "join_range_bbox",     // spatial theta join
     "dedup_minhash_lsh",   // MinHash+LSH near-dup
+    "dedup_embed_cosine",  // SemDeDup cell-blocked embedding near-dup
     "sim_topk",            // brute-force cosine top-k
+    "sim_ivf",             // IVF cell-probe ANN (dynamic-k quantizer)
     "text_tokens",         // text analysis
     "stream_window_agg",   // streaming windowed agg
     "stream_source_v2",    // V2 source AvailableNow drain

@@ -137,6 +137,65 @@ object EventStreams {
         col("last_value").cast(DecimalType(12, 2)).cast(DoubleType).as("last_value"))
   }
 
+  /** The same per-user running state on Spark 4's transformWithState —
+    * the successor API to mapGroupsWithState: typed state variables
+    * from a StatefulProcessorHandle (ValueState here; ListState/
+    * MapState/timers/TTL available), backed by the RocksDB state store
+    * provider, which at 100 TB is the difference between state bounded
+    * by executor heap and state bounded by local disk. Output contract
+    * and oracle are identical to stream_state_mgmt; a spec asserts the
+    * two APIs produce the same relation. */
+  class UserStateProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("userState",
+        org.apache.spark.sql.Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, evs: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserOut] = {
+      var cur = Option(st.get()).getOrElse(
+        UserState(0L, Long.MinValue, Long.MinValue, 0.0))
+      evs.foreach { e =>
+        val newer = e.ts_us > cur.last_ts_us ||
+          (e.ts_us == cur.last_ts_us && e.event_id > cur.last_event_id)
+        cur = UserState(cur.n + 1,
+          if (newer) e.ts_us else cur.last_ts_us,
+          if (newer) e.event_id else cur.last_event_id,
+          if (newer) e.value else cur.last_value)
+      }
+      st.update(cur)
+      Iterator.single(UserOut(userId, cur.n, cur.last_ts_us, cur.last_value))
+    }
+  }
+
+  def streamStateTws(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds: Dataset[Ev] = eventsStream(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+        .as[Ev]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new UserStateProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val table = runToTable(out.toDF(), OutputMode.Update())
+      graft.operators.Upsert.lastWins(table, Seq("user_id"), Seq(col("n_events")))
+        .select(col("user_id"), col("n_events"),
+          timestamp_micros(col("last_ts_us")).as("last_ts"),
+          col("last_value").cast(DecimalType(12, 2)).cast(DoubleType).as("last_value"))
+    } finally prev match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+  }
+
   /** Streaming upsert sink — the EP2 redesign end-to-end on Spark's
     * engine: the event stream is a changelog keyed by user_id; each
     * micro-batch is last-wins-compacted and merged into a
@@ -212,7 +271,8 @@ object EventStreams {
     "stream_window_agg" -> streamWindowAgg _,
     "stream_sliding_agg" -> streamSlidingAgg _,
     "stream_session_window" -> streamSessionWindow _,
-    "stream_state_mgmt" -> streamStateMgmt _
+    "stream_state_mgmt" -> streamStateMgmt _,
+    "stream_state_tws" -> streamStateTws _
   )
 
   val oracles: Map[String, String] = Map(
@@ -267,16 +327,21 @@ object EventStreams {
     // last_value tie-break is explicit (ts DESC, event_id DESC) — the
     // same total order the Spark state update uses; arg_max(value, ts)
     // alone would be nondeterministic on timestamp-tied events.
-    "stream_state_mgmt" ->
-      """WITH lastv AS (
-        |  SELECT user_id, value FROM (
-        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
-        |  WHERE rn = 1)
-        |SELECT e.user_id, count(*) AS n_events,
-        |  max(e.ts) AS last_ts,
-        |  CAST(CAST(min(l.value) AS DECIMAL(12,2)) AS DOUBLE) AS last_value
-        |FROM events e JOIN lastv l USING (user_id)
-        |GROUP BY e.user_id""".stripMargin
+    "stream_state_mgmt" -> stateOracle,
+    "stream_state_tws" -> stateOracle
   )
+
+  /** Shared by both keyed-state APIs (mapGroupsWithState and
+    * transformWithState): same contract, same known answer. */
+  private lazy val stateOracle: String =
+    """WITH lastv AS (
+      |  SELECT user_id, value FROM (
+      |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+      |  WHERE rn = 1)
+      |SELECT e.user_id, count(*) AS n_events,
+      |  max(e.ts) AS last_ts,
+      |  CAST(CAST(min(l.value) AS DECIMAL(12,2)) AS DOUBLE) AS last_value
+      |FROM events e JOIN lastv l USING (user_id)
+      |GROUP BY e.user_id""".stripMargin
 }

@@ -68,6 +68,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.maxSeqsPerBatch === 2)
   }
 
+  test("transformWithState (RocksDB) produces the same relation as mapGroupsWithState") {
+    val d = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id").collect().map(_.toSeq).toSeq
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    val viaTws = rows(graft.streaming.EventStreams.streamStateTws(spark, d))
+    val viaMgws = rows(graft.streaming.EventStreams.streamStateMgmt(spark, d))
+    assert(viaTws === viaMgws)
+    assert(viaTws.nonEmpty)
+    // the RocksDB override is scoped: the session's provider is restored
+    assert(spark.conf.getOption(providerKey) === before)
+  }
+
   test("watermark finalizes windows; in-watermark late rows count, beyond-watermark rows drop") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_late_src").toString

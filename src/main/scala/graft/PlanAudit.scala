@@ -70,7 +70,9 @@ object PlanAudit {
     Check("dedup_embed_cosine", "zero-shuffle cell assignment", "ABSENT:BroadcastNestedLoopJoin",
       "SemDeDup assignment has no centroid cross-join: the only shuffle left is the (label, cell) candidate equi-join itself"),
     Check("sim_ivf_nprobe", "corpus-side work unchanged under multi-probe", "ABSENT:HashAggregate",
-      "nprobe=2 ranks probes on the tiny query side only: the corpus keeps the zero-shuffle nearest_centroid projection and one broadcast probe join"))
+      "nprobe=2 ranks probes on the tiny query side only: the corpus keeps the zero-shuffle nearest_centroid projection and one broadcast probe join"),
+    Check("sim_ann_lsh_multiprobe", "corpus-side work unchanged under multi-probe", "ABSENT:HashAggregate",
+      "the 9-bucket probe expansion explodes on the broadcast query side only; the corpus keeps the narrow literal-plane bucket projection"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

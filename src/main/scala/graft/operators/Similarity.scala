@@ -210,6 +210,45 @@ object Similarity {
       .filter(col("rnk") <= 5)
   }
 
+  /** Multi-probe hyperplane LSH: each query searches its own bucket
+    * plus the 8 buckets at Hamming distance 1 (one sign bit flipped) —
+    * the standard multi-probe recall knob (Lv et al., "Multi-probe
+    * LSH", VLDB 2007): near neighbors that land across one hyperplane
+    * boundary are recovered at 9× probe cost instead of a second
+    * hash table. The probe expansion is QUERY-side only (explode of a
+    * 9-element array over #queries rows, broadcast); the corpus keeps
+    * the identical narrow bucket projection as simAnnLsh — zero
+    * shuffle, zero aggregation. A vector lives in one bucket and the
+    * 9 probe buckets are distinct, so no candidate duplicates. */
+  def simAnnLshMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val planes: Array[(Long, Array[Float])] = e
+      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), collectVector(r, 1)))
+      .sortBy(_._1)
+    require(planes.length == 8,
+      s"LSH needs the 8 plane vectors 100..107; found ${planes.length}")
+    def bucketOf(vecCol: Column): Column =
+      planes.map { case (planeId, p) =>
+        when(dot(vecCol, typedlit(p)) >= 0,
+          lit(1L << (planeId - 100).toInt)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val corpusB = e.withColumn("bucket", bucketOf(col("embedding")))
+    val probes = queryVectors(s, d).withColumnRenamed("q", "qv")
+      .withColumn("qbucket", bucketOf(col("qv")))
+      .withColumn("probe_bucket", explode(array(
+        col("qbucket") +: (0 until 8).map(i => expr(s"qbucket ^ ${1L << i}")): _*)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    corpusB.join(broadcast(probes),
+        col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("bucket"),
+        round(dot(col("qv"), col("embedding")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
   /** IVF with multi-probe (nprobe=2): each query searches its 2
     * nearest cells instead of 1 — the standard IVF recall knob (probe
     * cost is nprobe·TargetCellSize, still sublinear in n). The probe
@@ -248,6 +287,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk _,
     "sim_ann_lsh" -> simAnnLsh _,
+    "sim_ann_lsh_multiprobe" -> simAnnLshMultiprobe _,
     "sim_ivf" -> simIvf _,
     "sim_ivf_nprobe" -> ((s: SparkSession, d: String) => simIvfNprobe(s, d))
   )
@@ -286,6 +326,31 @@ object Similarity {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY round(${dotSql.format("qv", "cb.embedding")}, 4) DESC, cb.vec_id ASC) AS rnk
         |  FROM cb JOIN qb ON bucket = qbucket AND cb.vec_id <> query_id) t
+        |WHERE rnk <= 5""".stripMargin,
+    "sim_ann_lsh_multiprobe" ->
+      s"""WITH p AS (SELECT vec_id AS plane_id, embedding AS pv FROM embeddings
+        |           WHERE vec_id >= 100 AND vec_id < 108),
+        |cb AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    sum(CASE WHEN ${dotSql.format("e.embedding", "pv")} >= 0
+        |        THEN 1 << (plane_id - 100) ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings e, p GROUP BY e.vec_id, e.embedding),
+        |qb AS (
+        |  SELECT q.vec_id AS query_id, q.embedding AS qv,
+        |    sum(CASE WHEN ${dotSql.format("q.embedding", "pv")} >= 0
+        |        THEN 1 << (plane_id - 100) ELSE 0 END)::BIGINT AS qbucket
+        |  FROM embeddings q, p WHERE q.vec_id < 3 GROUP BY q.vec_id, q.embedding),
+        |probes AS (
+        |  SELECT query_id, qv,
+        |    CASE WHEN i = -1 THEN qbucket
+        |         ELSE xor(qbucket, (1::BIGINT << i)) END AS probe_bucket
+        |  FROM qb, unnest(range(-1, 8)) t(i))
+        |SELECT query_id, vec_id, bucket, cos_r, rnk FROM (
+        |  SELECT query_id, cb.vec_id, bucket,
+        |    round(${dotSql.format("qv", "cb.embedding")}, 4) AS cos_r,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(${dotSql.format("qv", "cb.embedding")}, 4) DESC, cb.vec_id ASC) AS rnk
+        |  FROM cb JOIN probes ON cb.bucket = probe_bucket AND cb.vec_id <> query_id) t
         |WHERE rnk <= 5""".stripMargin,
     "sim_ivf_nprobe" ->
       s"""WITH $centroidCteSql,

@@ -107,6 +107,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(3L) === None)
   }
 
+  test("multi-probe LSH dominates single-probe pointwise by rank") {
+    val d = "/root/testdata/sf0.001"
+    def byRank(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Double] =
+      df.select("query_id", "rnk", "cos_r")
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val single = byRank(Similarity.simAnnLsh(spark, d))
+    val multi = byRank(Similarity.simAnnLshMultiprobe(spark, d))
+    // the multi-probe candidate set is a superset, so at every rank the
+    // returned score can only be >= the single-probe score
+    single.foreach { case (key, cs) =>
+      assert(multi.contains(key) && multi(key) >= cs,
+        s"$key: multiprobe ${multi.get(key)} < single-probe $cs") }
+    assert(multi.size >= single.size)
+    assert(multi.nonEmpty)
+  }
+
   test("IVF nprobe=2 never loses recall vs nprobe=1; candidates stay cell-bounded") {
     val d = "/root/testdata/sf0.001"
     def weakest(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =

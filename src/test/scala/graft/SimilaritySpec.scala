@@ -93,6 +93,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaExpr.size === 500)
   }
 
+  test("nearest_centroid ties break on the ROUNDED dot: 4-decimal tie -> smallest id") {
+    // ids ascending, but the LOWER id has the (slightly) lower raw dot:
+    // 0.70706 vs 0.70714 — both round to 0.7071, so the oracle's
+    // row_number ORDER BY round(dot,4) DESC, cent_id ASC picks id 1.
+    // A raw-dot argmax would pick id 2 and diverge from DuckDB.
+    val cents = Array(
+      (1L, Array(0.70706f, 0.0f)),
+      (2L, Array(0.70714f, 0.0f)))
+    val df = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v")
+    val cell = df.select(
+        graft.functions.NearestCentroid.nearest(col("v"), cents).as("cell"))
+      .head().getLong(0)
+    assert(cell === 1L)
+    // and an unambiguous winner is still the raw max
+    val cents2 = Array((1L, Array(0.5f, 0.0f)), (2L, Array(0.9f, 0.0f)))
+    val cell2 = df.select(
+        graft.functions.NearestCentroid.nearest(col("v"), cents2).as("cell"))
+      .head().getLong(0)
+    assert(cell2 === 2L)
+  }
+
   test("nearest_centroid null semantics: null vector or length mismatch -> NULL cell") {
     val cents = Array((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
     val df = Seq(

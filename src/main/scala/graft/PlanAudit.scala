@@ -16,9 +16,10 @@ object PlanAudit {
 
   /** needle prefixes: `EXECUTED:` looks in the post-run adaptive plan
     * (codegen markers only appear there); `ABSENT:` asserts the string
-    * does NOT occur; `REGEX:` matches as a regex. `conf` pairs are set
-    * for plan construction and restored after (e.g. disabling
-    * auto-broadcast to prove a join CAN shuffle). */
+    * does NOT occur; `REGEX:` matches as a regex (`ABSENT:REGEX:`
+    * asserts no match). `conf` pairs are set for plan construction and
+    * restored after (e.g. disabling auto-broadcast to prove a join CAN
+    * shuffle). */
   case class Check(query: String, property: String, needle: String,
       rationale: String, conf: Map[String, String] = Map.empty)
 
@@ -56,6 +57,10 @@ object PlanAudit {
       "shingling + 16-slot MinHash run as single native expressions in the scan projection, not 16 interpreted lambdas"),
     Check("dedup_minhash_lsh", "banded candidate equi-join", "band_key",
       "LSH bands join on (band_id, band_key): candidate generation is equi-join shaped, never all-pairs"),
+    Check("dedup_minhash_lsh_bucketed", "co-located band self-join, no input shuffle",
+      "ABSENT:REGEX:Exchange hashpartitioning\\([^)]*band_",
+      "the persisted bucketBy(band_key) band table pre-partitions both sides of the candidate join: write-once ETL, every dedup run joins shuffle-free",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
     Check("dedup_embed_cosine", "cell-blocked candidates", "nearest_centroid",
       "IVF cell id is a narrow per-row argmax expression; the pair join is blocked on (label, cell), not label alone"),
     Check("join_bucketed", "co-located join, no input shuffle", "ABSENT:Exchange hashpartitioning(o_orderkey",
@@ -98,7 +103,8 @@ object PlanAudit {
     // that executes inside the materialization instead
     val planOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       Map("dedup_simhash" -> graft.operators.Dedup.dedupSimhashPlan _,
-        "dedup_minhash_lsh" -> graft.operators.Dedup.dedupMinhashLshPlan _)
+        "dedup_minhash_lsh" -> graft.operators.Dedup.dedupMinhashLshPlan _,
+        "dedup_minhash_lsh_bucketed" -> graft.operators.Dedup.dedupMinhashLshBucketedPlan _)
     def build(name: String) =
       planOnly.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
     val audited = checks.map(_.query).distinct
@@ -122,6 +128,8 @@ object PlanAudit {
         else plans(c.query)
       c.needle match {
         case n if n.startsWith("EXECUTED:") => plan.contains(n.stripPrefix("EXECUTED:"))
+        case n if n.startsWith("ABSENT:REGEX:") =>
+          n.stripPrefix("ABSENT:REGEX:").r.findFirstIn(plan).isEmpty
         case n if n.startsWith("ABSENT:") => !plan.contains(n.stripPrefix("ABSENT:"))
         case n if n.startsWith("REGEX:") => n.stripPrefix("REGEX:").r.findFirstIn(plan).nonEmpty
         case n => plan.contains(n)

@@ -136,6 +136,64 @@ object Dedup {
   private[graft] def dedupMinhashLshPlan(s: SparkSession, d: String): DataFrame =
     minhashPairs(minhashBase(s, d))
 
+  /** The 100 TB layout of the same operator: the exploded band table
+    * persisted `bucketBy(band_key)` (write-time ETL), so the candidate
+    * self-join reads co-located buckets with NO exchange on either
+    * join input — the signature table is written once and every
+    * dedup run against it joins shuffle-free (HashPartitioning on
+    * band_key satisfies the join's clustering on (band_id, band_key)).
+    * Same result and oracle as dedup_minhash_lsh: bucketing is a
+    * layout choice, not a semantic one. */
+  def dedupMinhashLshBucketed(s: SparkSession, d: String): DataFrame = {
+    val base = minhashBase(s, d).cache()
+    try {
+      val bands = bucketedBandTable(s, d, base)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val sets = base.select(col("doc_id"), col("shs"))
+      cand
+        .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("x.shs"), col("y.shs"))).as("inter"),
+          size(array_distinct(concat(col("x.shs"), col("y.shs")))).as("uni"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .localCheckpoint(true)
+    } finally base.unpersist()
+  }
+
+  /** Build (or rebuild) the persisted band table for `d` and return
+    * it. Registered under a temp-dir-unique name; the write is the
+    * once-per-corpus ETL half. */
+  private[graft] def bucketedBandTable(s: SparkSession, d: String,
+      base: DataFrame): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lshbkt")
+    val bt = "lsh_bands_" + wh.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    base.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_id", "band_key")))
+      .write.mode("overwrite")
+      .bucketBy(8, "band_key").sortBy("band_key")
+      .option("path", wh.resolve("bands").toString).saveAsTable(bt)
+    s.table(bt)
+  }
+
+  /** Lazy-plan variant for PlanAudit: builds the bucketed table, then
+    * returns the un-checkpointed candidate join over it. */
+  private[graft] def dedupMinhashLshBucketedPlan(s: SparkSession, d: String): DataFrame = {
+    val base = minhashBase(s, d)
+    val bands = bucketedBandTable(s, d, base)
+    bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** SimHash near-dup pairs: 32-bit signatures, Hamming ≤ 6 within a
     * `source` block. Candidate generation is multi-index banding
     * (Manku-Jain-Sarma, WWW 2007 §3): the signature splits into 7
@@ -329,6 +387,7 @@ object Dedup {
     "agg_minhash_sketch" -> aggMinhashSketch _,
     "dedup_exact" -> dedupExact _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_minhash_lsh_bucketed" -> dedupMinhashLshBucketed _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_embed_cosine" -> dedupEmbedCosine _,
@@ -357,6 +416,23 @@ object Dedup {
     bitSums.mkString("(", " + ", ")")
   }
 
+  private lazy val minhashLshOracle: String =
+    s"""WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS shs FROM documents),
+      |sig AS (SELECT doc_id, shs,
+      |  [list_min([substr(md5(s::VARCHAR || ':' || x), 1, 8) FOR x IN shs]) FOR s IN range(0, 16)] AS sigs
+      |  FROM sh),
+      |bands AS (SELECT doc_id, b AS band_id,
+      |  sigs[4*b+1] || sigs[4*b+2] || sigs[4*b+3] || sigs[4*b+4] AS band_key
+      |  FROM sig, unnest(range(0, 4)) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  len(list_intersect(x.shs, y.shs)) AS inter,
+      |  len(list_distinct(x.shs || y.shs)) AS uni
+      |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+      |WHERE 2 * len(list_intersect(x.shs, y.shs)) >= len(list_distinct(x.shs || y.shs))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "agg_minhash_sketch" ->
       s"""WITH sh AS (
@@ -373,22 +449,9 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
-    "dedup_minhash_lsh" ->
-      s"""WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS shs FROM documents),
-        |sig AS (SELECT doc_id, shs,
-        |  [list_min([substr(md5(s::VARCHAR || ':' || x), 1, 8) FOR x IN shs]) FOR s IN range(0, 16)] AS sigs
-        |  FROM sh),
-        |bands AS (SELECT doc_id, b AS band_id,
-        |  sigs[4*b+1] || sigs[4*b+2] || sigs[4*b+3] || sigs[4*b+4] AS band_key
-        |  FROM sig, unnest(range(0, 4)) t(b)),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b,
-        |  len(list_intersect(x.shs, y.shs)) AS inter,
-        |  len(list_distinct(x.shs || y.shs)) AS uni
-        |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
-        |WHERE 2 * len(list_intersect(x.shs, y.shs)) >= len(list_distinct(x.shs || y.shs))""".stripMargin,
+    "dedup_minhash_lsh" -> minhashLshOracle,
+    // identical relation: bucketing the band table is a layout choice
+    "dedup_minhash_lsh_bucketed" -> minhashLshOracle,
     "dedup_simhash" ->
       s"""WITH sigs AS (
         |  SELECT doc_id, source, $simhashSqlDuck AS sim

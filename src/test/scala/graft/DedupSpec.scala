@@ -183,6 +183,22 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked.subsetOf(exhaustive)) // cluster-then-verify never invents pairs
   }
 
+  test("bucketed LSH layout: same pairs as the shuffle form, no exchange on the band join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lshbkt_spec")
+    docs.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val viaShuffle = Dedup.dedupMinhashLsh(spark, tmp.toString)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val viaBucketed = Dedup.dedupMinhashLshBucketed(spark, tmp.toString)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(viaBucketed === viaShuffle)
+    assert(viaBucketed.nonEmpty)
+    // the candidate join plans with no exchange on its bucketed inputs
+    val plan = Dedup.dedupMinhashLshBucketedPlan(spark, tmp.toString)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!"Exchange hashpartitioning\\([^)]*band_".r.findFirstIn(plan).isDefined,
+      s"band self-join should read co-located buckets:\n$plan")
+  }
+
   test("ngram jaccard df-cut: a ubiquitous gram cannot pair-bomb its source block") {
     // MaxGramDf+10 docs share a 4-word template (3 hot grams each, all
     // above the cap) plus a unique tail gram. WITHOUT the cut every

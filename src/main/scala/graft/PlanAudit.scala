@@ -37,6 +37,12 @@ object PlanAudit {
       "ORDER BY+LIMIT lowers to per-partition top-k + merge, never a global sort"),
     Check("join_range_bbox", "broadcast theta join", "BroadcastNestedLoopJoin",
       "literal-envelope containment join broadcasts the 4-row envelope table"),
+    Check("join_bbox_grid", "grid-cell equi-join, no nested loop", "ABSENT:BroadcastNestedLoopJoin",
+      "fact-by-fact box intersection joins on (cx, cy) grid cells — a hash-shuffle equi-join with exact verify, never an all-pairs loop",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("join_bbox_grid", "grid join shuffles on cells", "REGEX:SortMergeJoin|ShuffledHashJoin",
+      "with broadcast off, candidates meet in a cell-keyed shuffle join: the scale path for box-by-box spatial joins",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
     Check("agg_group", "partial aggregation", "HashAggregate",
       "map-side partial + final aggregate: shuffle carries group states, not rows"),
     Check("agg_group", "whole-stage codegen", "EXECUTED:*(1)",

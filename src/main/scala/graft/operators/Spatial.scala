@@ -151,10 +151,64 @@ object Spatial {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  /** Coarse-grid cell size (degrees) for the box×box join. */
+  val GridDeg = 10
+
+  /** Deterministic synthetic bbox per customer (integer corners —
+    * a second, non-tiny box set so the box×box join is fact×fact). */
+  def customerBbox(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      (col("c_custkey") % 340 - 170).cast(DoubleType).as("c_min_lon"),
+      (col("c_custkey") * 3 % 160 - 80).cast(DoubleType).as("c_min_lat"),
+      (col("c_custkey") % 340 - 170 + 1 + col("c_custkey") % 9).cast(DoubleType).as("c_max_lon"),
+      (col("c_custkey") * 3 % 160 - 80 + 1 + col("c_custkey") % 7).cast(DoubleType).as("c_max_lat"))
+
+  /** One row per grid cell covered by the box (boxes span ≤ 2×2 cells
+    * here; a pathological continent-sized box should be area-filtered
+    * upstream — the standard grid-join caveat). */
+  private def withCells(df: DataFrame, minLon: String, maxLon: String,
+      minLat: String, maxLat: String): DataFrame =
+    df.withColumn("cx", explode(sequence(
+        floor(col(minLon) / GridDeg).cast(IntegerType),
+        floor(col(maxLon) / GridDeg).cast(IntegerType))))
+      .withColumn("cy", explode(sequence(
+        floor(col(minLat) / GridDeg).cast(IntegerType),
+        floor(col(maxLat) / GridDeg).cast(IntegerType))))
+
+  /** Box×box INTERSECTION join at scale: the coarse-grid-cell
+    * equi-join prefix (the SCALING.md spatial-join shape, same
+    * candidate-then-verify pattern as the LSH dedup path). Each box
+    * explodes to its covering 10° cells; candidates meet in a plain
+    * (cx, cy) hash-shuffle equi-join — never a nested-loop cross
+    * product over two fact tables — and the exact interval predicate
+    * verifies candidates. LOSSLESS: two axis-aligned boxes intersect
+    * ⇒ their cell ranges intersect ⇒ they share ≥ 1 cell, so the
+    * result equals the direct theta join (which is exactly what the
+    * DuckDB oracle computes — the grid is pure physical optimization).
+    * Pairs straddling a cell boundary appear once after the pair
+    * dedup. */
+  def joinBboxGrid(s: SparkSession, d: String): DataFrame = {
+    val a = withCells(ordersBbox(s, d), "min_lon", "max_lon", "min_lat", "max_lat")
+    val b = withCells(customerBbox(s, d), "c_min_lon", "c_max_lon", "c_min_lat", "c_max_lat")
+    a.as("a").join(b.as("b"),
+        col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy") &&
+        col("min_lon") <= col("c_max_lon") && col("max_lon") >= col("c_min_lon") &&
+        col("min_lat") <= col("c_max_lat") && col("max_lat") >= col("c_min_lat"))
+      .select(col("o_orderkey"), col("c_custkey"))
+      .dropDuplicates("o_orderkey", "c_custkey")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(lit(1)).as("n_overlaps"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "filter_clamp_latlon" -> filterClampLatlon _,
     "filter_area" -> filterArea _,
     "join_range_bbox" -> joinRangeBbox _,
+    "join_bbox_grid" -> joinBboxGrid _,
     "geom_envelope" -> geomEnvelopeQuery _
   )
 
@@ -195,6 +249,22 @@ object Spatial {
         |WHERE min_lon >= lon_lo AND max_lon <= lon_hi
         |  AND min_lat >= lat_lo AND max_lat <= lat_hi
         |GROUP BY env_id""".stripMargin,
+    // ground truth is the direct theta join: the Spark side's grid
+    // prefix is lossless, so no grid appears in the oracle at all
+    "join_bbox_grid" ->
+      s"""WITH b AS ($bboxSql),
+        |cb AS (SELECT c_custkey,
+        |  CAST(c_custkey % 340 - 170 AS DOUBLE) AS c_min_lon,
+        |  CAST(c_custkey * 3 % 160 - 80 AS DOUBLE) AS c_min_lat,
+        |  CAST(c_custkey % 340 - 170 + 1 + c_custkey % 9 AS DOUBLE) AS c_max_lon,
+        |  CAST(c_custkey * 3 % 160 - 80 + 1 + c_custkey % 7 AS DOUBLE) AS c_max_lat
+        |FROM customer)
+        |SELECT c_custkey, count(*) AS n_overlaps,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM b, cb
+        |WHERE min_lon <= c_max_lon AND max_lon >= c_min_lon
+        |  AND min_lat <= c_max_lat AND max_lat >= c_min_lat
+        |GROUP BY c_custkey""".stripMargin,
     "geom_envelope" ->
       s"""WITH b AS ($bboxSql)
         |SELECT o_orderkey, 4326 AS srid,

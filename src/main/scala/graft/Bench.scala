@@ -31,7 +31,8 @@ object Bench {
     "win_dedup_lastwins",  // window dedup
     "sort_limit_topk",     // top-k
     "map_contains",        // property-bag predicate
-    "join_range_bbox",     // spatial theta join
+    "join_range_bbox",     // spatial theta join (tiny envelope set)
+    "join_bbox_grid",      // fact-fact box join via grid-cell equi-join
     "dedup_minhash_lsh",   // MinHash+LSH near-dup
     "dedup_embed_cosine",  // SemDeDup cell-blocked embedding near-dup
     "sim_topk",            // brute-force cosine top-k

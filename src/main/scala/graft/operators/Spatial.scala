@@ -151,8 +151,12 @@ object Spatial {
         max(col("o_orderkey")).as("max_key"))
   }
 
-  /** Coarse-grid cell size (degrees) for the box×box join. */
-  val GridDeg = 10
+  /** Coarse-grid cell size (degrees) for the box×box join — sized so
+    * the largest boxes (≤ 8°×6°) span ≤ 3 cells per axis while cell
+    * population stays low enough that candidate pairs per cell don't
+    * blow up (measured 2-3× cheaper than 10° at sf0.1; production
+    * tunes this to box-size distribution). */
+  val GridDeg = 5
 
   /** Deterministic synthetic bbox per customer (integer corners —
     * a second, non-tiny box set so the box×box join is fact×fact). */

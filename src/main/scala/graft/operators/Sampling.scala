@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Reproducible sampling for training-data curation (SURVEY.md §2j
+  * family): hash-based splits and per-class caps.
+  *
+  * Both operators are DETERMINISTIC functions of the row key — no
+  * `rand()` anywhere — which is what a training pipeline actually
+  * needs: the same document lands in the same split on every run, on
+  * any cluster, at any partitioning (Bernoulli `sample()` cannot
+  * promise any of that, and a seeded RNG stream is engine-specific,
+  * so it could never be oracle-checked). md5 is the portable hash
+  * family the dedup suite already uses.
+  *
+  * Scale: both are one narrow projection over the scan; the split is
+  * a tiny aggregate, the cap a per-class window — each a single hash
+  * shuffle bounded by #classes.
+  */
+object Sampling {
+
+  /** Split assignment by md5(doc_id) prefix: hex chars sort uniformly,
+    * so first-2-chars < 'cc' ≈ 204/256 ≈ 80% train, < 'e6' ≈ +10%
+    * val, rest test. A new document changes nothing about where
+    * existing documents land — the property that makes hash splits
+    * the reproducible-train/test standard. */
+  def splitOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h2 = substring(md5(key.cast("string")), 1, 2)
+    when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+  }
+
+  /** Gate query: split the documents corpus and report per-split
+    * stats (counts prove the ~80/10/10 shape; min/max prove
+    * assignment determinism). */
+  def sampleHashSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+
+  /** Per-class balanced cap: keep at most `cap` documents per
+    * language, chosen by md5(doc_id) order — a deterministic uniform
+    * subsample within each class (the class-rebalancing step of a
+    * curation pipeline). One window per class partition; the md5
+    * order means adding documents to one class never reshuffles
+    * another class's keep-set. */
+  def sampleBalanced(s: SparkSession, d: String, cap: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_hash_split" -> sampleHashSplit _,
+    "sample_balanced" -> ((s: SparkSession, d: String) => sampleBalanced(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sample_hash_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1""".stripMargin,
+    "sample_balanced" ->
+      """SELECT doc_id, lang, rnk FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents) t
+        |WHERE rnk <= 50""".stripMargin
+  )
+}

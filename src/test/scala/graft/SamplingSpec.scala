@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sampling
+
+/** Reproducible-sampling contracts: hash splits are stable under
+  * corpus growth; balanced caps are deterministic per class. */
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("hash split: ~80/10/10 shape and total preservation") {
+    val d = "/root/testdata/sf0.001"
+    val r = Sampling.sampleHashSplit(spark, d)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val total = r.values.sum
+    assert(total === 500)
+    assert(r("train") > 350 && r("train") < 450) // ≈ 80% of 500
+    assert(r("val") > 20 && r("test") > 20)
+  }
+
+  test("hash split is stable: adding documents never moves an existing one") {
+    val small = (1L to 200L).toDF("doc_id")
+      .select(col("doc_id"), Sampling.splitOf(col("doc_id")).as("split"))
+      .as[(Long, String)].collect().toMap
+    val grown = (1L to 400L).toDF("doc_id")
+      .select(col("doc_id"), Sampling.splitOf(col("doc_id")).as("split"))
+      .as[(Long, String)].collect().toMap
+    small.foreach { case (id, sp) => assert(grown(id) === sp) }
+  }
+
+  test("balanced cap keeps at most `cap` per class, deterministically") {
+    val d = "/root/testdata/sf0.001"
+    val once = Sampling.sampleBalanced(spark, d, cap = 10)
+      .as[(Long, String, Int)].collect().toSet
+    val again = Sampling.sampleBalanced(spark, d, cap = 10)
+      .as[(Long, String, Int)].collect().toSet
+    assert(once === again)
+    once.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.size <= 10, s"$lang over cap") }
+    // caps actually bind: the corpus has >10 docs in some language
+    assert(once.groupBy(_._2).exists(_._2.size == 10))
+  }
+}

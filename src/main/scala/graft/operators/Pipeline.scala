@@ -50,12 +50,35 @@ object Pipeline {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
   }
 
+  /** Flagship end-to-end composition: curated corpus → reproducible
+    * hash split (train only) → per-language balanced cap — the "emit
+    * a training corpus" query a curation pipeline exists to answer.
+    * Every stage is an already-verified operator; Catalyst sees one
+    * declarative plan (the split is a narrow projection, the cap one
+    * window per language). */
+  def pipelineTrainCorpus(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val curated = pipelineCurate(s, d)
+    val train = curated
+      .withColumn("split", Sampling.splitOf(col("doc_id")))
+      .filter(col("split") === "train")
+    val w = Window.partitionBy(col("lang_pred"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    train
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 100)
+      .select(col("doc_id"), col("source"), col("lang_pred"), col("n_words"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_curate" -> pipelineCurate _
+    "pipeline_curate" -> pipelineCurate _,
+    "pipeline_train_corpus" -> pipelineTrainCorpus _
   )
 
-  val oracles: Map[String, String] = Map(
-    "pipeline_curate" ->
+  /** The curation CTE chain, ending in `curated(doc_id, source,
+    * n_words, uniq_pct, lang_pred, fingerprint)` — shared by both
+    * pipeline oracles. */
+  private lazy val curateCtes: String =
       s"""WITH RECURSIVE sh2 AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
         |    THEN [array_to_string(string_split(text,' ')[i:i+2], ' ')
@@ -112,11 +135,28 @@ object Pipeline {
         |  SELECT doc_id,
         |    list_min([substr(md5(array_to_string(string_split(text,' ')[i:i+4], ' ')), 1, 16)
         |      FOR i IN range(1, len(string_split(text,' ')) - 3)]) AS fingerprint
-        |  FROM documents WHERE len(string_split(text,' ')) >= 5)
-        |SELECT s.doc_id, s.source, q.n_words, q.uniq_pct, lang.lang_pred, fp.fingerprint
-        |FROM surviving s
-        |JOIN q ON s.doc_id = q.doc_id
-        |JOIN lang ON s.doc_id = lang.doc_id
-        |JOIN fp ON s.doc_id = fp.doc_id""".stripMargin
+        |  FROM documents WHERE len(string_split(text,' ')) >= 5),
+        |curated AS (
+        |  SELECT s.doc_id, s.source, q.n_words, q.uniq_pct, lang.lang_pred, fp.fingerprint
+        |  FROM surviving s
+        |  JOIN q ON s.doc_id = q.doc_id
+        |  JOIN lang ON s.doc_id = lang.doc_id
+        |  JOIN fp ON s.doc_id = fp.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_curate" ->
+      s"""$curateCtes
+        |SELECT doc_id, source, n_words, uniq_pct, lang_pred, fingerprint
+        |FROM curated""".stripMargin,
+    // curated -> md5 train split -> per-language cap by hash order
+    "pipeline_train_corpus" ->
+      s"""$curateCtes,
+        |tr AS (SELECT doc_id, source, lang_pred, n_words FROM curated
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'),
+        |capped AS (SELECT doc_id, source, lang_pred, n_words,
+        |  row_number() OVER (PARTITION BY lang_pred
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk FROM tr)
+        |SELECT doc_id, source, lang_pred, n_words, rnk
+        |FROM capped WHERE rnk <= 100""".stripMargin
   )
 }

@@ -183,24 +183,31 @@ object Spatial {
   /** Box×box INTERSECTION join at scale: the coarse-grid-cell
     * equi-join prefix (the SCALING.md spatial-join shape, same
     * candidate-then-verify pattern as the LSH dedup path). Each box
-    * explodes to its covering 10° cells; candidates meet in a plain
+    * explodes to its covering cells; candidates meet in a plain
     * (cx, cy) hash-shuffle equi-join — never a nested-loop cross
     * product over two fact tables — and the exact interval predicate
     * verifies candidates. LOSSLESS: two axis-aligned boxes intersect
     * ⇒ their cell ranges intersect ⇒ they share ≥ 1 cell, so the
     * result equals the direct theta join (which is exactly what the
     * DuckDB oracle computes — the grid is pure physical optimization).
-    * Pairs straddling a cell boundary appear once after the pair
-    * dedup. */
+    *
+    * Boundary-straddling pairs are deduplicated WITHOUT a shuffle by
+    * the reference-cell rule (the PBSM trick — Patel & DeWitt,
+    * SIGMOD 1996): a pair is emitted only by the one cell containing
+    * the intersection rectangle's lower-left corner
+    * (max(min_lons), max(min_lats)) — a point inside both boxes, so
+    * both sides cover its cell. The duplicate-elimination
+    * `dropDuplicates` exchange disappears from the plan entirely. */
   def joinBboxGrid(s: SparkSession, d: String): DataFrame = {
     val a = withCells(ordersBbox(s, d), "min_lon", "max_lon", "min_lat", "max_lat")
     val b = withCells(customerBbox(s, d), "c_min_lon", "c_max_lon", "c_min_lat", "c_max_lat")
     a.as("a").join(b.as("b"),
         col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy") &&
         col("min_lon") <= col("c_max_lon") && col("max_lon") >= col("c_min_lon") &&
-        col("min_lat") <= col("c_max_lat") && col("max_lat") >= col("c_min_lat"))
+        col("min_lat") <= col("c_max_lat") && col("max_lat") >= col("c_min_lat") &&
+        col("a.cx") === floor(greatest(col("min_lon"), col("c_min_lon")) / GridDeg).cast(IntegerType) &&
+        col("a.cy") === floor(greatest(col("min_lat"), col("c_min_lat")) / GridDeg).cast(IntegerType))
       .select(col("o_orderkey"), col("c_custkey"))
-      .dropDuplicates("o_orderkey", "c_custkey")
       .groupBy(col("c_custkey"))
       .agg(
         count(lit(1)).as("n_overlaps"),

@@ -37,6 +37,10 @@ object PlanAudit {
       "ORDER BY+LIMIT lowers to per-partition top-k + merge, never a global sort"),
     Check("join_range_bbox", "broadcast theta join", "BroadcastNestedLoopJoin",
       "literal-envelope containment join broadcasts the 4-row envelope table"),
+    Check("join_asof", "no join operator at all", "ABSENT:Join",
+      "the as-of match is a tagged union + one per-user ordered window: one shuffle, no join machinery, no ts>=ts range-join blowup"),
+    Check("join_asof", "single ordered window pass", "Window",
+      "latest-state carry-forward via last(_, ignoreNulls) over the per-user timeline"),
     Check("join_bbox_grid", "grid-cell equi-join, no nested loop", "ABSENT:BroadcastNestedLoopJoin",
       "fact-by-fact box intersection joins on (cx, cy) grid cells — a hash-shuffle equi-join with exact verify, never an all-pairs loop",
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),

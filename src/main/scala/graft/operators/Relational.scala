@@ -183,6 +183,50 @@ object Relational {
         count(lit(1)).as("n_items"),
         outD(sum(dec(col("l_extendedprice")))).as("sum_price"))
 
+  /** As-of join — each click matched to the MOST RECENT purchase by
+    * the same user at or before its timestamp. Spark has no asof
+    * operator; the scalable composition (per the custom-operator
+    * preference order: compose existing ops first) is union-then-
+    * window: tag both sides, sort each user's timeline once, and let
+    * `last(_, ignoreNulls)` carry the latest state values forward.
+    * ONE hash shuffle by user_id + a per-partition sort — no join
+    * machinery, no per-event probe, and at 100 TB no risk of the
+    * range-join blowup a theta `ts >= ts` join would plan. Equal
+    * timestamps sort state-first, matching ASOF's `>=`; purchases are
+    * last-wins deduped per (user, ts) so the match is deterministic.
+    * The DuckDB oracle is the genuinely independent check: its native
+    * ASOF JOIN (a different algorithm entirely) must produce the
+    * identical relation. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val pw = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), dec(col("value")).as("p_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val tagged = purchases
+      .select(col("user_id"), col("ts"), lit(1).as("is_state"),
+        col("p_event_id"), col("p_value"), lit(null).cast(LongType).as("event_id"))
+      .unionByName(clicks
+        .select(col("user_id"), col("ts"), lit(0).as("is_state"),
+          lit(null).cast(LongType).as("p_event_id"),
+          lit(null).cast(DecimalType(12, 2)).as("p_value"), col("event_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_state").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("m_event", last(col("p_event_id"), ignoreNulls = true).over(w))
+      .withColumn("m_ts",
+        last(when(col("is_state") === 1, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("m_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("is_state") === 0 && col("m_event").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("m_event").as("purchase_id"),
+        col("m_ts").as("purchase_ts"), outD(col("m_value")).as("p_value"))
+  }
+
   // ---- §2d aggregations ----------------------------------------------
 
   /** COUNT(*) vs COUNT(col) (null-skipping) — `README.md:110-112`. */
@@ -495,6 +539,7 @@ object Relational {
     "join_anti" -> joinAnti _,
     "join_skew_salted" -> joinSkewSalted _,
     "join_bucketed" -> joinBucketed _,
+    "join_asof" -> joinAsof _,
     "agg_count" -> aggCount _,
     "agg_group" -> aggGroup _,
     "agg_distinct" -> aggDistinct _,
@@ -575,6 +620,21 @@ object Relational {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    // independent algorithm on the oracle side: DuckDB's native ASOF
+    // JOIN must equal the union+window composition
+    "join_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id AS p_event_id,
+        |    CAST(value AS DECIMAL(12,2)) AS p_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |          ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'purchase') t
+        |  WHERE rn = 1),
+        |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |  p.p_event_id AS purchase_id, p.ts AS purchase_ts,
+        |  CAST(p.p_value AS DOUBLE) AS p_value
+        |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "agg_count" ->
       """SELECT count(*) AS n_rows, count(l_orderkey) AS n_keys
         |FROM lineitem WHERE l_discount > 0.05""".stripMargin,

@@ -88,9 +88,20 @@ object GraftExtensions {
         SimHash32(exprs.head)
       })
 
+  val spaceSavingDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("space_saving"),
+      info("space_saving",
+        "space_saving(expr, m) - m-entry SpaceSaving heavy-hitter candidate set of the grouped values"),
+      exprs => {
+        require(exprs.length == 2,
+          s"space_saving requires exactly 2 arguments, got ${exprs.length}")
+        SpaceSavingAgg(exprs.head,
+          intArg("space_saving", exprs(1))).toAggregateExpression()
+      })
+
   private[functions] val all = Seq(
     bboxAreaDesc, minhashSketchDesc, dotF32Desc,
-    wordShinglesDesc, minhashSigDesc, simhash32Desc)
+    wordShinglesDesc, minhashSigDesc, simhash32Desc, spaceSavingDesc)
 
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -120,7 +120,30 @@ object TextAnalysis {
       .withColumn("cluster_n", count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
   }
 
+  /** Per-source top-10 tokens via the two-pass heavy-hitter shape:
+    * pass 1 runs the mergeable SpaceSaving candidate sketch
+    * (functions/SpaceSavingAgg.scala — constant m-entry state, map-side
+    * combine, recall guaranteed for anything with frequency > n/m);
+    * pass 2 re-counts ONLY the candidates exactly, so the output
+    * carries true counts and the oracle is a plain exact GROUP BY.
+    * At 100 TB the first pass is the point: vocabulary is unbounded,
+    * but the shuffle carries m entries per source instead of the
+    * full (source, token) key space of a blind count — and the exact
+    * pass scans with a semi-join filter that prunes to candidates. */
+  def aggHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val cands = toks.groupBy(col("source"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), 256).as("cand"))
+      .select(col("source"), explode(col("cand")).as("tok"))
+    val exact = toks.join(cands, Seq("source", "tok"), "left_semi")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("tok").asc)
+    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_heavy_hitters" -> aggHeavyHitters _,
     "text_langid" -> textLangid _,
     "text_quality" -> textQuality _,
     "text_normalize" -> textNormalize _,
@@ -141,6 +164,15 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // exact ground truth: the sketch pass only proposes candidates,
+    // the engine's second pass re-counts them exactly
+    "agg_heavy_hitters" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT source, tok, count(*) AS n FROM t GROUP BY source, tok)
+        |SELECT source, tok, n, rnk FROM (
+        |  SELECT source, tok, n, row_number() OVER (PARTITION BY source
+        |    ORDER BY n DESC, tok ASC) AS rnk FROM cnt) x
+        |WHERE rnk <= 10""".stripMargin,
     "text_langid" ->
       s"""WITH scored AS (
         |  SELECT doc_id, lang,

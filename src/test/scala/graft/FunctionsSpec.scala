@@ -104,6 +104,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("space_saving heavy hitters: eviction path keeps true frequent items (recall)") {
+    // vocabulary (1000 distinct) far exceeds capacity (64): the sketch
+    // must evict — yet every token with frequency > n/m is guaranteed
+    // kept, so the two-pass operator still finds the exact top-10
+    val heavy = (1 to 10).flatMap(h => Seq.fill(200 + h)(s"hot$h"))
+    val noise = (1 to 990).flatMap(i => Seq.fill(3)(s"noise$i"))
+    val docs = new scala.util.Random(7).shuffle(heavy ++ noise).grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" "), "s0") }.toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ss")
+    docs.toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val toks = spark.read.parquet(tmp.resolve("documents.parquet").toString)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val cands = toks.groupBy(col("source"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), 64).as("cand"))
+      .select(explode(col("cand")).as("tok"))
+      .collect().map(_.getString(0)).toSet
+    assert(cands.size <= 64)
+    (1 to 10).foreach(h => assert(cands.contains(s"hot$h"),
+      s"hot$h (freq ${200 + h} > n/m) must survive eviction"))
+    // and the full two-pass operator returns the exact top-10
+    val top = graft.operators.TextAnalysis.aggHeavyHitters(spark, tmp.toString)
+      .select("tok", "n").as[(String, Long)].collect().toMap
+    assert(top.keySet === (1 to 10).map(h => s"hot$h").toSet)
+    (1 to 10).foreach(h => assert(top(s"hot$h") === 200L + h)) // EXACT counts
+  }
+
   test("minhash_sketch slots equal independent per-element min (cross-check vs SQL md5)") {
     val df = Seq(("g1", "aa"), ("g1", "bb"), ("g1", "cc"), ("g2", "aa"))
       .toDF("g", "el")

@@ -28,6 +28,7 @@ object Bench {
     "join_inner_hash",     // fact-fact join
     "join_broadcast",      // star join, broadcast dims
     "join_bucketed",       // co-located zero-shuffle FK join (read-only)
+    "join_asof",           // as-of match via union + ordered window
     "win_dedup_lastwins",  // window dedup
     "sort_limit_topk",     // top-k
     "map_contains",        // property-bag predicate
@@ -38,6 +39,7 @@ object Bench {
     "sim_topk",            // brute-force cosine top-k
     "sim_ivf",             // IVF cell-probe ANN (dynamic-k quantizer)
     "text_tokens",         // text analysis
+    "agg_heavy_hitters",   // SpaceSaving sketch + exact recount
     "stream_window_agg",   // streaming windowed agg
     "stream_source_v2",    // V2 source AvailableNow drain
     "pipeline_curate")     // end-to-end curation pipeline

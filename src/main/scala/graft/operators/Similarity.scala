@@ -154,9 +154,10 @@ object Similarity {
     * never aggregates, and never inflates 8× to get bucketed
     * (PlanAudit asserts ABSENT:HashAggregate) — at 100 TB the bucket
     * stage is a pure map over the scan. */
-  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val planes: Array[(Long, Array[Float])] = e
+  /** The 8 data-derived hyperplanes (vectors 100..107), collected and
+    * validated — shared by both LSH variants. */
+  private def collectPlanes(e: DataFrame): Array[(Long, Array[Float])] = {
+    val planes = e
       .filter(col("vec_id") >= 100 && col("vec_id") < 108)
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => (r.getLong(0), collectVector(r, 1)))
@@ -166,14 +167,23 @@ object Similarity {
     // 0.0f and diverge from the expression/oracle NULL semantics
     require(planes.length == 8,
       s"LSH needs the 8 plane vectors 100..107; found ${planes.length}")
-    def bucketOf(vecCol: Column): Column =
-      planes.map { case (planeId, p) =>
-        when(dot(vecCol, typedlit(p)) >= 0,
-          lit(1L << (planeId - 100).toInt)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    val corpusB = e.withColumn("bucket", bucketOf(col("embedding")))
+    planes
+  }
+
+  /** Sign-bit bucket id over the inlined planes — one narrow codegen'd
+    * projection per row. */
+  private def bucketOf(planes: Array[(Long, Array[Float])])(vecCol: Column): Column =
+    planes.map { case (planeId, p) =>
+      when(dot(vecCol, typedlit(p)) >= 0,
+        lit(1L << (planeId - 100).toInt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val bucket = bucketOf(collectPlanes(e)) _
+    val corpusB = e.withColumn("bucket", bucket(col("embedding")))
     val queriesB = queryVectors(s, d).withColumnRenamed("q", "qv")
-      .withColumn("qbucket", bucketOf(col("qv")))
+      .withColumn("qbucket", bucket(col("qv")))
     val cand = corpusB.join(broadcast(queriesB),
       col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
     val w = Window.partitionBy(col("query_id"))
@@ -222,21 +232,10 @@ object Similarity {
     * 9 probe buckets are distinct, so no candidate duplicates. */
   def simAnnLshMultiprobe(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val planes: Array[(Long, Array[Float])] = e
-      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
-      .select(col("vec_id"), col("embedding"))
-      .collect().map(r => (r.getLong(0), collectVector(r, 1)))
-      .sortBy(_._1)
-    require(planes.length == 8,
-      s"LSH needs the 8 plane vectors 100..107; found ${planes.length}")
-    def bucketOf(vecCol: Column): Column =
-      planes.map { case (planeId, p) =>
-        when(dot(vecCol, typedlit(p)) >= 0,
-          lit(1L << (planeId - 100).toInt)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    val corpusB = e.withColumn("bucket", bucketOf(col("embedding")))
+    val bucket = bucketOf(collectPlanes(e)) _
+    val corpusB = e.withColumn("bucket", bucket(col("embedding")))
     val probes = queryVectors(s, d).withColumnRenamed("q", "qv")
-      .withColumn("qbucket", bucketOf(col("qv")))
+      .withColumn("qbucket", bucket(col("qv")))
       .withColumn("probe_bucket", explode(array(
         col("qbucket") +: (0 until 8).map(i => expr(s"qbucket ^ ${1L << i}")): _*)))
     val w = Window.partitionBy(col("query_id"))

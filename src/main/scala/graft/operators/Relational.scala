@@ -347,6 +347,26 @@ object Relational {
         (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
   }
 
+  /** Batch sessionization — the batch analog of
+    * stream_session_window: a session break is a ≥ 30-min gap from
+    * the previous event (lag), and the session ordinal is the running
+    * count of breaks (cumulative sum) — the classic two-window
+    * composition. One shuffle by user_id, one per-partition sort
+    * shared by BOTH window functions (same partitioning+ordering →
+    * Catalyst plans a single Window node); deterministic via the
+    * event_id tie-break. */
+  def winSessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_break",
+        when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("is_break")).over(run))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("session_seq").cast(LongType).as("session_seq"))
+  }
+
   /** RANGE frame: for every order, aggregate over the *value range*
     * (±3 days of order date per customer), not a row count — the
     * frame-spec coverage of §2e (`rangeBetween`). */
@@ -551,6 +571,7 @@ object Relational {
     "win_dedup_lastwins" -> winDedupLastwins _,
     "win_rank" -> winRank _,
     "win_lag" -> winLag _,
+    "win_sessionize" -> winSessionize _,
     "win_range_frame" -> winRangeFrame _,
     "agg_running_rate" -> aggRunningRate _,
     "sort_seq" -> sortSeq _,
@@ -692,6 +713,16 @@ object Relational {
       """SELECT user_id, event_id,
         |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
         |FROM events""".stripMargin,
+    "win_sessionize" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS gap_us
+        |  FROM events) t""".stripMargin,
     "win_range_frame" ->
       """SELECT o_orderkey, o_custkey,
         |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_no,

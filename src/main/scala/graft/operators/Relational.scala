@@ -351,10 +351,11 @@ object Relational {
     * stream_session_window: a session break is a ≥ 30-min gap from
     * the previous event (lag), and the session ordinal is the running
     * count of breaks (cumulative sum) — the classic two-window
-    * composition. One shuffle by user_id, one per-partition sort
-    * shared by BOTH window functions (same partitioning+ordering →
-    * Catalyst plans a single Window node); deterministic via the
-    * event_id tie-break. */
+    * composition. The second window consumes the first's output so
+    * Catalyst plans two Window nodes, but they share ONE shuffle and
+    * ONE per-partition sort (verified: 1 Exchange, 1 Sort in the
+    * executed plan) — the second pass reuses the partitioning and
+    * ordering. Deterministic via the event_id tie-break. */
   def winSessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

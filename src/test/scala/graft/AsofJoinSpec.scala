@@ -33,6 +33,20 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(r === Array((201L, 100L, 10.0), (202L, 101L, 20.0), (203L, 101L, 20.0)))
   }
 
+  test("sessionize: strict 30-min boundary — exactly 30 min continues the session") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess")
+    Seq(
+      (1L, ts(0), 1L, "click", 0.0, "{}"),
+      (2L, ts(30), 1L, "click", 0.0, "{}"),   // exactly 30 min -> same session
+      (3L, ts(61), 1L, "click", 0.0, "{}"),   // 31 min -> new session
+      (4L, ts(0), 2L, "click", 0.0, "{}"))    // other user starts at 1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp.resolve("events.parquet").toString)
+    val r = graft.operators.Relational.winSessionize(spark, tmp.toString)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("as-of: same-(user, ts) purchases dedupe last-wins by event_id") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_asof2")
     Seq(

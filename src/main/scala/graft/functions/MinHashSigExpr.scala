@@ -26,10 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * intermediate allocation at all. CodegenFallback costs one virtual
   * call per row, irrelevant next to the k·|shingles| hashing loop.
   *
-  * Null semantics match the HOF form: NULL array → NULL; NULL
-  * elements are skipped (array_min semantics); an empty (or all-NULL)
-  * shingle set yields a signature of k NULL slots, whose band keys
-  * concat to NULL and never join.
+  * Null semantics match the HOF form: NULL, empty, or all-NULL
+  * shingle arrays all yield a signature of k NULL slots (the HOF's
+  * `array_min(transform(NULL, ...))` is NULL per seed, so the outer
+  * `array(...)` is k NULLs — never a NULL signature); band keys over
+  * such a signature concat to NULL and never join. NULL elements are
+  * skipped (array_min semantics).
   */
 case class MinHashSig(child: Expression, nHashes: Int)
   extends UnaryExpression with CodegenFallback {
@@ -37,6 +39,19 @@ case class MinHashSig(child: Expression, nHashes: Int)
   require(nHashes > 0, s"minhash_sig needs nHashes > 0, got $nHashes")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
+
+  // SQL-registered (`minhash_sig`): reject wrong-typed input at
+  // analysis rather than ClassCastException at execution (DotF32
+  // pattern; ExpectsInputTypes needs private[sql] types).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig requires ARRAY<STRING>, got ${t.simpleString}")
+    }
 
   @transient private lazy val md5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
@@ -44,8 +59,13 @@ case class MinHashSig(child: Expression, nHashes: Int)
   @transient private lazy val seedPrefixes: Array[Array[Byte]] =
     Array.tabulate(nHashes)(s => s"$s:".getBytes("UTF-8"))
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  // eval, not nullSafeEval: NULL input yields the k-NULL-slot
+  // signature, same as the HOF form.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null)
+      return new GenericArrayData(Array.fill[Any](nHashes)(null))
+    val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill(nHashes)(-1L) // -1 = no non-null shingle seen
     val d = md5.get()

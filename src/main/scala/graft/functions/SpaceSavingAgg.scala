@@ -43,6 +43,18 @@ case class SpaceSavingAgg(child: Expression, m: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // SQL-registered (`space_saving`): reject wrong-typed input at
+  // analysis rather than ClassCastException inside update() (DotF32
+  // pattern; ExpectsInputTypes needs private[sql] types).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"space_saving requires STRING, got ${t.simpleString}")
+    }
+
   override def createAggregationBuffer(): Buf = new Buf()
 
   override def update(buf: Buf, input: InternalRow): Buf = {
@@ -80,26 +92,35 @@ case class SpaceSavingAgg(child: Expression, m: Int,
     new GenericArrayData(
       buf.keys.toArray.sorted.map(s => UTF8String.fromString(s): Any))
 
-  // ASCII unit/record separators -- cannot occur in whitespace-split
-  // tokens; entries are "key<US>count" joined by <RS>
-  private val FieldSep = '\u001f'
-  private val EntrySep = '\u001e'
-
+  // Length-prefixed binary layout -- [entryCount:int] then per entry
+  // [keyLen:int][keyBytes][count:long]. No sentinel characters:
+  // space_saving is SQL-registered and sees arbitrary user strings,
+  // so keys may legitimately contain any code point (including the
+  // ASCII separators a delimiter scheme would corrupt on).
   override def serialize(buf: Buf): Array[Byte] = {
-    val sb = new StringBuilder
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
     buf.foreach { case (k, c) =>
-      if (sb.nonEmpty) sb.append(EntrySep)
-      sb.append(k).append(FieldSep).append(c)
+      val kb = k.getBytes("UTF-8")
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(c)
     }
-    sb.toString.getBytes("UTF-8")
+    out.flush()
+    bos.toByteArray
   }
 
   override def deserialize(bytes: Array[Byte]): Buf = {
     val buf = new Buf()
-    val s = new String(bytes, "UTF-8")
-    if (s.nonEmpty) s.split(EntrySep).foreach { e =>
-      val i = e.lastIndexOf(FieldSep.toInt)
-      buf.update(e.substring(0, i), e.substring(i + 1).toLong)
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(new String(kb, "UTF-8"), in.readLong())
+      i += 1
     }
     buf
   }

@@ -23,9 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * CodegenFallback costs one virtual call per row, irrelevant next to
   * the per-shingle string building.
   *
-  * Null semantics match: NULL word array → NULL; NULL words are
-  * skipped inside a shingle (concat_ws semantics); fewer than k words
-  * → empty array.
+  * Null semantics match: NULL word array → EMPTY array (the HOF
+  * form's `when(size(words) >= k, ...)` has a NULL condition for NULL
+  * input — size(NULL) is NULL — so its `otherwise` branch yields the
+  * empty array; spec-tested bit-equal). NULL words are skipped inside
+  * a shingle (concat_ws semantics); fewer than k words → empty array.
   */
 case class WordShingles(child: Expression, k: Int)
   extends UnaryExpression with CodegenFallback {
@@ -33,11 +35,27 @@ case class WordShingles(child: Expression, k: Int)
   require(k > 0, s"word_shingles needs k > 0, got $k")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  // SQL-registered (`word_shingles`), so arbitrary types can reach it:
+  // fail at analysis, not with a ClassCastException mid-job. (Same
+  // pattern as DotF32 — ExpectsInputTypes needs private[sql] types.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles requires ARRAY<STRING>, got ${t.simpleString}")
+    }
 
   private val sep = UTF8String.fromString(" ")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+  // eval, not nullSafeEval: NULL input maps to the empty array.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericArrayData(Array.empty[Any])
+    val words = v.asInstanceOf[ArrayData]
     val n = words.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -51,6 +69,9 @@ case class WordShingles(child: Expression, k: Int)
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
+
+  // (CodegenFallback's generated call sites handle a null-returning
+  // eval; ours never returns null, so nullable=false stays sound.)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -136,6 +136,20 @@ object Dedup {
   private[graft] def dedupMinhashLshPlan(s: SparkSession, d: String): DataFrame =
     minhashPairs(minhashBase(s, d))
 
+  /** Bench form: the operator's lazy plan over an invocation-staged
+    * (cached) signature table, plus the cleanup that releases the
+    * cache. The caller materializes the plan inside its timing and
+    * runs the cleanup outside it — so the measurement covers the full
+    * operator (signatures + banded join + verify) WITHOUT the gate's
+    * localCheckpoint write, which is cache hygiene for Verify, not
+    * query work (r4 bench regression: checkpoint I/O charged +0.5 s
+    * to the query). */
+  private[graft] def dedupMinhashLshStaged(
+      s: SparkSession, d: String): (DataFrame, () => Unit) = {
+    val base = minhashBase(s, d).cache()
+    (minhashPairs(base), () => { base.unpersist(true); () })
+  }
+
   /** The 100 TB layout of the same operator: the exploded band table
     * persisted `bucketBy(band_key)` (write-time ETL), so the candidate
     * self-join reads co-located buckets with NO exchange on either
@@ -166,19 +180,47 @@ object Dedup {
     } finally base.unpersist()
   }
 
-  /** Build (or rebuild) the persisted band table for `d` and return
-    * it. Registered under a temp-dir-unique name; the write is the
-    * once-per-corpus ETL half. */
+  // One persisted band table per (session, dataset dir): the write is
+  // once-per-corpus ETL, so repeat invocations in the same session
+  // (the gate runs the operator, then PlanAudit re-plans it twice
+  // under conf scopes) must REUSE the layout, not rebuild and leak a
+  // new temp dir + catalog table each time (ADVICE r4).
+  private val bandTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, java.nio.file.Path)]()
+
+  /** Return the persisted band table for `d`, building it on first use
+    * in this session (temp-dir-unique name, `bucketBy(band_key)`). */
   private[graft] def bucketedBandTable(s: SparkSession, d: String,
       base: DataFrame): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lshbkt")
-    val bt = "lsh_bands_" + wh.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "_")
-    base.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_id", "band_key")))
-      .write.mode("overwrite")
-      .bucketBy(8, "band_key").sortBy("band_key")
-      .option("path", wh.resolve("bands").toString).saveAsTable(bt)
+    val (bt, _) = bandTables.computeIfAbsent((s, d), _ => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_lshbkt")
+      val name = "lsh_bands_" + wh.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "_")
+      base.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_id", "band_key")))
+        .write.mode("overwrite")
+        .bucketBy(8, "band_key").sortBy("band_key")
+        .option("path", wh.resolve("bands").toString).saveAsTable(name)
+      (name, wh)
+    })
     s.table(bt)
+  }
+
+  /** Drop this session's memoized band tables and delete their files
+    * (Bench/Verify call this when their run is over). */
+  def dropBandTables(s: SparkSession): Unit = {
+    val it = bandTables.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        val (bt, wh) = e.getValue
+        s.sql(s"DROP TABLE IF EXISTS $bt")
+        val files = java.nio.file.Files.walk(wh)
+        try files.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally files.close()
+        it.remove()
+      }
+    }
   }
 
   /** Lazy-plan variant for PlanAudit: builds the bucketed table, then

@@ -131,15 +131,42 @@ object TextAnalysis {
     * full (source, token) key space of a blind count — and the exact
     * pass scans with a semi-join filter that prunes to candidates. */
   def aggHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val m = 256
     val toks = documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-    val cands = toks.groupBy(col("source"))
-      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), 256).as("cand"))
-      .select(col("source"), explode(col("cand")).as("tok"))
-    val exact = toks.join(cands, Seq("source", "tok"), "left_semi")
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    // n_total and n_cand ride the sketch's own shuffle (same groupBy) —
+    // they exist to CHECK the sketch's recall precondition below.
+    val sketch = toks.groupBy(col("source"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), m).as("cand"),
+        count(lit(1)).as("n_total"))
+      .withColumn("n_cand", size(col("cand")))
+    val cands = sketch.select(
+      col("source"), col("n_total"), col("n_cand"), explode(col("cand")).as("tok"))
+    // Inner join ≡ the candidate semi-join ((source, tok) is unique on
+    // the candidate side) but lets n_total/n_cand ride along; they are
+    // functionally dependent on source, so grouping by them is free.
+    val exact = toks.join(cands, Seq("source", "tok"))
+      .groupBy(col("source"), col("tok"), col("n_total"), col("n_cand"))
+      .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("tok").asc)
-    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+    val top = exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+    // Exactness precondition (ADVICE r4): the top-10 equals ground
+    // truth only when no evicted token could outrank the returned
+    // 10th. Two sufficient conditions, checked per returned row:
+    //  - n_cand < m: the sketch never evicted (merge only prunes past
+    //    m, update only evicts at m), so candidates = full vocabulary;
+    //  - n·m > n_total: any evicted token has true frequency ≤ n/m,
+    //    strictly below this row's exact count.
+    // assert_true raises AT EXECUTION if violated — inside a coalesce
+    // filter so it can't be column-pruned away, and the result schema
+    // is unchanged.
+    top
+      .filter(coalesce(
+        assert_true(col("n_cand") < m || col("n") * m > col("n_total"),
+          lit(s"space_saving(m=$m) recall precondition violated: a returned " +
+            "top-10 count is <= n/m, so an evicted token could outrank it")),
+        lit(true)))
+      .select(col("source"), col("tok"), col("n"), col("rnk"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

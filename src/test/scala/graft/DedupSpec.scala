@@ -79,6 +79,28 @@ class DedupSpec extends AnyFunSuite {
     k2.collect().foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("NULL text: native kernels match HOF forms (empty shingles, k-NULL signature)") {
+    // HOF shingles: when(size(NULL) >= k) has a NULL condition -> the
+    // otherwise() empty array; HOF minhash: array_min(transform(NULL))
+    // is NULL per seed -> k-NULL signature (never a NULL array)
+    val both = Seq((Option.empty[String], 1)).toDF("text", "pad").select(
+      graft.functions.WordShingles.shingles(col("text"), 3).as("ns"),
+      Dedup.shingles(col("text"), 3).as("hs"),
+      graft.functions.MinHashSig.minhashSig(
+        graft.functions.WordShingles.shingles(col("text"), 3), 4).as("nm"),
+      Dedup.minhashSig(Dedup.shingles(col("text"), 3), 4).as("hm"))
+    val r = both.collect()(0)
+    assert(r.getSeq[String](0) === Seq.empty)
+    assert(r.getSeq[String](0) === r.getSeq[String](1))
+    assert(r.getSeq[String](2) === Seq(null, null, null, null))
+    assert(r.getSeq[String](2) === r.getSeq[String](3))
+    // a NULL shingle ARRAY (not derivable from text) also yields k NULLs
+    val direct = Seq(1).toDF("x").select(
+      graft.functions.MinHashSig.minhashSig(
+        lit(null).cast("array<string>"), 3).as("sig")).collect()(0)
+    assert(direct.getSeq[String](0) === Seq(null, null, null))
+  }
+
   test("property: native shingle/minhash kernels equal HOF forms on random texts") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

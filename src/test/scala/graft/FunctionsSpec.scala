@@ -104,6 +104,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("strict type checks: wrong-typed input fails at analysis, not execution") {
+    GraftExtensions.register(spark)
+    Seq(
+      "SELECT word_shingles(array(1, 2), 2)",
+      "SELECT minhash_sig(array(1, 2), 2)",
+      "SELECT space_saving(12, 4)").foreach { sql =>
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      val m = e.getMessage.toLowerCase
+      assert(m.contains("requires") || m.contains("data type mismatch") ||
+        m.contains("datatype_mismatch"), s"$sql gave unexpected error: ${e.getMessage}")
+    }
+  }
+
+  test("space_saving serde survives control characters in keys") {
+    // keys containing the old US/RS sentinels must round-trip
+    // the shuffle-serialized buffer intact (length-prefixed binary)
+    val ctrl1 = "a\u001fb" // US, the old field separator
+    val ctrl2 = "c\u001ed" // RS, the old entry separator
+    val rows = (Seq.fill(40)(ctrl1) ++ Seq.fill(30)(ctrl2) ++
+      (1 to 20).map(i => s"pad$i")).zipWithIndex
+      .map { case (s, i) => (i % 8, s) } // many groups -> partial buffers merge
+    val out = rows.toDF("g", "tok")
+      .repartition(8) // force cross-partition merges (serde on every path)
+      .groupBy(col("g"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), 8).as("cand"))
+      .select(explode(col("cand")).as("tok"))
+      .collect().map(_.getString(0)).toSet
+    assert(out.contains(ctrl1), "control-char key 1 corrupted in serde")
+    assert(out.contains(ctrl2), "control-char key 2 corrupted in serde")
+  }
+
   test("space_saving heavy hitters: eviction path keeps true frequent items (recall)") {
     // vocabulary (1000 distinct) far exceeds capacity (64): the sketch
     // must evict — yet every token with frequency > n/m is guaranteed

@@ -36,4 +36,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Widen an input to the session's parallelism before a CPU-bound
+    * per-row kernel (minhash/simhash signatures: 16 md5s per shingle).
+    * A small file collapses to one parquet split, which would pin the
+    * whole kernel to one task; the round-robin exchange of the RAW
+    * rows is trivially cheap next to the kernel. No-op when the input
+    * already has ≥ parallelism partitions — the 100 TB case, where
+    * scans arrive thousands of splits wide and adding a shuffle here
+    * would be pure waste. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

@@ -87,14 +87,22 @@ object Dedup {
   /** Exact dedup by content hash: one hash-shuffle, keeper = min id
     * (`dropDuplicates` analog with an explicit survivorship rule). */
   def dedupExact(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    dedupExactOn(documents(s, d))
+
+  /** Same, over an already-staged corpus (Pipeline stages `documents`
+    * once and feeds every stage from it). */
+  def dedupExactOn(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash(16) + LSH(4 bands × 4 rows) near-dup candidate pairs,
     * verified by exact shingle Jaccard ≥ 0.5. */
   private def minhashBase(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    minhashBaseOf(documents(s, d))
+
+  private def minhashBaseOf(docs: DataFrame): DataFrame =
+    graft.Tables.spread(docs) // signature kernel is CPU-bound: use every core
       .select(col("doc_id"), graft.functions.WordShingles.shingles(col("text"), 3).as("shs"))
       .withColumn("sig", graft.functions.MinHashSig.minhashSig(col("shs"), 16))
       .withColumn("bands", bandKeys(col("sig"), 4, 4))
@@ -118,15 +126,19 @@ object Dedup {
       .filter(col("inter") * 2 >= col("uni")) // J >= 0.5, integer-exact
   }
 
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    // Materialize the signature table before the self-join: without
-    // this, projection collapse inlines the shingle construction into
-    // both join sides. At cluster scale this table is persisted/
-    // bucketed by band key; cache() is the local analog — scoped to
-    // this invocation: the result is materialized eagerly
-    // (localCheckpoint) so the signature cache is released on return
-    // instead of leaking for the session's lifetime.
-    val base = minhashBase(s, d).cache()
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    dedupMinhashLshOn(documents(s, d))
+
+  /** The LSH pair operator over an already-staged corpus.
+    * Materializes the signature table before the self-join: without
+    * this, projection collapse inlines the shingle construction into
+    * both join sides. At cluster scale this table is persisted/
+    * bucketed by band key; cache() is the local analog — scoped to
+    * this invocation: the result is materialized eagerly
+    * (localCheckpoint) so the signature cache is released on return
+    * instead of leaking for the session's lifetime. */
+  def dedupMinhashLshOn(docs: DataFrame): DataFrame = {
+    val base = minhashBaseOf(docs).cache()
     try minhashPairs(base).localCheckpoint(true) finally base.unpersist()
   }
 
@@ -250,7 +262,7 @@ object Dedup {
     // native SimHash32 expression: one md5 + one vote loop per row
     // (the portable SQL form it is bit-equal to — simhashOverHexes —
     // is what the DuckDB oracle mirrors; equality is spec-tested)
-    documents(s, d).select(
+    graft.Tables.spread(documents(s, d)).select(
       col("doc_id"), col("source"),
       graft.functions.SimHash32.simhash32(
         array_distinct(split(col("text"), " "))).as("sim"))
@@ -309,7 +321,7 @@ object Dedup {
     * shuffle/aggregate that scales horizontally (38 s → ~3 s at sf0.1
     * vs the pairwise array_intersect form). */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val grams = documents(s, d)
+    val grams = graft.Tables.spread(documents(s, d))
       .select(col("doc_id"), col("source"),
         explode(graft.functions.WordShingles.shingles(col("text"), 2)).as("g"))
       .cache() // invocation-scoped, like dedupMinhashLsh
@@ -356,7 +368,7 @@ object Dedup {
     * double folds for cross-engine determinism. */
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val cents = Similarity.collectCentroids(e)
+    val cents = Similarity.collectCentroids(s, d)
     val cells = e.select(col("vec_id"), col("label"), col("embedding"),
       graft.functions.NearestCentroid.nearest(col("embedding"), cents).as("cell"))
     cells.as("a").join(cells.as("b"),
@@ -384,8 +396,12 @@ object Dedup {
     * round N doesn't replan rounds 1..N-1. Near-dup components are
     * small (diameter ≤ a few hops), so the loop terminates fast; the
     * driver only sees one converged-count per round. */
-  def dedupComponents(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupMinhashLsh(s, d).select(col("doc_a"), col("doc_b")).cache()
+  def dedupComponents(s: SparkSession, d: String): DataFrame =
+    dedupComponentsOf(dedupMinhashLsh(s, d))
+
+  /** The closure over an already-computed (checkpointed) pair set. */
+  def dedupComponentsOf(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select(col("doc_a"), col("doc_b")).cache()
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -415,7 +431,7 @@ object Dedup {
     * constant-state, mergeable way to estimate cross-corpus overlap
     * (n_match/16 ≈ Jaccard). */
   def aggMinhashSketch(s: SparkSession, d: String): DataFrame = {
-    val sk = documents(s, d)
+    val sk = graft.Tables.spread(documents(s, d))
       .select(col("source"), explode(graft.functions.WordShingles.shingles(col("text"), 3)).as("sh"))
       .groupBy(col("source"))
       .agg(graft.functions.MinHashAgg.minhashSketch(col("sh"), 16).as("sk"))

@@ -62,10 +62,10 @@ object Similarity {
     * keeps the average cell at TargetCellSize vectors regardless of n.
     * `MinCentroidK` floors tiny corpora; `MaxCentroidK` caps the
     * driver-collected set (64 MB of float32 at dim 64 — past that a
-    * deployment accepts larger cells or shards the centroid set). A
-    * production deployment also refines the seed sample with a few
-    * Lloyd rounds; the deterministic md5-order sample here is what the
-    * DuckDB oracle can mirror exactly. */
+    * deployment accepts larger cells or shards the centroid set).
+    * The md5-order seed sample is refined by `LloydRounds`
+    * deterministic Lloyd iterations (`refineCentroids`) — both halves
+    * mirrored exactly by the DuckDB oracle CTEs. */
   val MinCentroidK = 16
   val TargetCellSize = 64L
   val MaxCentroidK = 65536
@@ -76,7 +76,7 @@ object Similarity {
     math.min(math.max(MinCentroidK.toLong,
       (n + TargetCellSize - 1) / TargetCellSize), MaxCentroidK.toLong).toInt
 
-  /** Deterministic centroid set: the k corpus vectors with the
+  /** Deterministic centroid SEED: the k corpus vectors with the
     * smallest md5(vec_id) — a pseudo-random sample the DuckDB oracle
     * mirrors exactly. One O(n) scan with per-partition top-k
     * (TakeOrderedAndProject): k rows reach the driver, never the
@@ -86,24 +86,97 @@ object Similarity {
       .limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c"))
 
-  /** Size k from one count() (cheap — parquet row-group metadata),
-    * then collect the k centroids for the zero-shuffle assignment
-    * expression (functions/NearestCentroidExpr.scala). */
-  def collectCentroids(e: DataFrame): Array[(Long, Array[Float])] = {
-    val k = centroidK(e.count())
-    centroids(e, k).collect().map(r => (r.getLong(0), collectVector(r, 1)))
+  /** Lloyd refinement rounds run on the seed (r4 VERDICT item 6):
+    * fixed count, fully deterministic, oracle-mirrored. */
+  val LloydRounds = 2
+
+  /** `rounds` deterministic Lloyd iterations over the corpus: assign
+    * every vector to its max-cosine centroid (the same round-4 +
+    * smallest-id argmax as the final assignment), then replace each
+    * centroid with its cell's member mean. Determinism — and thus
+    * DuckDB-mirrorability — holds because the mean is a left-to-right
+    * DOUBLE fold over members in vec_id order (the dot-product parity
+    * trick: in-order double sums are bit-equal across engines, unlike
+    * partitioning-dependent float reductions), divided in double and
+    * cast to float (IEEE round-to-nearest-even in both engines).
+    * Empty cells keep their previous centroid; centroid ids never
+    * change. Per round: one corpus scan + one k-row collect —
+    * once-per-corpus quantizer training, not per-query work. */
+  def refineCentroids(e: DataFrame, seed: Array[(Long, Array[Float])],
+      rounds: Int = LloydRounds): Array[(Long, Array[Float])] = {
+    var cur = seed
+    val dim = seed.head._2.length
+    (1 to rounds).foreach { _ =>
+      val assigned = e.select(
+        graft.functions.NearestCentroid.nearest(col("embedding"), cur).as("cell"),
+        col("vec_id"), col("embedding"))
+      val means = assigned.groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("ms"))
+        .select(col("cell"), expr(
+          s"""transform(sequence(0, ${dim - 1}), j ->
+             |  CAST(aggregate(ms, CAST(0.0 AS DOUBLE),
+             |    (acc, m) -> acc + CAST(m.embedding[j] AS DOUBLE)) / size(ms) AS FLOAT))"""
+            .stripMargin).as("nc"))
+        .collect().map(r => r.getLong(0) -> collectVector(r, 1)).toMap
+      cur = cur.map { case (id, v) => (id, means.getOrElse(id, v)) }
+    }
+    cur
   }
 
-  /** Shared DuckDB CTEs mirroring centroidK + centroids: dynamic k
-    * from count(*), then the md5-order top-k. Yields `c(cent_id, cv)`. */
+  /** Seed + refine over a given corpus (un-memoized; tests). */
+  def collectCentroidsOf(e: DataFrame): Array[(Long, Array[Float])] = {
+    val k = centroidK(e.count())
+    val seed = centroids(e, k).collect().map(r => (r.getLong(0), collectVector(r, 1)))
+    refineCentroids(e, seed)
+  }
+
+  // The refined centroid set is a pure function of the corpus, and
+  // training it costs (LloydRounds + 1) corpus scans — memoize per
+  // (session, dataset) so sim_ivf / sim_ivf_nprobe / dedup_embed_cosine
+  // in one run train the quantizer ONCE (r4 VERDICT item 5: each used
+  // to redo the count + seed scan, and refinement would have tripled
+  // that). Values are ≤ k·dim floats (≤16 MB at the MaxCentroidK cap).
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[(Long, Array[Float])]]()
+
+  /** The memoized, refined centroid set for dataset `d`. */
+  def collectCentroids(s: SparkSession, d: String): Array[(Long, Array[Float])] =
+    centroidCache.computeIfAbsent((s, d), _ => collectCentroidsOf(embeddings(s, d)))
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"
+
+  /** One Lloyd round as DuckDB CTEs: assignment rank vs `prev`, ordered
+    * member lists, in-order double-fold means (empty cells keep the
+    * previous centroid) — the exact mirror of `refineCentroids`. */
+  private def lloydRoundSql(prev: String, i: Int): String =
+    s"""a$i AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+      |  SELECT e.vec_id, e.embedding, $prev.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(${dotSql.format("e.embedding", s"$prev.cv")}, 4) DESC,
+      |        $prev.cent_id ASC) AS arnk
+      |  FROM embeddings e, $prev) t WHERE arnk = 1),
+      |m$i AS (SELECT cell, list(embedding ORDER BY vec_id) AS ms FROM a$i GROUP BY cell),
+      |c$i AS (SELECT $prev.cent_id,
+      |  CASE WHEN m$i.cell IS NULL THEN $prev.cv
+      |    ELSE [CAST(list_sum(list_transform(ms, v -> CAST(v[j] AS DOUBLE))) / len(ms) AS FLOAT)
+      |          FOR j IN range(1, 65)]
+      |  END AS cv
+      |  FROM $prev LEFT JOIN m$i ON $prev.cent_id = m$i.cell)""".stripMargin
+
+  /** Shared DuckDB CTEs mirroring collectCentroids: dynamic k from
+    * count(*), md5-order seed, then LloydRounds refinement rounds.
+    * Yields `c(cent_id, cv)`. */
   val centroidCteSql: String =
     s"""kk AS (SELECT least(greatest($MinCentroidK,
       |    CAST(ceil(count(*) / $TargetCellSize.0) AS BIGINT)), $MaxCentroidK) AS k
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS cent_id, embedding AS cv FROM
+      |c0 AS (SELECT vec_id AS cent_id, embedding AS cv FROM
       |  (SELECT vec_id, embedding,
       |     row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
-      |   FROM embeddings) tt, kk WHERE tt.rnk <= kk.k)""".stripMargin
+      |   FROM embeddings) tt, kk WHERE tt.rnk <= kk.k),
+      |${(1 to LloydRounds).map(i => lloydRoundSql(s"c${i - 1}", i)).mkString(",\n")},
+      |c AS (SELECT cent_id, cv FROM c$LloydRounds)""".stripMargin
 
   /** Exact brute-force top-10 cosine neighbors for each of 3 query
     * vectors: broadcast queries × corpus scan, then TWO-LEVEL top-k.
@@ -203,7 +276,7 @@ object Similarity {
     * only its own cell (nprobe=1) via a broadcast equi-join. */
   def simIvf(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val cents = collectCentroids(e)
+    val cents = collectCentroids(s, d)
     def cellOf(vecCol: Column): Column =
       graft.functions.NearestCentroid.nearest(vecCol, cents)
     val cells = e.select(col("vec_id"),
@@ -257,17 +330,20 @@ object Similarity {
     * once on cell id. A vector lives in exactly one cell, so probing
     * two cells never duplicates a candidate. */
   def simIvfNprobe(s: SparkSession, d: String, nprobe: Int = 2): DataFrame = {
+    import s.implicits._
     val e = embeddings(s, d)
-    val k = centroidK(e.count())
-    val cents = centroids(e, k).collect()
-      .map(r => (r.getLong(0), collectVector(r, 1)))
+    val cents = collectCentroids(s, d)
     val cells = e.select(col("vec_id"),
       graft.functions.NearestCentroid.nearest(col("embedding"), cents).as("cell"),
       col("embedding"))
     val pw = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("cent_id").asc)
+    // probe ranking reuses the collected set — a local relation, not
+    // another corpus orderBy+limit scan
+    val centDf = cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cent_id", "cv")
     val qprobes = queryVectors(s, d).withColumnRenamed("q", "qv")
-      .crossJoin(broadcast(centroids(e, k).withColumnRenamed("c", "cv")))
+      .crossJoin(broadcast(centDf))
       .select(col("query_id"), col("qv"), col("cent_id"),
         round(dot(col("qv"), col("cv")), 4).as("pcos"))
       .withColumn("probe_rank", row_number().over(pw))
@@ -290,9 +366,6 @@ object Similarity {
     "sim_ivf" -> simIvf _,
     "sim_ivf_nprobe" -> ((s: SparkSession, d: String) => simIvfNprobe(s, d))
   )
-
-  private val dotSql =
-    "list_sum(list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"
 
   val oracles: Map[String, String] = Map(
     "sim_topk" ->

@@ -53,7 +53,7 @@ object TextAnalysis {
     * (list order above). */
   def textLangid(s: SparkSession, d: String): DataFrame = {
     val words = split(col("text"), " ")
-    val scored = documents(s, d).select(
+    val scored = graft.Tables.spread(documents(s, d)).select(
       (Seq(col("doc_id"), col("lang")) ++
         stopwords.map { case (l, ws) => inList(words, ws).as(s"s_$l") }): _*)
     val langs = stopwords.map(_._1)
@@ -73,7 +73,7 @@ object TextAnalysis {
     * a boolean keep-decision — the filter stage of a data pipeline. */
   def textQuality(s: SparkSession, d: String): DataFrame = {
     val words = split(col("text"), " ")
-    documents(s, d).select(
+    graft.Tables.spread(documents(s, d)).select(
       col("doc_id"),
       length(col("text")).as("n_chars_m"),
       size(words).as("n_words"),
@@ -91,7 +91,7 @@ object TextAnalysis {
     * non-alphanumerics, plus the normalized content hash that
     * normalized-exact dedup keys on. */
   def textNormalize(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
+    graft.Tables.spread(documents(s, d)).select(
       col("doc_id"),
       regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm_text"))
       .withColumn("norm_alnum",
@@ -101,7 +101,7 @@ object TextAnalysis {
   /** Token counting: whitespace tokens plus a BPE-ish greedy subword
     * segmentation (regex, deterministic in both engines). */
   def textTokens(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
+    graft.Tables.spread(documents(s, d)).select(
       col("doc_id"),
       size(split(col("text"), " ")).as("ws_tokens"),
       expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("alpha_tokens"),
@@ -114,7 +114,7 @@ object TextAnalysis {
     * fingerprint cluster together. */
   def textFingerprint(s: SparkSession, d: String): DataFrame = {
     val fp = fingerprint(col("text"))
-    documents(s, d)
+    graft.Tables.spread(documents(s, d))
       .filter(size(split(col("text"), " ")) >= 5)
       .select(col("doc_id"), fp.as("fingerprint"))
       .withColumn("cluster_n", count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
@@ -132,7 +132,7 @@ object TextAnalysis {
     * pass scans with a semi-join filter that prunes to candidates. */
   def aggHeavyHitters(s: SparkSession, d: String): DataFrame = {
     val m = 256
-    val toks = documents(s, d)
+    val toks = graft.Tables.spread(documents(s, d))
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
     // n_total and n_cand ride the sketch's own shuffle (same groupBy) —
     // they exist to CHECK the sketch's recall precondition below.

@@ -75,14 +75,15 @@ class SimilaritySpec extends AnyFunSuite {
   test("nearest_centroid expression equals the crossJoin+max_by argmax form") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, d)
-    val cents = Similarity.collectCentroids(e)
+    val cents = Similarity.collectCentroidsOf(e)
     val viaExpr = e.select(col("vec_id"),
         graft.functions.NearestCentroid.nearest(col("embedding"), cents).as("cell"))
       .as[(Long, Long)].collect().toMap
     // the round-3 join form this expression replaced — same argmax,
-    // same round-4 + smallest-id tie-break, via shuffle machinery
-    val centsDf = Similarity.centroids(e, Similarity.centroidK(e.count()))
-      .withColumnRenamed("c", "c_emb")
+    // same round-4 + smallest-id tie-break, via shuffle machinery —
+    // over the SAME (refined) centroid set
+    val centsDf = cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cent_id", "c_emb")
     val viaJoin = e.crossJoin(broadcast(centsDf))
       .select(col("vec_id"), col("cent_id"),
         round(Similarity.dot(col("embedding"), col("c_emb")), 4).as("ccos"))
@@ -163,7 +164,7 @@ class SimilaritySpec extends AnyFunSuite {
     val e = Tables.embeddings(spark, d)
     val n = e.count()
     val k = Similarity.centroidK(n)
-    val cents = Similarity.collectCentroids(e)
+    val cents = Similarity.collectCentroidsOf(e)
     assert(cents.length === k)
     val sizes = e.select(
         graft.functions.NearestCentroid.nearest(col("embedding"), cents).as("cell"))
@@ -177,6 +178,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.centroidK(64L * Similarity.MaxCentroidK) === Similarity.MaxCentroidK)
     assert(Similarity.centroidK(6400) === 100)
     assert(Similarity.centroidK(64000) === 1000)
+  }
+
+  test("Lloyd refinement: ids preserved, recall not worse, cells not more skewed") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val k = Similarity.centroidK(e.count())
+    val seed = Similarity.centroids(e, k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val refined = Similarity.refineCentroids(e, seed)
+    // ids never change (NearestCentroid requires ascending ids; the
+    // oracle CTE joins rounds on cent_id)
+    assert(refined.map(_._1).toSeq === seed.map(_._1).toSeq)
+    assert(refined.exists { case (id, v) => // refinement actually moved something
+      !java.util.Arrays.equals(v, seed.find(_._1 == id).get._2) })
+
+    def cellSizes(cents: Array[(Long, Array[Float])]): Seq[Long] =
+      e.select(graft.functions.NearestCentroid.nearest(col("embedding"), cents).as("cell"))
+        .groupBy("cell").count().as[(Long, Long)].collect().map(_._2).toSeq
+    def spread(sizes: Seq[Long]): Double = {
+      val mean = sizes.sum.toDouble / sizes.size
+      math.sqrt(sizes.map(s => (s - mean) * (s - mean)).sum / sizes.size)
+    }
+    // Lloyd balances cells toward the data's density: population
+    // spread must not get worse than the raw sample's
+    assert(spread(cellSizes(refined)) <= spread(cellSizes(seed)),
+      s"refined spread ${spread(cellSizes(refined))} > seed ${spread(cellSizes(seed))}")
+
+    // recall vs the exact top-5 (nprobe=1 IVF with each centroid set)
+    val exact = Similarity.simTopk(spark, d).filter(col("rnk") <= 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ivfHits(cents: Array[(Long, Array[Float])]): Int = {
+      val cells = e.select(col("vec_id"),
+        graft.functions.NearestCentroid.nearest(col("embedding"), cents).as("cell"),
+        col("embedding"))
+      val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("query_id"),
+        graft.functions.NearestCentroid.nearest(col("embedding"), cents).as("qcell"),
+        col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos_r").desc, col("vec_id").asc)
+      cells.join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(Similarity.dot(col("qv"), col("embedding")), 4).as("cos_r"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select("query_id", "vec_id").as[(Long, Long)].collect()
+        .count { case (q2, v) => exact.getOrElse(q2, Set.empty).contains(v) }
+    }
+    assert(ivfHits(refined) >= ivfHits(seed),
+      "refinement must not lose recall vs the raw seed sample")
   }
 
   test("language ID: priority argmax picks the list language on planted stopwords") {

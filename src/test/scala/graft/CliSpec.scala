@@ -96,4 +96,55 @@ class CliSpec extends AnyFunSuite {
         db.resolve("staging").resolve(Replication.sequencePath(2L))))
     } finally server.stop(0)
   }
+
+  test("deep HTTP catch-up stages diffs concurrently, applies strictly in order") {
+    val root = Files.createTempDirectory("graft_cli_conc")
+    val feed = root.resolve("feed")
+    val nDiffs = 12
+    Replication.writeFixtureWorld(feed, nDiffs)
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val isDiff = exchange.getRequestURI.getPath.endsWith(".osm.gz")
+      if (isDiff) {
+        val cur = inFlight.incrementAndGet()
+        maxInFlight.getAndUpdate(m => math.max(m, cur))
+        Thread.sleep(120) // give overlapping fetches a window to meet in
+      }
+      try {
+        val f = feed.resolve(exchange.getRequestURI.getPath.stripPrefix("/"))
+        if (java.nio.file.Files.isRegularFile(f)) {
+          val bytes = java.nio.file.Files.readAllBytes(f)
+          exchange.sendResponseHeaders(200, bytes.length.toLong)
+          exchange.getResponseBody.write(bytes)
+        } else exchange.sendResponseHeaders(404, -1L)
+        exchange.close()
+      } finally if (isDiff) inFlight.decrementAndGet()
+    })
+    // the default executor serves requests on ONE thread; concurrency
+    // needs a real pool server-side too
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    try {
+      val src = Replication.HttpSource(
+        s"http://127.0.0.1:${server.getAddress.getPort}", root.resolve("staging"))
+      val state = root.resolve("state.txt")
+      Replication.StateDoc.write(state,
+        Replication.ReplState(0L, None, updateInProgress = false))
+      val applied = Replication.catchUp(spark, src,
+        root.resolve("tables/cs"), state, batchSize = 8, nBuckets = 8)
+      assert(applied === nDiffs)
+      assert(Replication.StateDoc.read(state).lastSequence === nDiffs.toLong)
+      // overlap actually happened (8-wide batch, 6-wide pool): without
+      // concurrent staging maxInFlight stays 1
+      assert(maxInFlight.get() >= 3,
+        s"expected overlapping diff fetches, saw max in-flight ${maxInFlight.get()}")
+      // last-wins application order held: id 11 carries the HIGHEST seq
+      val t = Replication.readTable(spark, root.resolve("tables/cs"))
+      assert(t.count() === nDiffs.toLong + 1) // id 11 + ids 101..112
+      assert(t.filter($"id" === 11).select("num_changes").head().getInt(0) === nDiffs)
+    } finally server.stop(0)
+  }
 }

@@ -55,6 +55,67 @@ class StreamingSpec extends AnyFunSuite {
       .select("num_changes").head().getInt(0) === 5)
   }
 
+  test("osm-replication soak: ProcessingTime trigger follows a GROWING feed; offsets monotone, batches capped") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_v2soak")
+    val feed = root.resolve("feed")
+    graft.streaming.Replication.writeFixtureWorld(feed, 3)
+
+    def advanceHead(seq: Int): Unit = { // atomic state.yaml swap — the
+      // query's latestOffset polls this file while we rewrite it
+      val tmp = feed.resolve("state.yaml.tmp")
+      Files.writeString(tmp,
+        s"---\nlast_run: 2015-11-16 12:00:00.000000000 +00:00\nsequence: $seq\n")
+      Files.move(tmp, feed.resolve("state.yaml"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    val nFinal = 9
+    val q = spark.readStream.format("osm-replication")
+      .option("path", feed.toString)
+      .option("maxSeqsPerBatch", "2")
+      .load()
+      .writeStream.format("memory").queryName("v2soak")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      // grow the feed WHILE the query runs: diff file first, head after
+      (4 to nFinal).foreach { s =>
+        graft.sources.OsmXml.writeFixture(
+          feed.resolve(graft.streaming.Replication.sequencePath(s.toLong)),
+          graft.sources.OsmXml.diffFixture(s.toLong))
+        advanceHead(s)
+        Thread.sleep(150)
+      }
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def drained = spark.table("v2soak").count() == 2L * nFinal
+      while (!drained && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(drained, s"soak under-drained: ${spark.table("v2soak").count()} of ${2 * nFinal} rows")
+      // every diff seen exactly once — no replays, no holes
+      val bySeq = spark.table("v2soak").groupBy("seq").count()
+        .as[(Long, Long)].collect().toMap
+      assert(bySeq.keySet === (1L to nFinal).toSet)
+      assert(bySeq.values.forall(_ == 2L), s"per-seq row counts off: $bySeq")
+    } finally q.stop()
+    // offset monotonicity + admission capping across every batch that ran
+    val offs = q.recentProgress.toSeq
+      .filter(_.sources.nonEmpty).map(_.sources.head)
+      .filter(s => s.startOffset != null && s.endOffset != null)
+      .map(s => (s.startOffset.trim.toLong, s.endOffset.trim.toLong))
+    assert(offs.nonEmpty)
+    offs.foreach { case (lo, hi) =>
+      assert(hi >= lo, s"offset went backwards: $lo -> $hi")
+      assert(hi - lo <= 2, s"batch [$lo,$hi] wider than maxSeqsPerBatch=2")
+    }
+    offs.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(lo2 == hi1, s"batches not contiguous: end $hi1 then start $lo2")
+      case _ =>
+    }
+  }
+
   test("osm-replication options are case-insensitive: camelCase maxSeqsPerBatch reaches the table") {
     // Spark passes getTable the original-case options map; the provider
     // must resolve through CaseInsensitiveStringMap or the admission-

@@ -171,14 +171,14 @@ object Spatial {
   /** One row per grid cell covered by the box (boxes span ≤ 2×2 cells
     * here; a pathological continent-sized box should be area-filtered
     * upstream — the standard grid-join caveat). */
-  private def withCells(df: DataFrame, minLon: String, maxLon: String,
-      minLat: String, maxLat: String): DataFrame =
+  private[graft] def withCellsG(df: DataFrame, g: Double, minLon: String,
+      maxLon: String, minLat: String, maxLat: String): DataFrame =
     df.withColumn("cx", explode(sequence(
-        floor(col(minLon) / GridDeg).cast(IntegerType),
-        floor(col(maxLon) / GridDeg).cast(IntegerType))))
+        floor(col(minLon) / g).cast(IntegerType),
+        floor(col(maxLon) / g).cast(IntegerType))))
       .withColumn("cy", explode(sequence(
-        floor(col(minLat) / GridDeg).cast(IntegerType),
-        floor(col(maxLat) / GridDeg).cast(IntegerType))))
+        floor(col(minLat) / g).cast(IntegerType),
+        floor(col(maxLat) / g).cast(IntegerType))))
 
   /** Box×box INTERSECTION join at scale: the coarse-grid-cell
     * equi-join prefix (the SCALING.md spatial-join shape, same
@@ -198,15 +198,21 @@ object Spatial {
     * (max(min_lons), max(min_lats)) — a point inside both boxes, so
     * both sides cover its cell. The duplicate-elimination
     * `dropDuplicates` exchange disappears from the plan entirely. */
-  def joinBboxGrid(s: SparkSession, d: String): DataFrame = {
-    val a = withCells(ordersBbox(s, d), "min_lon", "max_lon", "min_lat", "max_lat")
-    val b = withCells(customerBbox(s, d), "c_min_lon", "c_max_lon", "c_min_lat", "c_max_lat")
+  def joinBboxGrid(s: SparkSession, d: String): DataFrame =
+    joinBboxGridG(s, d, GridDeg)
+
+  /** Grid-size-parameterized form (same semantics for ANY g — the
+    * grid is lossless physical optimization; SpatialProbe measures
+    * candidate counts across g to size GridDeg). */
+  def joinBboxGridG(s: SparkSession, d: String, g: Double): DataFrame = {
+    val a = withCellsG(ordersBbox(s, d), g, "min_lon", "max_lon", "min_lat", "max_lat")
+    val b = withCellsG(customerBbox(s, d), g, "c_min_lon", "c_max_lon", "c_min_lat", "c_max_lat")
     a.as("a").join(b.as("b"),
         col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy") &&
         col("min_lon") <= col("c_max_lon") && col("max_lon") >= col("c_min_lon") &&
         col("min_lat") <= col("c_max_lat") && col("max_lat") >= col("c_min_lat") &&
-        col("a.cx") === floor(greatest(col("min_lon"), col("c_min_lon")) / GridDeg).cast(IntegerType) &&
-        col("a.cy") === floor(greatest(col("min_lat"), col("c_min_lat")) / GridDeg).cast(IntegerType))
+        col("a.cx") === floor(greatest(col("min_lon"), col("c_min_lon")) / g).cast(IntegerType) &&
+        col("a.cy") === floor(greatest(col("min_lat"), col("c_min_lat")) / g).cast(IntegerType))
       .select(col("o_orderkey"), col("c_custkey"))
       .groupBy(col("c_custkey"))
       .agg(

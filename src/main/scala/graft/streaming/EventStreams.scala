@@ -22,26 +22,33 @@ object EventStreams {
 
   private val nameCounter = new AtomicLong(0)
 
-  /** events.parquet as an unbounded stream. The file carries
-    * TIMESTAMP(NANOS): declared LongType in the stream schema, then
-    * truncated to micros — same policy as Tables.events. */
+  /** events.parquet as an unbounded stream. Handles both physical
+    * layouts the harness produces: the driver's single file carrying
+    * TIMESTAMP(NANOS) (read nanos-as-long, truncate to micros — same
+    * policy as Tables.events) and a Spark-written directory (ScaleGen
+    * sf1 tier) whose footer schema streams as-is. The footer is probed
+    * with the batch reader so the stream schema always matches the
+    * files. */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    // the file-stream source lists a directory; stage the single
-    // parquet file into one (symlink — no data copy)
-    val dir = java.nio.file.Files.createTempDirectory("graft_evstream")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
-    s.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val path = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
+    val schema = s.read.parquet(path.toString).schema
+    val dir =
+      if (java.nio.file.Files.isDirectory(path)) path
+      else {
+        // the file-stream source lists a directory; stage the single
+        // parquet file into one (symlink — no data copy)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_evstream")
+        java.nio.file.Files.createSymbolicLink(
+          tmp.resolve("events.parquet"), path)
+        tmp
+      }
+    val raw = s.readStream.schema(schema).parquet(dir.toString)
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and

@@ -7,14 +7,19 @@ import java.nio.file.Files
   * `SPARK_GRAFT_SF_DIR` and prints exactly ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Extra context keys ride along (ignored by consumers that only read
-  * the contract keys): `runs` — EVERY per-run time behind each
-  * median, so a machine-contention outlier is visible in the artifact
-  * instead of silently skewing it (the round-3 lesson: one anomalous
-  * 49 s run recorded as a 13× "regression" that never existed) —
-  * plus `ingest_rows_per_sec` (distributed-XML bulk-load throughput,
+  * The printed line is kept COMPACT (contract keys + per-query medians
+  * + ingest throughput only, < ~1.5 KB): the driver captures a bounded
+  * tail of sbt output, and round 5's line — which inlined every
+  * per-run sample — overflowed that window, truncating the line's head
+  * and leaving the round with `"parsed": null` instead of numbers.
+  * The full per-run detail (EVERY sample behind each median, so a
+  * machine-contention outlier is visible in the artifact instead of
+  * silently skewing it — the round-3 lesson: one anomalous 49 s run
+  * recorded as a 13× "regression" that never existed) now goes to
+  * `BENCH_DETAIL.json` in the working directory, committed per round.
+  * `ingest_rows_per_sec` (distributed-XML bulk-load throughput,
   * directly comparable to the reference's 3,000–4,600 changesets/sec
-  * single-thread rate, BASELINE.md) and `ingest_rows`.
+  * single-thread rate, BASELINE.md) stays on the printed line.
   */
 object Bench {
 
@@ -116,15 +121,18 @@ object Bench {
     val medians = runs.map { case (k, v) =>
       k -> (if (v.exists(_ < 0)) -1.0 else median(v)) }
 
-    val qs = medians.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = medians.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val rs = runs.map { case (k, v) =>
-      s""""$k":${v.mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
+      s""""$k":${v.map(fmt).mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
     val total = medians.collect {
       case (k, v) if v >= 0 && k != "ingest_bulk" => v }.sum
     val rate = if (ingestSec > 0) (ingestRows / ingestSec).round else 0L
     graft.operators.Dedup.dropBandTables(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":$rs,"ingest_rows_per_sec":$rate,"ingest_rows":$ingestRows,"sf":"$sfDir"}""")
+    val detail = s"""{"runs":$rs,"ingest_rows":$ingestRows,"sf":"$sfDir"}"""
+    Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""ingest_rows_per_sec":$rate,"sf":"$sfDir"}""")
     spark.stop()
   }
 

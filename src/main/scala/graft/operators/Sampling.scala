@@ -58,9 +58,25 @@ object Sampling {
       .filter(col("rnk") <= cap)
   }
 
+  /** Per-stratum RATE sampling: downsample the dominant language to
+    * 25% and keep 75% of everything else — rebalance-by-rate,
+    * complementing `sampleBalanced`'s rebalance-by-cap (a cap needs a
+    * window per class; a rate is a pure per-row filter, so this form
+    * is the cheaper one when class sizes are already known). The
+    * threshold compares the first two md5 hex chars: '40' = 64/256 =
+    * 25%, 'c0' = 192/256 = 75%. Same determinism contract as
+    * `splitOf`: membership is a function of the key alone. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val thr = when(col("lang") === "en", lit("40")).otherwise(lit("c0"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < thr)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash_split" -> sampleHashSplit _,
-    "sample_balanced" -> ((s: SparkSession, d: String) => sampleBalanced(s, d))
+    "sample_balanced" -> ((s: SparkSession, d: String) => sampleBalanced(s, d)),
+    "sample_stratified" -> sampleStratified _
   )
 
   val oracles: Map[String, String] = Map(
@@ -75,6 +91,10 @@ object Sampling {
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
         |  FROM documents) t
-        |WHERE rnk <= 50""".stripMargin
+        |WHERE rnk <= 50""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |    < (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)""".stripMargin
   )
 }

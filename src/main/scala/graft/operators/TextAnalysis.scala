@@ -169,8 +169,72 @@ object TextAnalysis {
       .select(col("source"), col("tok"), col("n"), col("rnk"))
   }
 
+  /** PII patterns — email / IPv4 / dashed US phone. Deliberately
+    * restricted to syntax valid in BOTH Java regex (Spark) and RE2
+    * (DuckDB) — no lookarounds, no backrefs — so the scrub itself is
+    * oracle-checkable bit-for-bit. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction — the scrub stage of a curation pipeline, as a
+    * narrow per-row projection (no shuffle, stays in whole-stage
+    * codegen). Email first (its local part can contain digits/dots
+    * that the other patterns would chew on), then IPv4, then phone. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]")
+
+  /** Gate query for the scrub. The synthetic corpus text is PII-free
+    * (no digits at all), so scrubbing it directly would prove nothing;
+    * instead each row is augmented with doc_id-derived email + phone +
+    * IPv4 — built identically in the DuckDB oracle — and the query
+    * returns per-kind match counts before the scrub, the scrubbed
+    * text, and the residual PII count after (must be 0). */
+  def textPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com or 555-"),
+      lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+      lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+      pmod(col("doc_id") * 3, lit(256)).cast("string"))
+    def hits(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0)))
+    graft.Tables.spread(documents(s, d))
+      .select(col("doc_id"), dirty.as("t"))
+      .select(
+        col("doc_id"),
+        hits(col("t"), EmailRe).as("n_email"),
+        hits(col("t"), Ipv4Re).as("n_ip"),
+        hits(col("t"), PhoneRe).as("n_phone"),
+        scrubPii(col("t")).as("scrubbed"))
+      .withColumn("n_residual",
+        hits(col("scrubbed"), EmailRe) + hits(col("scrubbed"), Ipv4Re) +
+          hits(col("scrubbed"), PhoneRe))
+  }
+
+  /** Single-pass column profile — the data-quality pass a pipeline
+    * runs before training: row/null counts, class cardinalities,
+    * length distribution. Everything is algebraic (partial agg
+    * map-side; the shuffle carries one state). The two exact
+    * `countDistinct`s are deliberate: lang/source are low-cardinality
+    * class columns; a high-cardinality column would use the mergeable
+    * `approx_count_distinct` (see agg_approx_distinct) instead. */
+  def profileDocs(s: SparkSession, d: String): DataFrame =
+    graft.Tables.spread(documents(s, d)).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("text")).as("n_text"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      sum(length(col("text"))).as("total_chars"),
+      avg(col("n_chars")).cast("double").as("avg_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_heavy_hitters" -> aggHeavyHitters _,
+    "text_pii_scrub" -> textPiiScrub _,
+    "profile_table" -> profileDocs _,
     "text_langid" -> textLangid _,
     "text_quality" -> textQuality _,
     "text_normalize" -> textNormalize _,
@@ -200,6 +264,38 @@ object TextAnalysis {
         |  SELECT source, tok, n, row_number() OVER (PARTITION BY source
         |    ORDER BY n DESC, tok ASC) AS rnk FROM cnt) x
         |WHERE rnk <= 10""".stripMargin,
+    "text_pii_scrub" ->
+      s"""WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or 555-'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST(doc_id * 3 % 256 AS VARCHAR) AS t
+        |  FROM documents),
+        |scrubbed AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '$EmailRe')) AS n_email,
+        |    len(regexp_extract_all(t, '$Ipv4Re')) AS n_ip,
+        |    len(regexp_extract_all(t, '$PhoneRe')) AS n_phone,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '$EmailRe', '[EMAIL]', 'g'), '$Ipv4Re', '[IP]', 'g'),
+        |      '$PhoneRe', '[PHONE]', 'g') AS scrubbed
+        |  FROM dirty)
+        |SELECT doc_id, n_email, n_ip, n_phone, scrubbed,
+        |  len(regexp_extract_all(scrubbed, '$EmailRe'))
+        |    + len(regexp_extract_all(scrubbed, '$Ipv4Re'))
+        |    + len(regexp_extract_all(scrubbed, '$PhoneRe')) AS n_residual
+        |FROM scrubbed""".stripMargin,
+    "profile_table" ->
+      """SELECT count(*) AS n_rows, count(text) AS n_text,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(avg(n_chars) AS DOUBLE) AS avg_chars
+        |FROM documents""".stripMargin,
     "text_langid" ->
       s"""WITH scored AS (
         |  SELECT doc_id, lang,

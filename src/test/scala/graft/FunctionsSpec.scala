@@ -193,4 +193,32 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](1)
     assert(sk1 === sk2)
   }
+
+  test("scrubPii redacts emails, IPv4s and dashed phones; leaves clean text alone") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      ("mail me at a.b-c_1%x@sub.example.org thanks",
+        "mail me at [EMAIL] thanks"),
+      ("server 192.168.001.7 and backup 10.0.3.42 are up",
+        "server [IP] and backup [IP] are up"),
+      ("call 555-123-4567 today", "call [PHONE] today"),
+      // all three in one string, adjacent punctuation preserved
+      ("x@y.io, 1.2.3.4; 555-000-1111.", "[EMAIL], [IP]; [PHONE]."),
+      // non-PII lookalikes survive: version strings (too many dots in a
+      // row is still an IP match only for exactly 4 octets), bare words
+      ("no pii here v1.2 and 12-34", "no pii here v1.2 and 12-34"))
+      .toDF("in", "expected")
+    rows.select(TextAnalysis.scrubPii($"in").as("got"), $"expected")
+      .collect().foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("profile_table: single-row exact profile over a known tier") {
+    val p = graft.operators.TextAnalysis.profileDocs(TestSpark.session, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(p.getAs[Long]("n_rows") === 500L)
+    assert(p.getAs[Long]("n_text") === 500L)      // no null texts in the tier
+    assert(p.getAs[Long]("n_langs") === 5L)
+    assert(p.getAs[Long]("min_chars") > 0L)
+    assert(p.getAs[Double]("avg_chars") > 0.0)
+  }
 }

@@ -44,4 +44,27 @@ class SamplingSpec extends AnyFunSuite {
     // caps actually bind: the corpus has >10 docs in some language
     assert(once.groupBy(_._2).exists(_._2.size == 10))
   }
+
+  test("stratified rate sampling: ~25% of en, ~75% of the rest, deterministic") {
+    val d = "/root/testdata/sf0.01"
+    val all = graft.Tables.documents(spark, d)
+      .groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val kept = Sampling.sampleStratified(spark, d)
+      .groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    // en downsampled to ~25% (64/256), others kept at ~75% (192/256);
+    // 5k docs per tier -> binomial noise stays well inside ±12pp
+    val enRate = kept("en").toDouble / all("en")
+    assert(enRate > 0.13 && enRate < 0.37, s"en rate $enRate")
+    (all.keySet - "en").foreach { l =>
+      val r = kept(l).toDouble / all(l)
+      assert(r > 0.63 && r < 0.87, s"$l rate $r")
+    }
+    // determinism: same rows on a second run
+    val again = Sampling.sampleStratified(spark, d)
+      .as[(Long, String)].collect().toSet
+    assert(Sampling.sampleStratified(spark, d)
+      .as[(Long, String)].collect().toSet === again)
+  }
 }

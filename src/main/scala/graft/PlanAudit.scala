@@ -87,7 +87,12 @@ object PlanAudit {
     Check("sim_ivf_nprobe", "corpus-side work unchanged under multi-probe", "ABSENT:HashAggregate",
       "nprobe=2 ranks probes on the tiny query side only: the corpus keeps the zero-shuffle nearest_centroid projection and one broadcast probe join"),
     Check("sim_ann_lsh_multiprobe", "corpus-side work unchanged under multi-probe", "ABSENT:HashAggregate",
-      "the 9-bucket probe expansion explodes on the broadcast query side only; the corpus keeps the narrow literal-plane bucket projection"))
+      "the 9-bucket probe expansion explodes on the broadcast query side only; the corpus keeps the narrow literal-plane bucket projection"),
+    Check("pipeline_pack", "no single-partition stage", "ABSENT:SinglePartition",
+      "sequence packing numbers the token stream via range partitions + per-slice offsets (the sort_seq form): a plain running-sum window would funnel each source through one task"),
+    Check("pipeline_decontaminate", "corpus never shuffles", "ABSENT:REGEX:SortMergeJoin|ShuffledHashJoin",
+      "eval-set grams and the contaminated-id set are both benchmark-bounded: the gram semi-join and the final anti-join broadcast, so the corpus is scanned but never exchanged",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

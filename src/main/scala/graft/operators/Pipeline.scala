@@ -98,27 +98,32 @@ object Pipeline {
     *
     * Scale shape: a naive per-source running sum is ONE task per
     * source — a 5-source corpus would use 5 of 1000 executors. This is
-    * the `sortSeq` two-pass form instead: range-partition by
-    * (source, doc_id) so each partition owns a contiguous slice of one
-    * or more sources, take per-(partition, source) token totals (a
-    * #partitions×#sources-bounded collect), and add each slice's
-    * cumulative base to its partition-local running sum. The output
-    * depends only on the (source, doc_id) total order, not on where
-    * the range sampler drops partition boundaries; the cache pins one
-    * partitioning across the two passes. */
+    * the `sortSeq` two-pass form instead: slice each source's doc_id
+    * range into buckets, take per-(bucket, source) token totals (a
+    * #buckets×#sources-bounded collect), and add each slice's
+    * cumulative base to its bucket-local running sum. The bucket id is
+    * a pure FUNCTION of the row (`doc_id DIV width`), not a physical
+    * partition id, so the two passes agree by construction — no cached
+    * partitioning to pin (r6 ADVICE: the earlier
+    * repartitionByRange+spark_partition_id form cached `sorted` and
+    * never unpersisted it). */
   def packSequences(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d).select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).as("n_tokens"))
-    val sorted = toks
-      .repartitionByRange(col("source").asc, col("doc_id").asc)
-      .withColumn("pid", spark_partition_id())
-      .cache()
-    val totals = sorted.groupBy(col("pid"), col("source"))
+    // ~one bucket per core; doc_ids are dense so DIV-width slices are
+    // balanced. The max(doc_id) probe is a 1-row agg, not a collect of
+    // data-scaled results.
+    val maxId = toks.agg(max(col("doc_id"))).head.getLong(0)
+    val buckets = math.max(s.sparkContext.defaultParallelism.toLong, 1L)
+    val width = math.max(maxId / buckets + 1L, 1L)
+    val bucketed = toks.withColumn("pid", expr(s"doc_id DIV $width"))
+    val totals = bucketed.groupBy(col("pid"), col("source"))
       .agg(sum(col("n_tokens")).as("tok")).collect()
-      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
     // base offset of a (pid, source) slice = total tokens of the same
-    // source in lower pids (range partitioning makes pid order = key
-    // order). Bounded driver work: #partitions × #sources entries.
+    // source in lower buckets (doc_id ranges are disjoint across
+    // buckets, so bucket order = per-source doc_id order). Bounded
+    // driver work: #buckets × #sources entries.
     val bases = totals.map { case ((pid, src), _) =>
       (pid, src, totals.collect {
         case ((p, s2), t) if s2 == src && p < pid => t
@@ -126,7 +131,7 @@ object Pipeline {
     }.toSeq
     val baseDf = s.createDataFrame(bases).toDF("pid", "source", "base")
     val w = Window.partitionBy(col("pid"), col("source")).orderBy(col("doc_id"))
-    sorted
+    bucketed
       .withColumn("run_end", sum(col("n_tokens")).over(w))
       .join(broadcast(baseDf), Seq("pid", "source"))
       .withColumn("start_tok", col("base") + col("run_end") - col("n_tokens"))
@@ -255,10 +260,15 @@ object Pipeline {
         |SELECT doc_id, source, lang_pred, n_words, rnk
         |FROM capped WHERE rnk <= 100""".stripMargin,
     // packing is partition-boundary-independent, so the oracle is the
-    // plain per-source running sum the two-pass form reconstructs
+    // plain per-source running sum the two-pass form reconstructs.
+    // Terminal BIGINT casts: DuckDB promotes the windowed sum(BIGINT)
+    // — and pack_id derived from it — to HUGEINT, which renders
+    // differently from Spark's BIGINT at the driver's hash boundary
+    // even when the values are identical (r6 ADVICE).
     "pipeline_pack" ->
-      s"""SELECT doc_id, source, n_tokens, start_tok,
-        |  start_tok // $PackBudget AS pack_id
+      s"""SELECT doc_id, source, n_tokens,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(start_tok // $PackBudget AS BIGINT) AS pack_id
         |FROM (
         |  SELECT doc_id, source,
         |    len(string_split(text, ' ')) AS n_tokens,

@@ -73,10 +73,41 @@ object Sampling {
       .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < thr)
   }
 
+  /** Weighted corpus MIXING with fractional epochs — the
+    * mixture-weights step of corpus assembly (a source with weight
+    * 2.75 contributes every doc twice plus a deterministic 75%
+    * subsample a third time; weight 0.5 contributes a 50% subsample).
+    * Deterministic: the fractional epoch keeps doc d iff
+    * md5(doc_id) < the weight's hex threshold — same contract as
+    * `splitOf`, so the emitted multiset is a pure function of
+    * (doc_id, source), independent of cluster or partitioning.
+    *
+    * Scale shape: a narrow projection + explode over the scan — no
+    * shuffle, no join (the weight here is a function of the source
+    * name; a production run broadcast-joins a source→weight dim
+    * the same way `join_broadcast` does). Output size is
+    * sum(weight_s · n_s), i.e. exactly the requested mixture. */
+  def sampleMixture(s: SparkSession, d: String): DataFrame = {
+    // weight(srcN) = 0.5 + 0.75·(N % 4) → 0.5, 1.25, 2.0, 2.75;
+    // fractional parts 0.5/0.25/0.0/0.75 → md5-hex thresholds.
+    val srcMod = expr("CAST(substring(source, 4) AS INT) % 4")
+    val wFloor = element_at(typedlit(Seq(0, 1, 2, 2)), srcMod + 1)
+    val hexThr = element_at(typedlit(Seq("80", "40", "00", "c0")), srcMod + 1)
+    val nCopies = wFloor +
+      when(substring(md5(col("doc_id").cast("string")), 1, 2) < hexThr, 1)
+        .otherwise(0)
+    documents(s, d)
+      .select(col("doc_id"), col("source"), nCopies.as("n_copies"))
+      .filter(col("n_copies") >= 1) // sequence(1,0) would DESCEND in Spark
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("n_copies"))).as("epoch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash_split" -> sampleHashSplit _,
     "sample_balanced" -> ((s: SparkSession, d: String) => sampleBalanced(s, d)),
-    "sample_stratified" -> sampleStratified _
+    "sample_stratified" -> sampleStratified _,
+    "sample_mixture" -> sampleMixture _
   )
 
   val oracles: Map[String, String] = Map(
@@ -95,6 +126,17 @@ object Sampling {
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-        |    < (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)""".stripMargin
+        |    < (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)""".stripMargin,
+    "sample_mixture" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    ([0, 1, 2, 2])[CAST(substr(source, 4) AS INT) % 4 + 1]
+        |      + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |          < (['80', '40', '00', 'c0'])[CAST(substr(source, 4) AS INT) % 4 + 1]
+        |        THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+        |FROM w, unnest(generate_series(1, n_copies)) t(epoch)
+        |WHERE n_copies >= 1""".stripMargin
   )
 }

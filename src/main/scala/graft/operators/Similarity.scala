@@ -359,15 +359,120 @@ object Similarity {
       .filter(col("rnk") <= 5)
   }
 
+  /** Per-vector symmetric int8 scalar quantization: scale = 127/max|v|,
+    * q_i = ⌊v_i·scale + 0.5⌋ ∈ [-127, 127]. The 100 TB story: int8
+    * codes cut the resident corpus 4× (the difference between an ANN
+    * index fitting executor memory or spilling), and candidate scoring
+    * becomes exact INTEGER dot products — engine-portable with no
+    * float-reduction ordering concerns at all. `⌊x+0.5⌋` instead of
+    * round() dodges the engines' differing round-half semantics;
+    * the scale and codes are pure per-row expressions (no shuffle). */
+  def quantizeCols(vec: Column): (Column, Column) = {
+    val mx = array_max(transform(vec, x => abs(x.cast(DoubleType))))
+    val scale = when(mx === 0.0, lit(0.0)).otherwise(lit(127.0) / mx)
+    val q = transform(vec, x =>
+      floor(x.cast(DoubleType) * scale + lit(0.5)).cast(IntegerType))
+    (scale, q)
+  }
+
+  /** Gate query for the quantizer: integer summaries of the codes
+    * (array contents are covered by SimilaritySpec; scalar summaries
+    * keep the output boundary representation-stable). */
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    val (scale, q) = quantizeCols(col("embedding"))
+    embeddings(s, d)
+      .select(col("vec_id"), col("label"), scale.as("sc"), q.as("q"))
+      .select(
+        col("vec_id"), col("label"),
+        floor(col("sc") * 1e6).cast(LongType).as("scale_x1e6"),
+        size(col("q")).as("n_dims"),
+        aggregate(col("q"), lit(0L), (a, v) => a + v).as("sum_q"),
+        array_min(col("q")).as("min_q"),
+        array_max(col("q")).as("max_q"),
+        aggregate(col("q"), lit(0L), (a, v) => a + abs(v)).as("l1_q"))
+  }
+
+  /** Brute-force top-k over the QUANTIZED corpus: integer dot products
+    * (exact, no float ordering anywhere in the hot loop), dequantized
+    * through the two scales only at ranking. Same broadcast-queries ×
+    * corpus-scan shape as simTopk; at 100 TB the scan reads int8
+    * codes — a quarter of the float32 bytes — and the per-candidate
+    * kernel is integer MACs. */
+  def simTopkInt8(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val (qsc, qq) = quantizeCols(col("embedding"))
+    val corpus = e.select(col("vec_id"), qsc.as("c_scale"), qq.as("cq"))
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        quantizeCols(col("embedding"))._1.as("q_scale"),
+        quantizeCols(col("embedding"))._2.as("qq"))
+    val qdot = aggregate(
+      zip_with(col("cq"), col("qq"), (x, y) => x.cast(LongType) * y.cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), qdot.as("qdot"),
+        round(qdot.cast(DoubleType) / (col("c_scale") * col("q_scale")), 4)
+          .as("cos_q"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk _,
+    "embed_quantize" -> embedQuantize _,
+    "sim_topk_int8" -> simTopkInt8 _,
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_lsh_multiprobe" -> simAnnLshMultiprobe _,
     "sim_ivf" -> simIvf _,
     "sim_ivf_nprobe" -> ((s: SparkSession, d: String) => simIvfNprobe(s, d))
   )
 
+  /** Shared quantizer CTEs (mirror of quantizeCols): per-vector
+    * max-abs in DOUBLE, scale 127/mx, codes ⌊v·scale + 0.5⌋. */
+  private val quantCteSql =
+    """qz AS (
+      |  SELECT vec_id, label,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      |  FROM embeddings),
+      |qv AS (
+      |  SELECT e.vec_id, e.label,
+      |    CASE WHEN qz.mx = 0 THEN 0.0 ELSE 127.0 / qz.mx END AS sc,
+      |    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+      |      * (CASE WHEN qz.mx = 0 THEN 0.0 ELSE 127.0 / qz.mx END)
+      |      + 0.5) AS INTEGER)) AS q
+      |  FROM embeddings e JOIN qz ON e.vec_id = qz.vec_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "embed_quantize" ->
+      s"""WITH $quantCteSql
+        |SELECT vec_id, label,
+        |  CAST(floor(sc * 1e6) AS BIGINT) AS scale_x1e6,
+        |  len(q) AS n_dims,
+        |  CAST(list_sum(list_transform(q, v -> CAST(v AS BIGINT))) AS BIGINT) AS sum_q,
+        |  list_min(q) AS min_q,
+        |  list_max(q) AS max_q,
+        |  CAST(list_sum(list_transform(q, v -> abs(CAST(v AS BIGINT)))) AS BIGINT) AS l1_q
+        |FROM qv""".stripMargin,
+    "sim_topk_int8" ->
+      s"""WITH $quantCteSql,
+        |qs AS (SELECT vec_id AS query_id, sc AS q_scale, q AS qq
+        |       FROM qv WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT qs.query_id, c.vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(c.q[i] AS BIGINT) * qs.qq[i])) AS BIGINT) AS qdot,
+        |    c.sc AS c_scale, qs.q_scale
+        |  FROM qv c, qs WHERE c.vec_id <> qs.query_id)
+        |SELECT query_id, vec_id, qdot, cos_q, rnk FROM (
+        |  SELECT query_id, vec_id, qdot,
+        |    round(CAST(qdot AS DOUBLE) / (c_scale * q_scale), 4) AS cos_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(CAST(qdot AS DOUBLE) / (c_scale * q_scale), 4) DESC,
+        |        vec_id ASC) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 10""".stripMargin,
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
         |scored AS (

@@ -213,6 +213,38 @@ object TextAnalysis {
           hits(col("scrubbed"), PhoneRe))
   }
 
+  /** Gopher-style repetition stats (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv 2112.11446 §A1.1 — the repetition-removal family):
+    * per-document duplicate-2-gram fraction and top-2-gram fraction,
+    * plus the keep/drop decision. Everything is ROW-LOCAL — a single
+    * projection over the scan, no shuffle — because repetition is an
+    * intra-document property; the per-row gram self-count is
+    * O(len²) in higher-order functions but len is bounded (documents
+    * are length-capped upstream by the quality gate), so the cost is
+    * a constant per row, embarrassingly parallel at any corpus size.
+    * Integer percentages keep the decision bit-stable across engines. */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    // all 2-grams IN ORDER (counts matter — no array_distinct here)
+    val grams = transform(sequence(lit(0), size(words) - 2),
+      i => concat_ws(" ", slice(words, i + 1, lit(2))))
+    graft.Tables.spread(documents(s, d))
+      .filter(size(words) >= 2)
+      .select(col("doc_id"), grams.as("grams"))
+      .select(
+        col("doc_id"),
+        size(col("grams")).as("n_grams"),
+        size(array_distinct(col("grams"))).as("n_uniq_grams"),
+        array_max(transform(array_distinct(col("grams")),
+          g => size(filter(col("grams"), x => x === g)))).as("max_gram_n"))
+      .withColumn("dup_gram_pct",
+        expr("((n_grams - n_uniq_grams) * 100) div n_grams"))
+      .withColumn("top_gram_pct", expr("(max_gram_n * 100) div n_grams"))
+      .withColumn("is_repetitive",
+        col("dup_gram_pct") >= 10 || col("top_gram_pct") >= 8)
+  }
+
   /** Single-pass column profile — the data-quality pass a pipeline
     * runs before training: row/null counts, class cardinalities,
     * length distribution. Everything is algebraic (partial agg
@@ -239,7 +271,8 @@ object TextAnalysis {
     "text_quality" -> textQuality _,
     "text_normalize" -> textNormalize _,
     "text_tokens" -> textTokens _,
-    "text_fingerprint" -> textFingerprint _
+    "text_fingerprint" -> textFingerprint _,
+    "text_repetition" -> textRepetition _
   )
 
   private def duckScore(l: String, ws: Seq[String]): String =
@@ -332,6 +365,24 @@ object TextAnalysis {
         |  len(regexp_extract_all(text, '[a-z]{1,4}')) AS subword_tokens,
         |  length(text) AS n_chars_calc
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    [array_to_string(string_split(text,' ')[i:i+1], ' ')
+        |     FOR i IN range(1, len(string_split(text,' ')))] AS grams
+        |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |s AS (
+        |  SELECT doc_id, len(grams) AS n_grams,
+        |    len(list_distinct(grams)) AS n_uniq_grams,
+        |    list_max(list_transform(list_distinct(grams),
+        |      g -> len(list_filter(grams, x -> x = g)))) AS max_gram_n
+        |  FROM g)
+        |SELECT doc_id, n_grams, n_uniq_grams, max_gram_n,
+        |  (n_grams - n_uniq_grams) * 100 // n_grams AS dup_gram_pct,
+        |  max_gram_n * 100 // n_grams AS top_gram_pct,
+        |  ((n_grams - n_uniq_grams) * 100 // n_grams) >= 10
+        |    OR (max_gram_n * 100 // n_grams) >= 8 AS is_repetitive
+        |FROM s""".stripMargin,
     "text_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -212,6 +212,31 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("repetition stats: planted repeated 2-gram flagged, distinct text passes") {
+    // doc 0: "ab ab ab ..." — every 2-gram is the same pair;
+    // doc 1: all-distinct words — zero duplicate 2-grams
+    val docs = Seq(
+      (0L, Seq.fill(20)("ab").mkString(" "), "s0"),
+      (1L, (1 to 20).map(i => s"w$i").mkString(" "), "s0"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rep")
+    docs.toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val r = graft.operators.TextAnalysis.textRepetition(spark, tmp.toString)
+      .orderBy("doc_id").collect()
+    // doc 0: 19 grams, 1 distinct, top gram covers 100%
+    assert(r(0).getAs[Int]("n_grams") === 19)
+    assert(r(0).getAs[Int]("n_uniq_grams") === 1)
+    assert(r(0).getAs[Int]("max_gram_n") === 19)
+    assert(r(0).getAs[Int]("dup_gram_pct") === 94) // (19-1)*100 div 19
+    assert(r(0).getAs[Int]("top_gram_pct") === 100)
+    assert(r(0).getAs[Boolean]("is_repetitive"))
+    // doc 1: every gram unique
+    assert(r(1).getAs[Int]("n_uniq_grams") === 19)
+    assert(r(1).getAs[Int]("dup_gram_pct") === 0)
+    assert(r(1).getAs[Int]("top_gram_pct") === 5) // 100 div 19
+    assert(!r(1).getAs[Boolean]("is_repetitive"))
+  }
+
   test("profile_table: single-row exact profile over a known tier") {
     val p = graft.operators.TextAnalysis.profileDocs(TestSpark.session, "/root/testdata/sf0.001")
       .collect()(0)

@@ -67,4 +67,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.sampleStratified(spark, d)
       .as[(Long, String)].collect().toSet === again)
   }
+
+  test("mixture: epochs are 1..n per doc, per-source totals track the weights") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Sampling.sampleMixture(spark, d)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n"), max(col("epoch")).as("maxe"),
+        countDistinct(col("epoch")).as("ne"))
+      .collect()
+    // epochs of each doc are exactly 1..n (no gaps, no dupes)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") === r.getAs[Int]("maxe").toLong, r.toString)
+      assert(r.getAs[Long]("ne") === r.getAs[Long]("n"), r.toString)
+    }
+    // weight(srcN) = 0.5 + 0.75·(N % 4); 25 docs/source at sf0.01 →
+    // observed copies/doc within ~4σ binomial noise of the weight
+    val bySrc = Sampling.sampleMixture(spark, d)
+      .groupBy(col("source")).count()
+      .as[(String, Long)].collect()
+    assert(bySrc.length === 20)
+    bySrc.foreach { case (src, n) =>
+      val w = 0.5 + 0.75 * (src.drop(3).toInt % 4)
+      val perDoc = n.toDouble / 25
+      assert(math.abs(perDoc - w) < 0.4, s"$src: $perDoc vs weight $w")
+    }
+    // determinism: identical multiset on a second run
+    val a = Sampling.sampleMixture(spark, d)
+      .as[(Long, String, Int)].collect().toSet
+    val b = Sampling.sampleMixture(spark, d)
+      .as[(Long, String, Int)].collect().toSet
+    assert(a === b)
+  }
 }

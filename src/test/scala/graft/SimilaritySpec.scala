@@ -36,6 +36,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: codes bounded to ±127, the max-|v| element saturates, scale > 0") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (sc, q) = Similarity.quantizeCols(col("embedding"))
+    val rows = e.select(col("vec_id"), sc.as("sc"), q.as("q")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](2)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec ${r.getLong(0)}")
+      // the element at max |v| maps to ±127 (symmetric saturation)
+      assert(codes.exists(c => math.abs(c) === 127), s"vec ${r.getLong(0)}")
+      assert(r.getDouble(1) > 0.0)
+    }
+  }
+
+  test("sim_topk_int8: high recall vs the exact float top-10") {
+    val d = "/root/testdata/sf0.001"
+    val exact = Similarity.simTopk(spark, d)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.simTopkInt8(spark, d)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(quant.size === 30)
+    val overlap = (exact intersect quant).size
+    // int8 cos error is ~1e-3; only near-ties can flip rank
+    assert(overlap >= 24, s"int8 top-10 overlap with exact: $overlap/30")
+  }
+
   test("native dot_f32 is bit-equal to the higher-order-function fold on the corpus") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))

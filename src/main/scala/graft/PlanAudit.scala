@@ -92,7 +92,15 @@ object PlanAudit {
       "sequence packing numbers the token stream via range partitions + per-slice offsets (the sort_seq form): a plain running-sum window would funnel each source through one task"),
     Check("pipeline_decontaminate", "corpus never shuffles", "ABSENT:REGEX:SortMergeJoin|ShuffledHashJoin",
       "eval-set grams and the contaminated-id set are both benchmark-bounded: the gram semi-join and the final anti-join broadcast, so the corpus is scanned but never exchanged",
-      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")))
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("sample_mixture", "pure projection + explode, zero exchange", "ABSENT:Exchange",
+      "weighted mixing with fractional epochs is a narrow per-row decision plus a generator: the corpus is scanned once and never shuffled, joined, or aggregated"),
+    Check("text_repetition", "row-local repetition stats", "ABSENT:REGEX:Exchange hashpartitioning",
+      "duplicate/top-2-gram fractions are intra-document: one projection over the scan, no hash shuffle, no window, no join (the only exchange is local-mode round-robin spread)"),
+    Check("sim_topk_int8", "broadcast quantized queries", "BroadcastNestedLoopJoin",
+      "the int8 query codes broadcast; the corpus scan scores integer dot products map-side only"),
+    Check("sim_topk_int8", "per-partition top-k", "MapPartitions",
+      "bounded heaps shrink each task to k rows per query before the merge — same two-level shape as the float path, no corpus-sized shuffle into #queries reducers"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

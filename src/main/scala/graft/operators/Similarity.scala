@@ -399,6 +399,8 @@ object Similarity {
     * codes — a quarter of the float32 bytes — and the per-candidate
     * kernel is integer MACs. */
   def simTopkInt8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 10
     val e = embeddings(s, d)
     val (qsc, qq) = quantizeCols(col("embedding"))
     val corpus = e.select(col("vec_id"), qsc.as("c_scale"), qq.as("cq"))
@@ -409,14 +411,31 @@ object Similarity {
     val qdot = aggregate(
       zip_with(col("cq"), col("qq"), (x, y) => x.cast(LongType) * y.cast(LongType)),
       lit(0L), (acc, v) => acc + v)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_q").desc, col("vec_id").asc)
-    corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), qdot.as("qdot"),
         round(qdot.cast(DoubleType) / (col("c_scale") * col("q_scale")), 4)
           .as("cos_q"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+    // same two-level top-k as simTopk: per-partition bounded heaps, so
+    // only k·partitions·queries rows reach the final rank window — no
+    // corpus-sized shuffle into #queries reducers
+    val worstFirst: Ordering[(Double, Long, Long)] =
+      Ordering.Tuple3(Ordering.Double.TotalOrdering.reverse, Ordering.Long, Ordering.Long)
+    val partial = scored.as[(Long, Long, Long, Double)].mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long, Long)]]
+      it.foreach { case (q, v, dq, c) =>
+        val h = heaps.getOrElseUpdate(q,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        if (h.size < k) h.enqueue((c, v, dq))
+        else if (worstFirst.gt(h.head, (c, v, dq))) { h.dequeue(); h.enqueue((c, v, dq)) }
+      }
+      heaps.iterator.flatMap { case (q, h) =>
+        h.iterator.map { case (c, v, dq) => (q, v, dq, c) } }
+    }.toDF("query_id", "vec_id", "qdot", "cos_q")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("vec_id").asc)
+    partial.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

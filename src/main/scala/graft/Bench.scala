@@ -42,8 +42,10 @@ object Bench {
     "dedup_minhash_lsh",   // MinHash+LSH near-dup
     "dedup_embed_cosine",  // SemDeDup cell-blocked embedding near-dup
     "sim_topk",            // brute-force cosine top-k
+    "sim_topk_int8",       // quantized top-k (integer dot products)
     "sim_ivf",             // IVF cell-probe ANN (dynamic-k quantizer)
     "text_tokens",         // text analysis
+    "text_repetition",     // row-local Gopher repetition stats
     "agg_heavy_hitters",   // SpaceSaving sketch + exact recount
     "stream_window_agg",   // streaming windowed agg
     "stream_source_v2",    // V2 source AvailableNow drain

@@ -370,8 +370,10 @@ object Similarity {
   def quantizeCols(vec: Column): (Column, Column) = {
     val mx = array_max(transform(vec, x => abs(x.cast(DoubleType))))
     val scale = when(mx === 0.0, lit(0.0)).otherwise(lit(127.0) / mx)
+    // ByteType codes, not Int: array<tinyint> is what actually delivers
+    // the 4x in-memory/storage cut vs array<float>
     val q = transform(vec, x =>
-      floor(x.cast(DoubleType) * scale + lit(0.5)).cast(IntegerType))
+      floor(x.cast(DoubleType) * scale + lit(0.5)).cast(ByteType))
     (scale, q)
   }
 
@@ -460,7 +462,7 @@ object Similarity {
       |    CASE WHEN qz.mx = 0 THEN 0.0 ELSE 127.0 / qz.mx END AS sc,
       |    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE)
       |      * (CASE WHEN qz.mx = 0 THEN 0.0 ELSE 127.0 / qz.mx END)
-      |      + 0.5) AS INTEGER)) AS q
+      |      + 0.5) AS TINYINT)) AS q
       |  FROM embeddings e JOIN qz ON e.vec_id = qz.vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(

@@ -42,10 +42,10 @@ class SimilaritySpec extends AnyFunSuite {
     val rows = e.select(col("vec_id"), sc.as("sc"), q.as("q")).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val codes = r.getSeq[Int](2)
+      val codes = r.getSeq[Byte](2)
       assert(codes.forall(c => c >= -127 && c <= 127), s"vec ${r.getLong(0)}")
       // the element at max |v| maps to ±127 (symmetric saturation)
-      assert(codes.exists(c => math.abs(c) === 127), s"vec ${r.getLong(0)}")
+      assert(codes.exists(c => math.abs(c.toInt) === 127), s"vec ${r.getLong(0)}")
       assert(r.getDouble(1) > 0.0)
     }
   }

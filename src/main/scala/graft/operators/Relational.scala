@@ -114,10 +114,15 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
 
   /** Anti join: NOT EXISTS — also the engine primitive under upsert
-    * (`changesetmd.py:71-76` delete+insert ≙ anti-join+union). */
+    * (`changesetmd.py:71-76` delete+insert ≙ anti-join+union).
+    * The build side is filtered (no order above 300k) so the result
+    * is non-empty AND non-total: both the drop and keep branches of
+    * the anti-join are exercised (the unfiltered form matched every
+    * customer and passed vacuously on 0 rows). */
   def joinAnti(s: SparkSession, d: String): DataFrame =
     customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders(s, d).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
   /** Skew-mitigated join: `l_returnflag` has 3 values over the whole
@@ -629,7 +634,8 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
     "join_skew_salted" ->
       """SELECT f.flag_desc, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price

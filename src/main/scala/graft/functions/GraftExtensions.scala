@@ -48,6 +48,26 @@ object GraftExtensions {
         DotF32(DotF32.normNull(exprs(0)), DotF32.normNull(exprs(1)))
       })
 
+  val dotI8Desc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("dot_i8"),
+      info("dot_i8",
+        "dot_i8(a, b) - exact integer dot product of two ARRAY<TINYINT> code vectors"),
+      exprs => {
+        require(exprs.length == 2,
+          s"dot_i8 requires exactly 2 arguments, got ${exprs.length}")
+        DotI8(DotI8.normNull(exprs(0)), DotI8.normNull(exprs(1)))
+      })
+
+  val quantizeI8Desc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("quantize_i8"),
+      info("quantize_i8",
+        "quantize_i8(v) - symmetric int8 quantization of an ARRAY<FLOAT>: struct(scale, codes)"),
+      exprs => {
+        require(exprs.length == 1,
+          s"quantize_i8 requires exactly 1 argument, got ${exprs.length}")
+        QuantizeI8(exprs.head)
+      })
+
   /** A foldable integer argument (e.g. the k of a signature). */
   private def intArg(fn: String, e: Expression): Int = {
     require(e.foldable, s"$fn: k must be a literal")
@@ -100,7 +120,7 @@ object GraftExtensions {
       })
 
   private[functions] val all = Seq(
-    bboxAreaDesc, minhashSketchDesc, dotF32Desc,
+    bboxAreaDesc, minhashSketchDesc, dotF32Desc, dotI8Desc, quantizeI8Desc,
     wordShinglesDesc, minhashSigDesc, simhash32Desc, spaceSavingDesc)
 
   /** Runtime registration into an existing session. */

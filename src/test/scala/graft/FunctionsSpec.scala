@@ -55,6 +55,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("dot_i8: exact integer dot from SQL; null/length/type semantics match dot_f32") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_i8(CAST(array(1, -2, 127) AS ARRAY<TINYINT>),
+        |              CAST(array(4, 5, 127) AS ARRAY<TINYINT>)) AS d""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) === 4L - 10L + 127L * 127L)
+    // bit-equal to the portable HOF fold on the quantized corpus
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (_, q) = graft.operators.Similarity.quantizeCols(col("embedding"))
+    val both = e.select(
+      graft.functions.DotI8.dotI8(q, q).as("native"),
+      aggregate(zip_with(q, q, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (a, v) => a + v).as("hof"))
+      .collect()
+    both.foreach(r2 => assert(r2.getLong(0) === r2.getLong(1)))
+    // length mismatch -> NULL; wrong type -> analysis error
+    assert(spark.sql(
+      """SELECT dot_i8(CAST(array(1) AS ARRAY<TINYINT>),
+        |              CAST(array(1, 2) AS ARRAY<TINYINT>)) AS d""".stripMargin)
+      .collect()(0).isNullAt(0))
+    val err = intercept[Exception](spark.sql(
+      "SELECT dot_i8(array(1, 2), array(3, 4))").collect())
+    assert(err.getMessage.contains("dot_i8 requires"))
+  }
+
   test("dot_f32 accepts untyped NULL literals (implicit cast) and returns NULL") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -50,6 +50,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("native quantize_i8 equals the portable HOF quantizer on the corpus") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (nsc, nq) = Similarity.quantizeCols(col("embedding"))
+    val (hsc, hq) = Similarity.quantizeColsHof(col("embedding"))
+    val both = e.select(col("vec_id"), nsc.as("ns"), nq.as("ncodes"),
+      hsc.as("hs"), hq.as("hcodes")).collect()
+    both.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(3), s"scale, vec ${r.getLong(0)}")
+      assert(r.getSeq[Byte](2) === r.getSeq[Byte](4), s"codes, vec ${r.getLong(0)}")
+    }
+  }
+
   test("sim_topk_int8: high recall vs the exact float top-10") {
     val d = "/root/testdata/sf0.001"
     val exact = Similarity.simTopk(spark, d)

@@ -68,6 +68,16 @@ object GraftExtensions {
         QuantizeI8(exprs.head)
       })
 
+  val gramStatsDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("gram_stats"),
+      info("gram_stats",
+        "gram_stats(words) - 2-gram repetition stats of a word array: struct(n_grams, n_uniq_grams, max_gram_n)"),
+      exprs => {
+        require(exprs.length == 1,
+          s"gram_stats requires exactly 1 argument, got ${exprs.length}")
+        GramStats(exprs.head)
+      })
+
   /** A foldable integer argument (e.g. the k of a signature). */
   private def intArg(fn: String, e: Expression): Int = {
     require(e.foldable, s"$fn: k must be a literal")
@@ -121,7 +131,8 @@ object GraftExtensions {
 
   private[functions] val all = Seq(
     bboxAreaDesc, minhashSketchDesc, dotF32Desc, dotI8Desc, quantizeI8Desc,
-    wordShinglesDesc, minhashSigDesc, simhash32Desc, spaceSavingDesc)
+    gramStatsDesc, wordShinglesDesc, minhashSigDesc, simhash32Desc,
+    spaceSavingDesc)
 
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

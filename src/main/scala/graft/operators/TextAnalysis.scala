@@ -226,23 +226,34 @@ object TextAnalysis {
     * Integer percentages keep the decision bit-stable across engines. */
   def textRepetition(s: SparkSession, d: String): DataFrame = {
     val words = split(col("text"), " ")
-    // all 2-grams IN ORDER (counts matter — no array_distinct here)
-    val grams = transform(sequence(lit(0), size(words) - 2),
-      i => concat_ws(" ", slice(words, i + 1, lit(2))))
+    // native one-pass kernel (functions/GramStatsExpr.scala): the HOF
+    // form re-filtered the whole gram list per distinct gram — O(L²)
+    // interpreted lambda calls per row
+    val st = graft.functions.GramStats.gramStats(words)
     graft.Tables.spread(documents(s, d))
       .filter(size(words) >= 2)
-      .select(col("doc_id"), grams.as("grams"))
       .select(
         col("doc_id"),
-        size(col("grams")).as("n_grams"),
-        size(array_distinct(col("grams"))).as("n_uniq_grams"),
-        array_max(transform(array_distinct(col("grams")),
-          g => size(filter(col("grams"), x => x === g)))).as("max_gram_n"))
+        st.getField("n_grams").as("n_grams"),
+        st.getField("n_uniq_grams").as("n_uniq_grams"),
+        st.getField("max_gram_n").as("max_gram_n"))
       .withColumn("dup_gram_pct",
         expr("((n_grams - n_uniq_grams) * 100) div n_grams"))
       .withColumn("top_gram_pct", expr("(max_gram_n * 100) div n_grams"))
       .withColumn("is_repetitive",
         col("dup_gram_pct") >= 10 || col("top_gram_pct") >= 8)
+  }
+
+  /** Portable HOF form of the repetition stats (what the DuckDB
+    * oracle mirrors; FunctionsSpec asserts value parity with the
+    * native `gram_stats` expression). */
+  def gramStatsHof(words: Column): (Column, Column, Column) = {
+    val grams = transform(sequence(lit(0), size(words) - 2),
+      i => concat_ws(" ", slice(words, i + 1, lit(2))))
+    (size(grams),
+      size(array_distinct(grams)),
+      array_max(transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g)))))
   }
 
   /** Single-pass column profile — the data-quality pass a pipeline

@@ -238,6 +238,24 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("native gram_stats equals the portable HOF repetition stats on the corpus") {
+    val words = split(col("text"), " ")
+    val st = graft.functions.GramStats.gramStats(words)
+    val (hn, hu, hm) = graft.operators.TextAnalysis.gramStatsHof(words)
+    val both = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(size(words) >= 2)
+      .select(st.getField("n_grams").as("nn"), st.getField("n_uniq_grams").as("nu"),
+        st.getField("max_gram_n").as("nm"), hn.as("hn"), hu.as("hu"), hm.as("hm"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getInt(0) === r.getInt(3))
+      assert(r.getInt(1) === r.getInt(4))
+      assert(r.getInt(2) === r.getInt(5))
+    }
+  }
+
   test("repetition stats: planted repeated 2-gram flagged, distinct text passes") {
     // doc 0: "ab ab ab ..." — every 2-gram is the same pair;
     // doc 1: all-distinct words — zero duplicate 2-grams

@@ -451,10 +451,43 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF + int8 — the production ANN layout at 100 TB: the coarse
+    * quantizer bounds per-query work to one cell (sublinear in n) and
+    * the resident cell data is TINYINT codes + one scale (4× smaller
+    * than float32), scored with exact integer dot products. Cell
+    * assignment uses the FLOAT vector (quantizing the assignment too
+    * would move cell boundaries; the codes exist for the scoring
+    * scan, where the bytes dominate). Same query-side-only probe
+    * shape as simIvf; corpus side is one narrow projection. */
+  def simIvfInt8(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cents = collectCentroids(s, d)
+    def cellOf(vecCol: Column): Column =
+      graft.functions.NearestCentroid.nearest(vecCol, cents)
+    val (csc, cq) = quantizeCols(col("embedding"))
+    val cells = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
+      csc.as("c_scale"), cq.as("cq"))
+    val qcells = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), cellOf(col("embedding")).as("qcell"),
+        quantizeCols(col("embedding"))._1.as("q_scale"),
+        quantizeCols(col("embedding"))._2.as("qq"))
+    val qdot = graft.functions.DotI8.dotI8(col("cq"), col("qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("vec_id").asc)
+    cells.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(qdot.cast(DoubleType) / (col("c_scale") * col("q_scale")), 4)
+          .as("cos_q"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk _,
     "embed_quantize" -> embedQuantize _,
     "sim_topk_int8" -> simTopkInt8 _,
+    "sim_ivf_int8" -> simIvfInt8 _,
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_lsh_multiprobe" -> simAnnLshMultiprobe _,
     "sim_ivf" -> simIvf _,
@@ -487,6 +520,35 @@ object Similarity {
         |  list_max(q) AS max_q,
         |  CAST(list_sum(list_transform(q, v -> abs(CAST(v AS BIGINT)))) AS BIGINT) AS l1_q
         |FROM qv""".stripMargin,
+    "sim_ivf_int8" ->
+      s"""WITH $centroidCteSql,
+        |$quantCteSql,
+        |cells AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dotSql.format("e.embedding", "cv")}, 4) DESC, c.cent_id ASC) AS arnk
+        |    FROM embeddings e, c) t WHERE arnk = 1),
+        |qcells AS (
+        |  SELECT query_id, qcell FROM (
+        |    SELECT q.vec_id AS query_id, c.cent_id AS qcell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(${dotSql.format("q.embedding", "cv")}, 4) DESC, c.cent_id ASC) AS arnk
+        |    FROM embeddings q, c WHERE q.vec_id < 3) t WHERE arnk = 1)
+        |SELECT query_id, vec_id, cell, cos_q, rnk FROM (
+        |  SELECT qc.query_id, cells.vec_id, cells.cell,
+        |    round(CAST(CAST(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(cv2.q[i] AS BIGINT) * qv2.q[i])) AS BIGINT) AS DOUBLE)
+        |      / (cv2.sc * qv2.sc), 4) AS cos_q,
+        |    row_number() OVER (PARTITION BY qc.query_id
+        |      ORDER BY round(CAST(CAST(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(cv2.q[i] AS BIGINT) * qv2.q[i])) AS BIGINT) AS DOUBLE)
+        |        / (cv2.sc * qv2.sc), 4) DESC, cells.vec_id ASC) AS rnk
+        |  FROM cells
+        |  JOIN qcells qc ON cells.cell = qc.qcell AND cells.vec_id <> qc.query_id
+        |  JOIN qv cv2 ON cv2.vec_id = cells.vec_id
+        |  JOIN qv qv2 ON qv2.vec_id = qc.query_id) t
+        |WHERE rnk <= 5""".stripMargin,
     "sim_topk_int8" ->
       s"""WITH $quantCteSql,
         |qs AS (SELECT vec_id AS query_id, sc AS q_scale, q AS qq

@@ -74,6 +74,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap >= 24, s"int8 top-10 overlap with exact: $overlap/30")
   }
 
+  test("sim_ivf_int8 probes the same cells as sim_ivf; quantized ranking stays close") {
+    val d = "/root/testdata/sf0.001"
+    val f = Similarity.simIvf(spark, d)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val q = Similarity.simIvfInt8(spark, d)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(q.nonEmpty)
+    // identical candidate cells, only the score arithmetic differs:
+    // the per-cell top-5 can flip only among quantization near-ties
+    val overlap = (f intersect q).size
+    assert(overlap * 10 >= f.size * 8, s"overlap $overlap of ${f.size}")
+  }
+
   test("native dot_f32 is bit-equal to the higher-order-function fold on the corpus") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))

@@ -74,6 +74,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap >= 24, s"int8 top-10 overlap with exact: $overlap/30")
   }
 
+  test("quantizer property: codes bounded, dequantization error within half a step, zero vector safe") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vecGen = for {
+      n <- Gen.chooseNum(1, 96)
+      v <- Gen.listOfN(n, Gen.chooseNum(-8.0f, 8.0f))
+    } yield v.toArray
+    val vecs: Seq[Array[Float]] =
+      ((0 until 40).flatMap(i => vecGen(Gen.Parameters.default, Seed(7L + i))) :+
+        Array.fill(16)(0.0f)) // all-zero edge case
+    val df = vecs.map(v => Tuple1(v)).toDF("embedding")
+    val (sc, q) = Similarity.quantizeCols(col("embedding"))
+    val rows = df.select(col("embedding"), sc.as("sc"), q.as("q")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Byte](2)
+      assert(codes.length === v.length)
+      if (v.forall(_ == 0.0f)) {
+        assert(scale === 0.0)
+        assert(codes.forall(_ === 0.toByte))
+      } else {
+        assert(scale > 0.0)
+        assert(codes.forall(c => c >= -127 && c <= 127))
+        // |code - v*scale| <= 0.5 (floor(x+0.5) is within half a step)
+        v.zip(codes).foreach { case (x, c) =>
+          assert(math.abs(c.toDouble - x.toDouble * scale) <= 0.5 + 1e-9,
+            s"x=$x scale=$scale code=$c")
+        }
+      }
+    }
+  }
+
   test("sim_ivf_int8 probes the same cells as sim_ivf; quantized ranking stays close") {
     val d = "/root/testdata/sf0.001"
     val f = Similarity.simIvf(spark, d)

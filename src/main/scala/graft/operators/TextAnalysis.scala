@@ -256,6 +256,46 @@ object TextAnalysis {
         g => size(filter(grams, x => x === g)))))
   }
 
+  /** Unigram-surprisal quality proxy — the "perplexity filter" stage
+    * of a curation pipeline (CCNet-style: score each document by how
+    * surprising its tokens are under a corpus-level unigram model;
+    * very low = boilerplate, very high = noise). Deliberately
+    * integer-valued: each token scores ⌊log2(total DIV freq)⌋ BITS of
+    * surprisal, so per-document sums are exact integer arithmetic —
+    * no float accumulation order anywhere (and floor(log2(k)) of an
+    * integer k is ULP-robust: only exact powers of two land on
+    * integer log2 values, where both engines are exact).
+    *
+    * Scale shape: the frequency table is the vocabulary-bounded
+    * wordcount (map-side partial agg; the shuffle carries one state
+    * per token). It is then COLLECTED and applied as a literal map in
+    * a narrow per-row projection — the collectCentroids pattern — so
+    * the corpus itself is scanned once with zero shuffle. A corpus
+    * whose vocabulary exceeds driver memory downgrades to the
+    * explode + broadcast-join form (same results, one extra corpus
+    * pass); the sketch path (`agg_heavy_hitters`) bounds candidate
+    * vocabularies when even that is too wide. */
+  def textSurprisal(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = freq.map(_._2).sum
+    val bits: Map[String, Long] = freq.map { case (t, n) =>
+      t -> (63 - java.lang.Long.numberOfLeadingZeros(total / n)).toLong
+    }.toMap
+    val bitsMap = typedlit(bits)
+    val words = split(col("text"), " ")
+    graft.Tables.spread(documents(s, d))
+      .select(
+        col("doc_id"),
+        size(words).as("n_toks"),
+        aggregate(transform(words, w => element_at(bitsMap, w)),
+          lit(0L), (acc, v) => acc + v).as("surprisal_bits"))
+      .withColumn("bits_per_tok_x100",
+        expr("(surprisal_bits * 100) div n_toks"))
+  }
+
   /** Single-pass column profile — the data-quality pass a pipeline
     * runs before training: row/null counts, class cardinalities,
     * length distribution. Everything is algebraic (partial agg
@@ -283,7 +323,8 @@ object TextAnalysis {
     "text_normalize" -> textNormalize _,
     "text_tokens" -> textTokens _,
     "text_fingerprint" -> textFingerprint _,
-    "text_repetition" -> textRepetition _
+    "text_repetition" -> textRepetition _,
+    "text_surprisal" -> textSurprisal _
   )
 
   private def duckScore(l: String, ws: Seq[String]): String =
@@ -376,6 +417,19 @@ object TextAnalysis {
         |  len(regexp_extract_all(text, '[a-z]{1,4}')) AS subword_tokens,
         |  length(text) AS n_chars_calc
         |FROM documents""".stripMargin,
+    // floor(log2(k)) of an integer ratio == the Scala side's
+    // 63 - numberOfLeadingZeros(k); sum(BIGINT) promotes to HUGEINT in
+    // DuckDB, hence the terminal BIGINT casts (round-1 boundary rule)
+    "text_surprisal" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+        |tt AS (SELECT count(*) AS total FROM t),
+        |s AS (SELECT tok, CAST(floor(log2(total // n)) AS BIGINT) AS bits FROM f, tt)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+        |  CAST(sum(bits) * 100 AS BIGINT) // count(*) AS bits_per_tok_x100
+        |FROM t JOIN s USING (tok)
+        |GROUP BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -281,6 +281,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!r(1).getAs[Boolean]("is_repetitive"))
   }
 
+  test("surprisal: planted frequencies give exact integer bits per token") {
+    // corpus of 16 tokens: a x8, b x4, c x1, d x3
+    // bits = floor(log2(16 DIV freq)): a->1, b->2, c->4, d->2
+    val docs = Seq(
+      (0L, Seq.fill(8)("a").mkString(" "), "s0"),
+      (1L, Seq.fill(4)("b").mkString(" "), "s0"),
+      (2L, "c", "s0"),
+      (3L, Seq.fill(3)("d").mkString(" "), "s0"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_surp")
+    docs.toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val r = graft.operators.TextAnalysis.textSurprisal(spark, tmp.toString)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3))).toSeq === Seq(
+      (0L, 8, 8L, 100L),   // 8 tokens x 1 bit
+      (1L, 4, 8L, 200L),   // 4 x 2
+      (2L, 1, 4L, 400L),   // 1 x 4
+      (3L, 3, 6L, 200L)))  // 3 x 2
+  }
+
   test("profile_table: single-row exact profile over a known tier") {
     val p = graft.operators.TextAnalysis.profileDocs(TestSpark.session, "/root/testdata/sf0.001")
       .collect()(0)

@@ -152,10 +152,69 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
       .withColumn("frame_off_ms", col("frame_idx") * 40)
 
+  case class PcmAsset(doc_id: Long, pcm: Array[Byte])
+  case class AudioWindow(doc_id: Long, window_id: Long, n_samples: Long,
+      sum_abs: Long, peak: Long)
+
+  /** Samples per synthetic audio asset and the deterministic s16
+    * waveform: sample i of doc d is ((d·31 + i·17) mod 65536) − 32768
+    * — integer-exact, so the DuckDB oracle states window features in
+    * closed form while the engine round-trips real PCM bytes. */
+  private[graft] def pcmSamples(id: Long): Int = (160 + id % 80).toInt
+  private[graft] def pcmSample(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 17) % 65536) - 32768).toInt
+
+  /** Synthetic PCM corpus: one s16le byte payload per document —
+    * the audio analog of `assets` (BinaryType column, bytes built by
+    * an encoder and PARSED back by the operator, not passed around as
+    * typed samples). */
+  def pcmAssets(s: SparkSession, d: String): Dataset[PcmAsset] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = pcmSamples(id)
+        val bytes = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = pcmSample(id, i)
+          bytes(2 * i) = (v & 0xff).toByte          // little-endian s16
+          bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        PcmAsset(id, bytes)
+      }
+    }
+  }
+
+  /** Windowed audio features over REAL PCM decode: parse the s16le
+    * byte payload back into samples (pure byte arithmetic — no codec
+    * dependency, unlike image decode there is nothing to stub) and
+    * emit per-40-sample-window energy features. Explode-shaped like
+    * frame sampling; row-local like every feature kernel (windows
+    * never cross assets, so no shuffle beyond the output's own).
+    * A real deployment swaps the s16le parser for an ffmpeg frame
+    * reader behind the same Dataset[PcmAsset] → windows signature. */
+  def multimodalAudioWindows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val win = 40
+    pcmAssets(s, d).flatMap { a =>
+      val n = a.pcm.length / 2
+      (0 until n).iterator.map { i =>
+        val lo = a.pcm(2 * i) & 0xff
+        val hi = a.pcm(2 * i + 1).toInt // sign-extended high byte
+        (i / win, math.abs((hi << 8) | lo).toLong)
+      }.toSeq.groupBy(_._1).toSeq.sortBy(_._1).map { case (w, ss) =>
+        AudioWindow(a.doc_id, w.toLong, ss.size.toLong,
+          ss.map(_._2).sum, ss.map(_._2).max)
+      }
+    }.toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode" -> multimodalDecode _,
     "multimodal_resize" -> multimodalResize _,
-    "multimodal_frames" -> multimodalFrames _
+    "multimodal_frames" -> multimodalFrames _,
+    "multimodal_audio_windows" -> multimodalAudioWindows _
   )
 
   // Closed-form expectations for the constant-color PNG corpus: the
@@ -198,6 +257,18 @@ object Multimodal {
       """SELECT doc_id, CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
         |  CAST(f AS INTEGER) AS frame_idx,
         |  CAST(f * 40 AS INTEGER) AS frame_off_ms
-        |FROM documents, unnest(range(0, 1 + doc_id % 4)) t(f)""".stripMargin
+        |FROM documents, unnest(range(0, 1 + doc_id % 4)) t(f)""".stripMargin,
+    // the engine round-trips real s16le bytes; the oracle states the
+    // deterministic waveform ((d*31 + i*17) mod 65536) - 32768 in
+    // closed form. sum(BIGINT) -> HUGEINT, hence terminal casts.
+    "multimodal_audio_windows" ->
+      """WITH a AS (SELECT doc_id, 160 + doc_id % 80 AS n FROM documents),
+        |w AS (SELECT doc_id, i,
+        |    ((doc_id * 31 + i * 17) % 65536) - 32768 AS s
+        |  FROM a, unnest(range(0, n)) t(i))
+        |SELECT doc_id, i // 40 AS window_id, count(*) AS n_samples,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak
+        |FROM w GROUP BY doc_id, i // 40""".stripMargin
   )
 }

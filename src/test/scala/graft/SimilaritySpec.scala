@@ -375,6 +375,29 @@ class SimilaritySpec extends AnyFunSuite {
       (ow.toLong * oh * ((63 % 256) + (63 * 7 % 256) + (63 * 13 % 256)) % 256).toInt)))
   }
 
+  test("audio windows: s16le round-trip matches the waveform formula; window aggs exact") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Multimodal.multimodalAudioWindows(spark, d)
+      .orderBy("doc_id", "window_id").collect()
+    assert(rows.nonEmpty)
+    // brute-force recomputation from the waveform formula for a few docs
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.keys.toSeq.sorted.take(5).foreach { id =>
+      val n = Multimodal.pcmSamples(id)
+      val samples = (0 until n).map(i => math.abs(Multimodal.pcmSample(id, i)).toLong)
+      val expect = samples.zipWithIndex.groupBy(_._2 / 40).toSeq.sortBy(_._1)
+        .map { case (w, ss) => (w.toLong, ss.size.toLong, ss.map(_._1).sum, ss.map(_._1).max) }
+      val got = byDoc(id).sortBy(_.getLong(1))
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got === expect, s"doc $id")
+    }
+    // every full window has exactly 40 samples; peaks bounded by s16
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 40L && r.getLong(2) >= 1L)
+      assert(r.getLong(4) <= 32768L)
+    }
+  }
+
   test("frame sampling emits n_frames rows per asset at 40ms offsets") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mm2")
     Seq((6L, "abc", "en", "s0"), (5L, "def", "en", "s0"))

@@ -100,7 +100,11 @@ object PlanAudit {
     Check("sim_topk_int8", "broadcast quantized queries", "BroadcastNestedLoopJoin",
       "the int8 query codes broadcast; the corpus scan scores integer dot products map-side only"),
     Check("sim_topk_int8", "per-partition top-k", "MapPartitions",
-      "bounded heaps shrink each task to k rows per query before the merge — same two-level shape as the float path, no corpus-sized shuffle into #queries reducers"))
+      "bounded heaps shrink each task to k rows per query before the merge — same two-level shape as the float path, no corpus-sized shuffle into #queries reducers"),
+    Check("text_surprisal", "corpus-side scoring is a narrow projection", "ABSENT:REGEX:Exchange hashpartitioning",
+      "the vocab-bounded frequency table is collected once and applied as a literal map: the scored corpus never hash-shuffles (the wordcount runs eagerly as its own bounded job)"),
+    Check("multimodal_audio_windows", "zero-exchange feature extraction", "ABSENT:Exchange",
+      "PCM decode + windowing are row-local over the asset scan: no shuffle anywhere in the feature plan"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -90,6 +90,16 @@ object Similarity {
     * fixed count, fully deterministic, oracle-mirrored. */
   val LloydRounds = 2
 
+  /** Lloyd TRAINING sample size multiplier: refinement rounds assign
+    * only the m = min(n, SampleFactor·k) md5-smallest vectors (the
+    * seed's own deterministic order, extended). Training over the
+    * full corpus is O(rounds·n·k) with k ∝ n — the quadratic term the
+    * sf5 bench exposed; the sampled form is O(rounds·k²·factor), and
+    * the one unavoidable full-corpus O(n·k) pass left is the FINAL
+    * cell assignment, inherent to IVF itself. ~8 training vectors
+    * per centroid is the standard quantizer-training budget shape. */
+  val SampleFactor = 8
+
   /** `rounds` deterministic Lloyd iterations over the corpus: assign
     * every vector to its max-cosine centroid (the same round-4 +
     * smallest-id argmax as the final assignment), then replace each
@@ -123,11 +133,18 @@ object Similarity {
     cur
   }
 
-  /** Seed + refine over a given corpus (un-memoized; tests). */
+  /** Seed + refine over a given corpus (un-memoized; tests). The
+    * refinement rounds see only the md5-order training sample; the
+    * seed is that sample's own k-prefix. */
   def collectCentroidsOf(e: DataFrame): Array[(Long, Array[Float])] = {
-    val k = centroidK(e.count())
+    val n = e.count()
+    val k = centroidK(n)
+    val m = math.min(n, SampleFactor.toLong * k).toInt
+    val samp = e
+      .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(m)
     val seed = centroids(e, k).collect().map(r => (r.getLong(0), collectVector(r, 1)))
-    refineCentroids(e, seed)
+    refineCentroids(samp, seed)
   }
 
   // The refined centroid set is a pure function of the corpus, and
@@ -155,7 +172,7 @@ object Similarity {
       |    row_number() OVER (PARTITION BY e.vec_id
       |      ORDER BY round(${dotSql.format("e.embedding", s"$prev.cv")}, 4) DESC,
       |        $prev.cent_id ASC) AS arnk
-      |  FROM embeddings e, $prev) t WHERE arnk = 1),
+      |  FROM samp e, $prev) t WHERE arnk = 1),
       |m$i AS (SELECT cell, list(embedding ORDER BY vec_id) AS ms FROM a$i GROUP BY cell),
       |c$i AS (SELECT $prev.cent_id,
       |  CASE WHEN m$i.cell IS NULL THEN $prev.cv
@@ -165,16 +182,20 @@ object Similarity {
       |  FROM $prev LEFT JOIN m$i ON $prev.cent_id = m$i.cell)""".stripMargin
 
   /** Shared DuckDB CTEs mirroring collectCentroids: dynamic k from
-    * count(*), md5-order seed, then LloydRounds refinement rounds.
-    * Yields `c(cent_id, cv)`. */
+    * count(*), md5-order seed, md5-order training sample
+    * (m = min(n, SampleFactor·k)), then LloydRounds refinement rounds
+    * over the sample. Yields `c(cent_id, cv)`. */
   val centroidCteSql: String =
-    s"""kk AS (SELECT least(greatest($MinCentroidK,
-      |    CAST(ceil(count(*) / $TargetCellSize.0) AS BIGINT)), $MaxCentroidK) AS k
+    s"""kk AS (SELECT n, least(greatest($MinCentroidK,
+      |    CAST(ceil(n / $TargetCellSize.0) AS BIGINT)), $MaxCentroidK) AS k
+      |  FROM (SELECT count(*) AS n FROM embeddings)),
+      |rk AS (SELECT vec_id, embedding,
+      |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
       |  FROM embeddings),
-      |c0 AS (SELECT vec_id AS cent_id, embedding AS cv FROM
-      |  (SELECT vec_id, embedding,
-      |     row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
-      |   FROM embeddings) tt, kk WHERE tt.rnk <= kk.k),
+      |samp AS (SELECT vec_id, embedding FROM rk, kk
+      |  WHERE rk.rnk <= least(kk.n, $SampleFactor * kk.k)),
+      |c0 AS (SELECT vec_id AS cent_id, embedding AS cv FROM rk, kk
+      |  WHERE rk.rnk <= kk.k),
       |${(1 to LloydRounds).map(i => lloydRoundSql(s"c${i - 1}", i)).mkString(",\n")},
       |c AS (SELECT cent_id, cv FROM c$LloydRounds)""".stripMargin
 

@@ -158,11 +158,12 @@ object Pipeline {
     val docs = documents(s, d)
     val isEval = pmod(col("doc_id"), lit(97)) === 0
     val evalGrams = docs.filter(isEval)
-      .select(explode(Dedup.shingles(col("text"), 5)).as("gram"))
+      .select(explode(graft.functions.WordShingles.shingles(col("text"), 5)).as("gram"))
       .distinct()
     val corpus = docs.filter(!isEval)
     val contaminated = corpus
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("gram"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles.shingles(col("text"), 5)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select(col("doc_id")).distinct()
     corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")

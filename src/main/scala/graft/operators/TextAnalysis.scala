@@ -45,9 +45,12 @@ object TextAnalysis {
   }
 
   /** Row-local winnowing fingerprint (min 16-hex md5 prefix over
-    * 5-word shingles) — shared with Pipeline. */
+    * 5-word shingles) — shared with Pipeline. Shingling runs the
+    * native one-pass expression (bit-equal to the HOF form, spec-
+    * tested); the md5-min stays a built-in transform. */
   def fingerprint(text: Column): Column =
-    array_min(transform(Dedup.shingles(text, 5), sh => substring(md5(sh), 1, 16)))
+    array_min(transform(graft.functions.WordShingles.shingles(text, 5),
+      sh => substring(md5(sh), 1, 16)))
 
   /** Language ID: stopword-hit argmax with fixed priority tie-break
     * (list order above). */

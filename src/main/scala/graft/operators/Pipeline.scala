@@ -170,8 +170,44 @@ object Pipeline {
       .select(col("doc_id"), col("source"))
   }
 
+  /** The COMPLETE curation chain — every gate the suite implements,
+    * composed: exact + near dedup survivorship and quality/annotation
+    * (pipelineCurate) ∘ repetition gate (Gopher duplicate-2-gram
+    * filters) ∘ unigram-surprisal band (the perplexity-filter shape:
+    * drop boilerplate-low and noise-high scores) ∘ benchmark
+    * decontamination (5-gram eval-set collision). Each gate is the
+    * already-verified operator; the composition is doc_id semi-joins
+    * against the curated survivor set (small after the quality gate),
+    * and the decontamination side broadcasts as in `decontaminate`.
+    * This is the query a training-data team actually ships. */
+  def pipelineCurateFull(s: SparkSession, d: String): DataFrame = {
+    val curated = pipelineCurate(s, d)
+    val repKeep = TextAnalysis.textRepetition(s, d)
+      .filter(!col("is_repetitive")).select(col("doc_id"))
+    // the band is RELATIVE to the corpus median (an absolute cut
+    // tuned on one corpus selects nothing on another — the sf1 tier
+    // proved it): keep [med-1, med+7] — tight-typical docs, dropping
+    // the boilerplate floor and the noisy tail at any scale
+    val surpAll = TextAnalysis.textSurprisal(s, d)
+      .select(col("doc_id"), col("bits_per_tok_x100"))
+    val med = surpAll.agg(
+      floor(expr("percentile(bits_per_tok_x100, 0.5)")).cast("long").as("med"))
+    val surp = surpAll.crossJoin(broadcast(med))
+      .filter(col("bits_per_tok_x100")
+        .between(col("med") - 1, col("med") + 7))
+      .select(col("doc_id"), col("bits_per_tok_x100"))
+    val decon = decontaminate(s, d).select(col("doc_id"))
+    curated
+      .join(repKeep, Seq("doc_id"), "left_semi")
+      .join(surp, Seq("doc_id"))
+      .join(decon, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("lang_pred"), col("n_words"),
+        col("uniq_pct"), col("bits_per_tok_x100"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> pipelineCurate _,
+    "pipeline_curate_full" -> pipelineCurateFull _,
     "pipeline_train_corpus" -> pipelineTrainCorpus _,
     "pipeline_pack" -> packSequences _,
     "pipeline_decontaminate" -> decontaminate _
@@ -250,6 +286,51 @@ object Pipeline {
       s"""$curateCtes
         |SELECT doc_id, source, n_words, uniq_pct, lang_pred, fingerprint
         |FROM curated""".stripMargin,
+    // the full chain: curated survivors ∘ repetition gate ∘ surprisal
+    // band ∘ decontamination — each block mirrors its standalone
+    // operator's oracle (renamed CTEs to avoid collisions)
+    "pipeline_curate_full" ->
+      s"""$curateCtes,
+        |rg AS (SELECT doc_id,
+        |    [array_to_string(string_split(text,' ')[i:i+1], ' ')
+        |     FOR i IN range(1, len(string_split(text,' ')))] AS grams
+        |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |rs AS (SELECT doc_id, len(grams) AS n_grams,
+        |    len(list_distinct(grams)) AS n_uniq_grams,
+        |    list_max(list_transform(list_distinct(grams),
+        |      g -> len(list_filter(grams, x -> x = g)))) AS max_gram_n
+        |  FROM rg),
+        |repkeep AS (SELECT doc_id FROM rs
+        |  WHERE NOT (((n_grams - n_uniq_grams) * 100 // n_grams) >= 10
+        |    OR (max_gram_n * 100 // n_grams) >= 8)),
+        |st AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |sf AS (SELECT tok, count(*) AS n FROM st GROUP BY tok),
+        |stt AS (SELECT count(*) AS total FROM st),
+        |ss AS (SELECT tok, CAST(floor(log2(total // n)) AS BIGINT) AS bits FROM sf, stt),
+        |sur AS (SELECT doc_id,
+        |    CAST(sum(bits) * 100 AS BIGINT) // count(*) AS bits_per_tok_x100
+        |  FROM st JOIN ss USING (tok) GROUP BY doc_id),
+        |smed AS (SELECT CAST(floor(quantile_cont(bits_per_tok_x100, 0.5)) AS BIGINT) AS med
+        |  FROM sur),
+        |dsh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 5
+        |      THEN [array_to_string(string_split(text,' ')[i:i+4], ' ')
+        |            FOR i IN range(1, len(string_split(text,' ')) - 3)]
+        |      ELSE [] END) AS shs
+        |  FROM documents),
+        |dev AS (SELECT DISTINCT unnest(shs) AS gram FROM dsh WHERE doc_id % 97 = 0),
+        |dhits AS (SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(shs) AS gram FROM dsh WHERE doc_id % 97 <> 0) cc
+        |  JOIN dev USING (gram)),
+        |deckeep AS (SELECT doc_id FROM dsh
+        |  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dhits))
+        |SELECT c.doc_id, c.source, c.lang_pred, c.n_words, c.uniq_pct,
+        |  sur.bits_per_tok_x100
+        |FROM curated c
+        |JOIN repkeep USING (doc_id)
+        |JOIN sur USING (doc_id)
+        |JOIN deckeep USING (doc_id), smed
+        |WHERE sur.bits_per_tok_x100 BETWEEN smed.med - 1 AND smed.med + 7""".stripMargin,
     // curated -> md5 train split -> per-language cap by hash order
     "pipeline_train_corpus" ->
       s"""$curateCtes,

@@ -14,6 +14,32 @@ class PipelineSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
   import spark.implicits._
 
+  test("curate_full is a strict refinement of curate, and every drop has a cause") {
+    val d = "/root/testdata/sf0.01"
+    val curated = Pipeline.pipelineCurate(spark, d)
+      .select("doc_id").as[Long].collect().toSet
+    val full = Pipeline.pipelineCurateFull(spark, d)
+      .select("doc_id").as[Long].collect().toSet
+    assert(full.subsetOf(curated))
+    assert(full.nonEmpty && full.size < curated.size) // gates actually bind
+    // every dropped doc is repetitive, out of the surprisal band,
+    // contaminated/eval, or too short for the repetition stats
+    val repetitive = graft.operators.TextAnalysis.textRepetition(spark, d)
+      .filter(col("is_repetitive")).select("doc_id").as[Long].collect().toSet
+    val surpAll = graft.operators.TextAnalysis.textSurprisal(spark, d)
+    val med = math.floor(surpAll
+      .agg(expr("percentile(bits_per_tok_x100, 0.5)")).head.getDouble(0)).toLong
+    val inBand = surpAll
+      .filter(col("bits_per_tok_x100").between(med - 1, med + 7))
+      .select("doc_id").as[Long].collect().toSet
+    val clean = Pipeline.decontaminate(spark, d)
+      .select("doc_id").as[Long].collect().toSet
+    (curated -- full).foreach { id =>
+      assert(repetitive.contains(id) || !inBand.contains(id) || !clean.contains(id),
+        s"doc $id dropped without a cause")
+    }
+  }
+
   test("pipeline_pack: offsets equal the single-partition running sum, packs split at the budget") {
     val d = "/root/testdata/sf0.01"
     val got = Pipeline.packSequences(spark, d)

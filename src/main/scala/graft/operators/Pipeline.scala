@@ -187,14 +187,30 @@ object Pipeline {
     // the band is RELATIVE to the corpus median (an absolute cut
     // tuned on one corpus selects nothing on another — the sf1 tier
     // proved it): keep [med-1, med+7] — tight-typical docs, dropping
-    // the boilerplate floor and the noisy tail at any scale
+    // the boilerplate floor and the noisy tail at any scale.
+    // The median comes from a VALUE-HISTOGRAM aggregation: the score
+    // domain is bounded (integer centibits), so the shuffle carries
+    // one count per distinct value and the exact percentile_cont
+    // interpolation runs on the driver over that bounded histogram —
+    // Spark's exact `percentile` agg would instead buffer every
+    // corpus row in a single task.
     val surpAll = TextAnalysis.textSurprisal(s, d)
       .select(col("doc_id"), col("bits_per_tok_x100"))
-    val med = surpAll.agg(
-      floor(expr("percentile(bits_per_tok_x100, 0.5)")).cast("long").as("med"))
-    val surp = surpAll.crossJoin(broadcast(med))
-      .filter(col("bits_per_tok_x100")
-        .between(col("med") - 1, col("med") + 7))
+    val hist = surpAll.groupBy(col("bits_per_tok_x100"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    // percentile_cont(0.5): position (n-1)/2 over the sorted multiset
+    val pos = 0.5 * (n - 1)
+    def valueAtRank(rank: Long): Long = {
+      var cum = 0L
+      hist.find { case (_, c) => cum += c; cum > rank }.map(_._1).get
+    }
+    val (vLo, vHi) = (valueAtRank(math.floor(pos).toLong),
+      valueAtRank(math.ceil(pos).toLong))
+    val med = math.floor(vLo + (pos - math.floor(pos)) * (vHi - vLo)).toLong
+    val surp = surpAll
+      .filter(col("bits_per_tok_x100").between(med - 1, med + 7))
       .select(col("doc_id"), col("bits_per_tok_x100"))
     val decon = decontaminate(s, d).select(col("doc_id"))
     curated

@@ -44,7 +44,13 @@ object SpatialProbe {
 
     t("orders_rows")(Spatial.ordersBbox(spark, d).count())
     t("customer_rows")(Spatial.customerBbox(spark, d).count())
-    for (g <- args.lift(1).map(_.split(",").map(_.toDouble).toSeq).getOrElse(Seq(5.0, 2.0, 10.0, 3.0))) {
+    val sa = Spatial.boxStats(Spatial.ordersBbox(spark, d),
+      "min_lon", "max_lon", "min_lat", "max_lat")
+    val sb = Spatial.boxStats(Spatial.customerBbox(spark, d),
+      "c_min_lon", "c_max_lon", "c_min_lat", "c_max_lat")
+    println(s"stats a=$sa b=$sb chooseGrid=${Spatial.chooseGrid(sa, sb)}")
+    t("join_auto")(Spatial.joinBboxGrid(spark, d).count())
+    for (g <- args.lift(1).map(_.split(",").map(_.toDouble).toSeq).getOrElse(Seq(4.0, 2.0, 8.0, 1.0))) {
       t(f"cellsA_g$g%.0f")(Spatial.withCellsG(Spatial.ordersBbox(spark, d), g,
         "min_lon", "max_lon", "min_lat", "max_lat").count())
       t(f"cellsB_g$g%.0f")(Spatial.withCellsG(Spatial.customerBbox(spark, d), g,

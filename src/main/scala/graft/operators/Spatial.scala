@@ -151,12 +151,23 @@ object Spatial {
         max(col("o_orderkey")).as("max_key"))
   }
 
-  /** Coarse-grid cell size (degrees) for the box×box join — sized so
-    * the largest boxes (≤ 8°×6°) span ≤ 3 cells per axis while cell
-    * population stays low enough that candidate pairs per cell don't
-    * blow up (measured 2-3× cheaper than 10° at sf0.1; production
-    * tunes this to box-size distribution). */
-  val GridDeg = 5
+  /** Default coarse-grid cell size (degrees) for the box×box join —
+    * near the average box dimension (the classic grid-join optimum
+    * when explode cost and candidate cost balance), and a POWER OF
+    * TWO so cell bounds cx·g and the floor assignment floor(x/g) are
+    * exact binary scalings: the range-form dedup predicate below is
+    * then bit-equal to the floor form for every finite coordinate.
+    * `joinBboxGrid` picks the size density-adaptively (see
+    * [[chooseGrid]]); this is the fallback / probe default. */
+  val GridDeg = 4
+
+  /** Power-of-two check via the IEEE-754 significand: exactly the
+    * values for which x/g and c·g introduce no rounding. */
+  private[graft] def isPow2(g: Double): Boolean = {
+    val bits = java.lang.Double.doubleToLongBits(g)
+    g > 0 && java.lang.Double.isFinite(g) &&
+      (bits & 0x000FFFFFFFFFFFFFL) == 0L
+  }
 
   /** Deterministic synthetic bbox per customer (integer corners —
     * a second, non-tiny box set so the box×box join is fact×fact). */
@@ -198,21 +209,97 @@ object Spatial {
     * (max(min_lons), max(min_lats)) — a point inside both boxes, so
     * both sides cover its cell. The duplicate-elimination
     * `dropDuplicates` exchange disappears from the plan entirely. */
-  def joinBboxGrid(s: SparkSession, d: String): DataFrame =
-    joinBboxGridG(s, d, GridDeg)
+  def joinBboxGrid(s: SparkSession, d: String): DataFrame = {
+    val sa = boxStats(ordersBbox(s, d), "min_lon", "max_lon", "min_lat", "max_lat")
+    val sb = boxStats(customerBbox(s, d), "c_min_lon", "c_max_lon", "c_min_lat", "c_max_lat")
+    joinBboxGridG(s, d, chooseGrid(sa, sb))
+  }
 
-  /** Grid-size-parameterized form (same semantics for ANY g — the
-    * grid is lossless physical optimization; SpatialProbe measures
-    * candidate counts across g to size GridDeg). */
+  /** Per-side box statistics feeding the grid-size chooser: one
+    * narrow aggregate over each input (count, mean box dims, domain
+    * extent). Deterministic — a pure function of the data — so the
+    * chosen grid, and therefore the plan, is reproducible across
+    * parallelism levels. */
+  private[graft] case class BoxStats(n: Long, w: Double, h: Double,
+      lonExt: Double, latExt: Double)
+
+  private[graft] def boxStats(df: DataFrame, minLon: String, maxLon: String,
+      minLat: String, maxLat: String): BoxStats = {
+    val r = df.agg(
+      count(lit(1)), avg(col(maxLon) - col(minLon)), avg(col(maxLat) - col(minLat)),
+      min(col(minLon)), max(col(maxLon)), min(col(minLat)), max(col(maxLat))).head()
+    BoxStats(r.getLong(0), r.getDouble(1), r.getDouble(2),
+      math.max(r.getDouble(4) - r.getDouble(3), 1e-9),
+      math.max(r.getDouble(6) - r.getDouble(5), 1e-9))
+  }
+
+  /** Candidate grid sizes — powers of two only, so the range-form
+    * dedup predicate stays exactly equivalent to floor assignment. */
+  val GridCandidates: Seq[Double] = Seq(0.5, 1.0, 2.0, 4.0, 8.0, 16.0)
+
+  /** Measured cost ratio (SpatialProbe, sf1): producing one exploded
+    * cell row (project + exchange + sort) costs ~8× evaluating one
+    * candidate pair (a handful of codegen'd compares). */
+  val ExplodeCostRatio = 8.0
+
+  /** Data-adaptive grid size. Modeled cost =
+    * ExplodeCostRatio · Σ n·E[cells/box]  +  E[candidate rows], where
+    * candidate rows carry MULTIPLICITY — the cell equi-join emits an
+    * overlapping pair once per shared cell, so
+    *   E[candidates] = n_a·n_b · Σ_cells P[both cover the cell]
+    *                 = n_a·n_b · (w_a+g)(w_b+g)(h_a+g)(h_b+g)/(g²·W·H)
+    * (a width-w box covers a fixed cell iff its min falls in a length
+    * w+g window; W/g · H/g cells). Verified against SpatialProbe at
+    * sf1: predicts 1.0e9 candidates at g=4 vs 1.02e9 measured. The
+    * g² denominator vs (w+g)⁴ numerator puts the optimum near the
+    * geometric mean of the box dimensions INDEPENDENT of density —
+    * finer cells re-emit an overlapping pair across more shared cells
+    * (g=1 measured 2.4e9 candidates, 4× slower than g=4) — while the
+    * explode term nudges the pick coarser when the inputs are small. */
+  private[graft] def chooseGrid(a: BoxStats, b: BoxStats): Double = {
+    val W = math.max(a.lonExt, b.lonExt)
+    val H = math.max(a.latExt, b.latExt)
+    def cost(g: Double): Double = {
+      def cells(w: Double, h: Double) = (w / g + 1.0) * (h / g + 1.0)
+      val explode = a.n * cells(a.w, a.h) + b.n * cells(b.w, b.h)
+      val cands = a.n.toDouble * b.n.toDouble *
+        ((a.w + g) * (b.w + g) * (a.h + g) * (b.h + g)) / (g * g * W * H)
+      ExplodeCostRatio * explode + cands
+    }
+    GridCandidates.minBy(cost)
+  }
+
+  /** Grid-size-parameterized form — lossless for any power-of-two g
+    * (the grid is pure physical optimization; require() guards the
+    * exactness precondition of the range-form predicate).
+    *
+    * The PBSM reference-cell test `cx == floor(max(min_lons)/g)` is
+    * algebraically rewritten into pure comparisons against the cell's
+    * precomputed bounds [clx, chx): with x = max(min_lon, c_min_lon),
+    *   floor(x/g) == cx  ⟺  clx ≤ x < chx
+    *   x < chx  ⟺ min_lon < chx ∧ c_min_lon < chx, and min_lon < chx
+    *             holds for EVERY cell the a-box covers → dropped;
+    *   x ≥ clx  ⟺ min_lon ≥ clx ∨ c_min_lon ≥ clx.
+    * Net: the join's hot loop evaluates 3 compares per axis instead
+    * of a division + floor + cast + greatest — on an output-bound
+    * join (sf5: ~10⁹ candidates) the predicate cost IS the runtime. */
   def joinBboxGridG(s: SparkSession, d: String, g: Double): DataFrame = {
+    require(isPow2(g),
+      s"grid size must be a power of two for the exact range-form dedup predicate; got $g")
     val a = withCellsG(ordersBbox(s, d), g, "min_lon", "max_lon", "min_lat", "max_lat")
+      .withColumn("clx", col("cx").cast(DoubleType) * g)
+      .withColumn("cly", col("cy").cast(DoubleType) * g)
+      .withColumn("chx", (col("cx").cast(DoubleType) + 1.0d) * g)
+      .withColumn("chy", (col("cy").cast(DoubleType) + 1.0d) * g)
     val b = withCellsG(customerBbox(s, d), g, "c_min_lon", "c_max_lon", "c_min_lat", "c_max_lat")
     a.as("a").join(b.as("b"),
         col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy") &&
         col("min_lon") <= col("c_max_lon") && col("max_lon") >= col("c_min_lon") &&
         col("min_lat") <= col("c_max_lat") && col("max_lat") >= col("c_min_lat") &&
-        col("a.cx") === floor(greatest(col("min_lon"), col("c_min_lon")) / g).cast(IntegerType) &&
-        col("a.cy") === floor(greatest(col("min_lat"), col("c_min_lat")) / g).cast(IntegerType))
+        col("c_min_lon") < col("chx") &&
+        (col("min_lon") >= col("clx") || col("c_min_lon") >= col("clx")) &&
+        col("c_min_lat") < col("chy") &&
+        (col("min_lat") >= col("cly") || col("c_min_lat") >= col("cly")))
       .select(col("o_orderkey"), col("c_custkey"))
       .groupBy(col("c_custkey"))
       .agg(

@@ -44,6 +44,7 @@ object Bench {
     "sim_topk",            // brute-force cosine top-k
     "sim_topk_int8",       // quantized top-k (integer dot products)
     "sim_ivf",             // IVF cell-probe ANN (dynamic-k quantizer)
+    "sim_ivf_imi",         // two-level quantizer: O(2·sqrt(k)·d) assignment
     "text_tokens",         // text analysis
     "text_repetition",     // row-local Gopher repetition stats
     "agg_heavy_hitters",   // SpaceSaving sketch + exact recount

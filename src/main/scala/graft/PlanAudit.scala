@@ -82,6 +82,10 @@ object PlanAudit {
       "cell id is a collected-centroid argmax projection over the scan: the corpus never shuffles or aggregates to get assigned (the old crossJoin+groupBy form shuffled one row per vector)"),
     Check("sim_ivf", "broadcast probe join", "BroadcastHashJoin",
       "queries probe their cell via a broadcast equi-join on cell id; the corpus side never moves for the probe"),
+    Check("sim_ivf_imi", "zero-shuffle two-level assignment", "ABSENT:HashAggregate",
+      "both quantizer levels (super argmax + in-group argmax) are native expressions in one narrow projection: the corpus never shuffles or inflates x(k/S) through a parent-map join to get assigned"),
+    Check("sim_ivf_imi", "broadcast probe join", "BroadcastHashJoin",
+      "the two-level form keeps the identical probe shape: queries meet the corpus in a broadcast equi-join on cell id"),
     Check("dedup_embed_cosine", "zero-shuffle cell assignment", "ABSENT:BroadcastNestedLoopJoin",
       "SemDeDup assignment has no centroid cross-join: the only shuffle left is the (label, cell) candidate equi-join itself"),
     Check("sim_ivf_nprobe", "corpus-side work unchanged under multi-probe", "ABSENT:HashAggregate",

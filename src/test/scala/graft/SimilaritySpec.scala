@@ -410,4 +410,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.count(_.getLong(0) == 6L) === 3)
     assert(r.filter(_.getLong(0) == 6L).map(_.getInt(3)).toSeq === Seq(0, 40, 80))
   }
+
+  test("two-level IMI assignment equals the driver-side argmax over the parent map") {
+    val d = "/root/testdata/sf0.001"
+    val (supers, groups) = Similarity.twoLevelIndex(spark, d)
+    val k = groups.map(_.length).sum
+    assert(supers.length === math.ceil(math.sqrt(k.toDouble)).toInt)
+    assert(groups.flatMap(_.map(_._1)).sorted.toSeq ===
+      groups.flatMap(_.map(_._1)).toSeq.sorted) // ascending ids per group union
+    // same fold + round rule as the expressions
+    def dot4(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < a.length) { acc += a(j).toDouble * b(j).toDouble; j += 1 }
+      java.math.BigDecimal.valueOf(acc)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    def argmax(v: Array[Float], cands: Array[(Long, Array[Float])]): Long =
+      cands.map { case (id, cv) => (id, dot4(v, cv)) }
+        .reduceLeft((x, y) => if (y._2 > x._2) y else x)._1
+    val e = Tables.embeddings(spark, d)
+    val cellCol = graft.functions.NearestCentroidInGroup.nearestIn(
+      col("embedding"),
+      graft.functions.NearestCentroid.nearest(col("embedding"), supers), groups)
+    val got = e.select(col("vec_id"), cellCol.as("cell"),
+        col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    assert(got.nonEmpty)
+    got.foreach { case (vid, cell, v) =>
+      val sIdx = argmax(v, supers)
+      val expected = argmax(v, groups(sIdx.toInt))
+      assert(cell === expected, s"vec $vid: got cell $cell, expected $expected")
+      assert(groups(sIdx.toInt).exists(_._1 == cell),
+        s"vec $vid: cell $cell is not a child of super $sIdx")
+    }
+    // out-of-range super id -> NULL, never a wrong cell
+    val nulls = e.select(graft.functions.NearestCentroidInGroup.nearestIn(
+      col("embedding"), lit(supers.length.toLong), groups).as("c")).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
 }

@@ -50,7 +50,11 @@ object SpatialProbe {
       "c_min_lon", "c_max_lon", "c_min_lat", "c_max_lat")
     println(s"stats a=$sa b=$sb chooseGrid=${Spatial.chooseGrid(sa, sb)}")
     t("join_auto")(Spatial.joinBboxGrid(spark, d).count())
-    for (g <- args.lift(1).map(_.split(",").map(_.toDouble).toSeq).getOrElse(Seq(4.0, 2.0, 8.0, 1.0))) {
+    // "-" as the 2nd arg: stats + auto join only (skip per-g sweeps —
+    // the candidate COUNT itself costs a full join pass at high sf)
+    for (g <- args.lift(1).filter(_ != "-")
+        .map(_.split(",").map(_.toDouble).toSeq).getOrElse(
+          if (args.lift(1).contains("-")) Seq.empty else Seq(4.0, 2.0, 8.0, 1.0))) {
       t(f"cellsA_g$g%.0f")(Spatial.withCellsG(Spatial.ordersBbox(spark, d), g,
         "min_lon", "max_lon", "min_lat", "max_lat").count())
       t(f"cellsB_g$g%.0f")(Spatial.withCellsG(Spatial.customerBbox(spark, d), g,

@@ -27,6 +27,15 @@ class SpatialSpec extends AnyFunSuite {
       .orderBy("c_custkey").collect().map(_.toSeq).toSeq
     assert(viaGrid === direct)
     assert(viaGrid.nonEmpty)
+    // both physical forms, several grid sizes: same result as direct
+    for (g <- Seq(2.0, 4.0, 8.0)) {
+      val decl = Spatial.joinBboxGridG(spark, d, g)
+        .orderBy("c_custkey").collect().map(_.toSeq).toSeq
+      val kern = Spatial.joinBboxGridLocalG(spark, d, g)
+        .orderBy("c_custkey").collect().map(_.toSeq).toSeq
+      assert(decl === direct, s"declarative g=$g diverges")
+      assert(kern === direct, s"local kernel g=$g diverges")
+    }
   }
 
   test("boundary-touching boxes share a cell (closed-interval contract)") {

@@ -47,6 +47,10 @@ object PlanAudit {
     Check("join_bbox_grid", "grid join shuffles on cells", "REGEX:SortMergeJoin|ShuffledHashJoin",
       "with broadcast off, candidates meet in a cell-keyed shuffle join: the scale path for box-by-box spatial joins",
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("join_bbox_grid_local", "no join node: pairs live only inside the kernel", "ABSENT:REGEX:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin",
+      "the candidate-bound physical form: the ~1e9-row candidate stream never materializes as rows — intersection, dedup, and count/min/max run per cell over primitive arrays"),
+    Check("join_bbox_grid_local", "one cell co-partitioning feeds the kernel", "MapGroups",
+      "cell rows meet in a single sort-based exchange into flatMapGroups; only |cell|-bounded partial accumulators leave it for the tiny merge agg"),
     Check("agg_group", "partial aggregation", "HashAggregate",
       "map-side partial + final aggregate: shuffle carries group states, not rows"),
     Check("agg_group", "whole-stage codegen", "EXECUTED:*(1)",
@@ -135,7 +139,13 @@ object PlanAudit {
     val planOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       Map("dedup_simhash" -> graft.operators.Dedup.dedupSimhashPlan _,
         "dedup_minhash_lsh" -> graft.operators.Dedup.dedupMinhashLshPlan _,
-        "dedup_minhash_lsh_bucketed" -> graft.operators.Dedup.dedupMinhashLshBucketedPlan _)
+        "dedup_minhash_lsh_bucketed" -> graft.operators.Dedup.dedupMinhashLshBucketedPlan _,
+        // the equi-join-shape checks are about the DECLARATIVE form;
+        // the public operator cost-switches to the local kernel at
+        // high density (audited separately as join_bbox_grid_local)
+        "join_bbox_grid" ->
+          ((s: SparkSession, d: String) =>
+            graft.operators.Spatial.joinBboxGridG(s, d, graft.operators.Spatial.GridDeg)))
     def build(name: String) =
       planOnly.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
     val audited = checks.map(_.query).distinct

@@ -38,7 +38,10 @@ object Bench {
     "sort_limit_topk",     // top-k
     "map_contains",        // property-bag predicate
     "join_range_bbox",     // spatial theta join (tiny envelope set)
-    "join_bbox_grid",      // fact-fact box join via grid-cell equi-join
+    "join_bbox_grid",      // fact-fact box join, cost-chosen physical form
+    // (join_bbox_grid_local is gate-checked + probe-measured, not a
+    // headline entry: it would double-count the heaviest query in
+    // `total` — the auto form already takes the kernel path at sf>=1)
     "dedup_minhash_lsh",   // MinHash+LSH near-dup
     "dedup_embed_cosine",  // SemDeDup cell-blocked embedding near-dup
     "sim_topk",            // brute-force cosine top-k

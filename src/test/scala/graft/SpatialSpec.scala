@@ -38,6 +38,24 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("grid chooser: multiplicity-aware optimum near the box scale, coarser when tiny") {
+    import graft.operators.Spatial.{BoxStats, chooseGrid, expectedCandidates, isPow2}
+    // sf1-shaped stats: ~4x3 and 5x4 degree boxes over a 346x164 domain
+    val a = BoxStats(1500000L, 4.0, 3.0, 346.0, 164.0)
+    val b = BoxStats(150000L, 5.0, 4.0, 348.0, 166.0)
+    val g = chooseGrid(a, b)
+    assert(g === 4.0) // measured fastest at sf1 (8.0s vs 11.0s at g=2, 34s at g=1)
+    // model reproduces the measured candidate count at g=4 (1.02e9 +-5%)
+    val c4 = expectedCandidates(a, b, 4.0)
+    assert(c4 > 0.95e9 && c4 < 1.1e9, s"model says $c4")
+    // same shapes, tiny corpus: explode overhead dominates -> coarser pick
+    val g0 = chooseGrid(a.copy(n = 15000L), b.copy(n = 1500L))
+    assert(g0 >= 4.0)
+    assert(graft.operators.Spatial.GridCandidates.contains(g))
+    assert(graft.operators.Spatial.GridCandidates.forall(isPow2))
+    assert(!isPow2(5.0) && isPow2(0.5) && isPow2(16.0))
+  }
+
   test("boundary-touching boxes share a cell (closed-interval contract)") {
     import spark.implicits._
     // [10,20]x[0,5] touches [20,30]x[0,5] exactly on the lon=20 edge:

@@ -359,18 +359,21 @@ object Dedup {
     * and the within-(label, cell) verify self-join is O(n ·
     * TargetCellSize) — bounded cell population is what keeps the
     * verify stage from going quadratic, not a bounded broadcast.
-    * Assignment is the collected-centroid `nearest_centroid`
-    * projection: zero shuffle, zero aggregation (the sim_ann_lsh
-    * inlined-planes pattern). Like any clustered dedup, recall < 1 vs
+    * Assignment is the TWO-LEVEL (IMI) argmax shared with
+    * Similarity.simIvfImi: super-cell first (S ≈ √k dots), then among
+    * that super's children — O(2√k·d) per row instead of the flat
+    * O(k·d), which with k = n/TargetCellSize made assignment the
+    * O(n²d/64) term that dominated sf5 (measured 8.9 s; the IMI form
+    * runs it in one narrow two-expression projection, zero shuffle,
+    * zero aggregation). Like any clustered dedup, recall < 1 vs
     * the exhaustive within-label scan (pairs straddling a cell
     * boundary are unseen) — DedupSpec checks containment in the
     * exhaustive pair set. Dot products are explicit left-to-right
     * double folds for cross-engine determinism. */
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val cents = Similarity.collectCentroids(s, d)
     val cells = e.select(col("vec_id"), col("label"), col("embedding"),
-      graft.functions.NearestCentroid.nearest(col("embedding"), cents).as("cell"))
+      Similarity.imiCellOf(s, d)(col("embedding")).as("cell"))
     cells.as("a").join(cells.as("b"),
         col("a.label") === col("b.label") && col("a.cell") === col("b.cell") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -535,18 +538,11 @@ object Dedup {
         |  len(list_distinct(a.gs || b.gs)) AS uni
         |FROM rg a JOIN rg b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE 2 * len(list_intersect(a.gs, b.gs)) >= len(list_distinct(a.gs || b.gs))""".stripMargin,
-    // mirrors the IVF cell assignment (same centroids + tie-break as
-    // the Spark side), then the within-(label, cell) cosine verify
+    // mirrors the two-level (IMI) cell assignment (same supers +
+    // parent map + tie-breaks as the Spark side, via the shared CTE),
+    // then the within-(label, cell) cosine verify
     "dedup_embed_cosine" ->
-      s"""WITH ${Similarity.centroidCteSql},
-        |cells AS (
-        |  SELECT vec_id, label, embedding, cent_id AS cell FROM (
-        |    SELECT e.vec_id, e.label, e.embedding, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(list_sum(list_transform(range(1, 65),
-        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), 4) DESC,
-        |        c.cent_id ASC) AS arnk
-        |    FROM embeddings e, c) t WHERE arnk = 1)
+      s"""WITH ${Similarity.imiCellsCteSql}
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
         |  round(list_sum(list_transform(range(1, 65),
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) AS cos_r

@@ -199,6 +199,39 @@ object Similarity {
       |${(1 to LloydRounds).map(i => lloydRoundSql(s"c${i - 1}", i)).mkString(",\n")},
       |c AS (SELECT cent_id, cv FROM c$LloydRounds)""".stripMargin
 
+  /** Shared DuckDB CTEs mirroring the two-level (IMI) assignment
+    * (twoLevelIndexOf + imiCellOf): S = ⌈√k⌉ md5-smallest centroids
+    * become supers (sid re-indexed in cent_id order), every centroid
+    * maps to its max-round4-dot super, every vector routes super-first
+    * then argmax among that super's children. Builds on
+    * `centroidCteSql` and yields `cells(vec_id, label, embedding,
+    * cell)` — shared by the sim_ivf_imi and dedup_embed_cosine
+    * oracles. */
+  val imiCellsCteSql: String =
+    s"""$centroidCteSql,
+      |sn AS (SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS sc FROM kk),
+      |srnk AS (SELECT cent_id, cv,
+      |    row_number() OVER (ORDER BY md5(CAST(cent_id AS VARCHAR)), cent_id) AS mrnk
+      |  FROM c),
+      |sup AS (SELECT cent_id, cv AS sv,
+      |    row_number() OVER (ORDER BY cent_id) - 1 AS sid
+      |  FROM srnk, sn WHERE mrnk <= sc),
+      |par AS (SELECT cent_id, cv, sid AS parent FROM (
+      |  SELECT c.cent_id, c.cv, sup.sid,
+      |    row_number() OVER (PARTITION BY c.cent_id
+      |      ORDER BY round(${dotSql.format("c.cv", "sup.sv")}, 4) DESC, sup.sid ASC) AS prnk
+      |  FROM c, sup) t WHERE prnk = 1),
+      |vsup AS (SELECT vec_id, label, embedding, sid AS vparent FROM (
+      |  SELECT e.vec_id, e.label, e.embedding, sup.sid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(${dotSql.format("e.embedding", "sup.sv")}, 4) DESC, sup.sid ASC) AS srk
+      |  FROM embeddings e, sup) t WHERE srk = 1),
+      |cells AS (SELECT vec_id, label, embedding, cent_id AS cell FROM (
+      |  SELECT v.vec_id, v.label, v.embedding, p.cent_id,
+      |    row_number() OVER (PARTITION BY v.vec_id
+      |      ORDER BY round(${dotSql.format("v.embedding", "p.cv")}, 4) DESC, p.cent_id ASC) AS arnk
+      |  FROM vsup v JOIN par p ON p.parent = v.vparent) t WHERE arnk = 1)""".stripMargin
+
   /** Exact brute-force top-10 cosine neighbors for each of 3 query
     * vectors: broadcast queries × corpus scan, then TWO-LEVEL top-k.
     * Each scan task keeps at most k rows per query in a bounded heap
@@ -437,6 +470,17 @@ object Similarity {
     twoLevelCache.computeIfAbsent((s, d),
       _ => twoLevelIndexOf(collectCentroids(s, d)))
 
+  /** The two-level (IMI) cell id of `v` for dataset `d` as ONE narrow
+    * projection: super argmax (S ≈ √k dots) then argmax among that
+    * super's children — both native codegen expressions, zero shuffle.
+    * Shared by simIvfImi and Dedup.dedupEmbedCosine so both get the
+    * O(2√k·d) assignment instead of the flat O(k·d). */
+  def imiCellOf(s: SparkSession, d: String)(v: Column): Column = {
+    val (supers, groups) = twoLevelIndex(s, d)
+    graft.functions.NearestCentroidInGroup.nearestIn(v,
+      graft.functions.NearestCentroid.nearest(v, supers), groups)
+  }
+
   /** IVF with a TWO-LEVEL coarse quantizer (the inverted-multi-index
     * shape — Babenko & Lempitsky, CVPR 2012): assignment goes
     * super-cell first (S ≈ √k dots), then argmax among that super's
@@ -454,10 +498,7 @@ object Similarity {
     * assignment via the parent-map CTEs. */
   def simIvfImi(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val (supers, groups) = twoLevelIndex(s, d)
-    def cellOf(v: Column): Column =
-      graft.functions.NearestCentroidInGroup.nearestIn(v,
-        graft.functions.NearestCentroid.nearest(v, supers), groups)
+    val cellOf = imiCellOf(s, d) _
     val cells = e.select(col("vec_id"),
       cellOf(col("embedding")).as("cell"), col("embedding"))
     val qcells = queryVectors(s, d).withColumnRenamed("q", "qv")
@@ -759,29 +800,7 @@ object Similarity {
         |  FROM cells JOIN qprobes ON cell = qcell AND cells.vec_id <> query_id) t
         |WHERE rnk <= 5""".stripMargin,
     "sim_ivf_imi" ->
-      s"""WITH $centroidCteSql,
-        |sn AS (SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS sc FROM kk),
-        |srnk AS (SELECT cent_id, cv,
-        |    row_number() OVER (ORDER BY md5(CAST(cent_id AS VARCHAR)), cent_id) AS mrnk
-        |  FROM c),
-        |sup AS (SELECT cent_id, cv AS sv,
-        |    row_number() OVER (ORDER BY cent_id) - 1 AS sid
-        |  FROM srnk, sn WHERE mrnk <= sc),
-        |par AS (SELECT cent_id, cv, sid AS parent FROM (
-        |  SELECT c.cent_id, c.cv, sup.sid,
-        |    row_number() OVER (PARTITION BY c.cent_id
-        |      ORDER BY round(${dotSql.format("c.cv", "sup.sv")}, 4) DESC, sup.sid ASC) AS prnk
-        |  FROM c, sup) t WHERE prnk = 1),
-        |vsup AS (SELECT vec_id, embedding, sid AS vparent FROM (
-        |  SELECT e.vec_id, e.embedding, sup.sid,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY round(${dotSql.format("e.embedding", "sup.sv")}, 4) DESC, sup.sid ASC) AS srk
-        |  FROM embeddings e, sup) t WHERE srk = 1),
-        |cells AS (SELECT vec_id, embedding, cent_id AS cell FROM (
-        |  SELECT v.vec_id, v.embedding, p.cent_id,
-        |    row_number() OVER (PARTITION BY v.vec_id
-        |      ORDER BY round(${dotSql.format("v.embedding", "p.cv")}, 4) DESC, p.cent_id ASC) AS arnk
-        |  FROM vsup v JOIN par p ON p.parent = v.vparent) t WHERE arnk = 1),
+      s"""WITH $imiCellsCteSql,
         |qcells AS (SELECT vec_id AS query_id, embedding AS qv, cell AS qcell
         |  FROM cells WHERE vec_id < 3)
         |SELECT query_id, vec_id, cell, cos_r, rnk FROM (

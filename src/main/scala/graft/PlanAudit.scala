@@ -47,8 +47,8 @@ object PlanAudit {
     Check("join_bbox_grid", "grid join shuffles on cells", "REGEX:SortMergeJoin|ShuffledHashJoin",
       "with broadcast off, candidates meet in a cell-keyed shuffle join: the scale path for box-by-box spatial joins",
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
-    Check("join_bbox_grid_local", "no join node: pairs live only inside the kernel", "ABSENT:REGEX:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin",
-      "the candidate-bound physical form: the ~1e9-row candidate stream never materializes as rows — intersection, dedup, and count/min/max run per cell over primitive arrays"),
+    Check("join_bbox_grid_local", "no shuffle join: pairs live only inside the kernel", "ABSENT:REGEX:SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin",
+      "the candidate-bound physical form: the ~1e9-row candidate stream never materializes as rows — intersection, dedup, and count/min/max run per cell over primitive arrays (the only join is the domain-bounded cell-histogram broadcast that tiles hot cells)"),
     Check("join_bbox_grid_local", "one cell co-partitioning feeds the kernel", "MapGroups",
       "cell rows meet in a single sort-based exchange into flatMapGroups; only |cell|-bounded partial accumulators leave it for the tiny merge agg"),
     Check("agg_group", "partial aggregation", "HashAggregate",
@@ -99,7 +99,7 @@ object PlanAudit {
     Check("sim_ann_lsh_multiprobe", "corpus-side work unchanged under multi-probe", "ABSENT:HashAggregate",
       "the 9-bucket probe expansion explodes on the broadcast query side only; the corpus keeps the narrow literal-plane bucket projection"),
     Check("pipeline_pack", "no single-partition stage", "ABSENT:SinglePartition",
-      "sequence packing numbers the token stream via range partitions + per-slice offsets (the sort_seq form): a plain running-sum window would funnel each source through one task"),
+      "sequence packing buckets the token stream by doc_id DIV width (a deterministic key-derived slice) and adds per-slice offsets: a plain running-sum window would funnel each source through one task"),
     Check("pipeline_decontaminate", "corpus never shuffles", "ABSENT:REGEX:SortMergeJoin|ShuffledHashJoin",
       "eval-set grams and the contaminated-id set are both benchmark-bounded: the gram semi-join and the final anti-join broadcast, so the corpus is scanned but never exchanged",
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
@@ -112,7 +112,10 @@ object PlanAudit {
     Check("sim_topk_int8", "per-partition top-k", "MapPartitions",
       "bounded heaps shrink each task to k rows per query before the merge — same two-level shape as the float path, no corpus-sized shuffle into #queries reducers"),
     Check("text_surprisal", "corpus-side scoring is a narrow projection", "ABSENT:REGEX:Exchange hashpartitioning",
-      "the vocab-bounded frequency table is collected once and applied as a literal map: the scored corpus never hash-shuffles (the wordcount runs eagerly as its own bounded job)"),
+      "below the approx_count_distinct vocabulary gate the frequency table is collected once and applied as a literal map: the scored corpus never hash-shuffles (the wordcount runs eagerly as its own bounded job)"),
+    Check("text_surprisal", "over-threshold vocab downgrades to the join form", "REGEX:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+      "past the vocabulary gate the token bits come from an explode + join on token and a per-document re-aggregation: one extra corpus pass, zero driver-side vocabulary state — a web-scale vocab never visits the driver",
+      conf = Map("spark.graft.surprisal.maxVocab" -> "0")),
     Check("multimodal_audio_windows", "zero-exchange feature extraction", "ABSENT:Exchange",
       "PCM decode + windowing are row-local over the asset scan: no shuffle anywhere in the feature plan"))
 

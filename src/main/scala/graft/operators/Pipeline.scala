@@ -200,6 +200,11 @@ object Pipeline {
       .agg(count(lit(1)).as("c")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = hist.map(_._2).sum
+    // empty corpus: no median exists — short-circuit to the (empty)
+    // curated frame instead of underflowing the rank below
+    if (n == 0L) return curated.join(surpAll, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang_pred"), col("n_words"),
+        col("uniq_pct"), col("bits_per_tok_x100"))
     // percentile_cont(0.5): position (n-1)/2 over the sorted multiset
     val pos = 0.5 * (n - 1)
     def valueAtRank(rank: Long): Long = {

@@ -404,33 +404,39 @@ object Relational {
   /** Global sequence ordering — replication diffs applied in strict
     * ascending order (`changesetmd.py:181-186`). Dense global
     * numbering WITHOUT the single-partition window: two-pass
-    * range-partitioned numbering. Pass 1 range-partitions by the sort
-    * key (each partition owns a contiguous key range) and counts rows
-    * per partition — a driver-side collect bounded by #partitions.
-    * Pass 2 adds the cumulative-count offset of each partition to its
-    * per-partition row_number. Same dense sequence as
-    * `Window.orderBy(...)`, no stage through which the whole table
-    * funnels. (The numbering is partition-boundary-independent — it
-    * only depends on the total order — so nondeterministic range
-    * sampling cannot change the output; the cache pins one
-    * partitioning across the two passes.) */
+    * range-bucketed numbering. The buckets are DERIVED (equal-width
+    * slices of the [min ts, max ts] span — one bounded agg), not
+    * sampled by repartitionByRange: the bucket of a row is a pure
+    * function of its sort key, so no cache is needed to pin a
+    * nondeterministic partitioning across the two passes (the r6
+    * packSequences fix — its sampled sibling here leaked an
+    * InMemoryRelation across gate invocations). Pass 1 counts rows
+    * per bucket (a driver-side collect bounded by #buckets); pass 2
+    * adds each bucket's cumulative offset to its per-bucket
+    * row_number. The bucket function is monotone in ts, so
+    * bucket-then-(ts, event_id) is the global total order and the
+    * numbering is dense — same output as `Window.orderBy(...)` with
+    * no stage through which the whole table funnels. */
   def sortSeq(s: SparkSession, d: String): DataFrame = {
-    val sorted = events(s, d)
-      .select(col("ts"), col("event_id"), col("user_id"))
-      .repartitionByRange(col("ts").asc, col("event_id").asc)
-      .withColumn("pid", spark_partition_id())
-      .cache()
-    val counts = sorted.groupBy(col("pid")).count().collect()
+    val e = events(s, d).select(col("ts"), col("event_id"), col("user_id"))
+    val span = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    if (span.isNullAt(0))
+      return e.select(lit(0L).as("seq"), col("event_id"), col("user_id")).limit(0)
+    val (mn, mx) = (span.getLong(0), span.getLong(1))
+    val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val bucket = expr(s"least(${nb - 1}, CAST((unix_micros(ts) - ${mn}L) * $nb " +
+      s"DIV ${math.max(mx - mn + 1, 1L)}L AS INT))").as("bkt")
+    val counts = e.select(bucket).groupBy(col("bkt")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pids = counts.keys.toSeq.sorted
-    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p)).init)
+    val bkts = counts.keys.toSeq.sorted
+    val offsets = bkts.zip(bkts.scanLeft(0L)((acc, p) => acc + counts(p)).init)
     val offCol =
       if (offsets.isEmpty) lit(0L)
       else coalesce(element_at(
         map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
-        col("pid")), lit(0L))
-    val wp = Window.partitionBy(col("pid")).orderBy(col("ts").asc, col("event_id").asc)
-    sorted
+        col("bkt")), lit(0L))
+    val wp = Window.partitionBy(col("bkt")).orderBy(col("ts").asc, col("event_id").asc)
+    e.withColumn("bkt", bucket)
       .withColumn("seq", row_number().over(wp) + offCol)
       .select(col("seq"), col("event_id"), col("user_id"))
   }

@@ -565,6 +565,17 @@ object Similarity {
     * corpus-scan shape as simTopk; at 100 TB the scan reads int8
     * codes — a quarter of the float32 bytes — and the per-candidate
     * kernel is integer MACs. */
+  /** Dequantized cosine, zero-guarded: an all-zero vector quantizes to
+    * scale 0, so qdot/0 would be NaN — which Spark ORDER BY ... DESC
+    * sorts FIRST (NaN is the largest double) while DuckDB's 0/0
+    * semantics differ, so a zero vector would silently top every
+    * ranking and diverge from the oracle. A direction-less vector has
+    * no cosine; score it 0.0 (below any positive match), identically
+    * in both engines. */
+  private def cosQ(qdot: Column): Column =
+    when(col("c_scale") === 0.0 || col("q_scale") === 0.0, lit(0.0))
+      .otherwise(round(qdot.cast(DoubleType) / (col("c_scale") * col("q_scale")), 4))
+
   def simTopkInt8(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 10
@@ -580,8 +591,7 @@ object Similarity {
     val qdot = graft.functions.DotI8.dotI8(col("cq"), col("qq"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), qdot.as("qdot"),
-        round(qdot.cast(DoubleType) / (col("c_scale") * col("q_scale")), 4)
-          .as("cos_q"))
+        cosQ(qdot).as("cos_q"))
     // same two-level top-k as simTopk: per-partition bounded heaps, so
     // only k·partitions·queries rows reach the final rank window — no
     // corpus-sized shuffle into #queries reducers
@@ -631,8 +641,7 @@ object Similarity {
     cells.join(broadcast(qcells),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cell"),
-        round(qdot.cast(DoubleType) / (col("c_scale") * col("q_scale")), 4)
-          .as("cos_q"))
+        cosQ(qdot).as("cos_q"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
   }
@@ -692,13 +701,15 @@ object Similarity {
         |    FROM embeddings q, c WHERE q.vec_id < 3) t WHERE arnk = 1)
         |SELECT query_id, vec_id, cell, cos_q, rnk FROM (
         |  SELECT qc.query_id, cells.vec_id, cells.cell,
-        |    round(CAST(CAST(list_sum(list_transform(range(1, 65),
+        |    CASE WHEN cv2.sc = 0 OR qv2.sc = 0 THEN 0.0
+        |      ELSE round(CAST(CAST(list_sum(list_transform(range(1, 65),
         |        i -> CAST(cv2.q[i] AS BIGINT) * qv2.q[i])) AS BIGINT) AS DOUBLE)
-        |      / (cv2.sc * qv2.sc), 4) AS cos_q,
+        |      / (cv2.sc * qv2.sc), 4) END AS cos_q,
         |    row_number() OVER (PARTITION BY qc.query_id
-        |      ORDER BY round(CAST(CAST(list_sum(list_transform(range(1, 65),
+        |      ORDER BY CASE WHEN cv2.sc = 0 OR qv2.sc = 0 THEN 0.0
+        |        ELSE round(CAST(CAST(list_sum(list_transform(range(1, 65),
         |          i -> CAST(cv2.q[i] AS BIGINT) * qv2.q[i])) AS BIGINT) AS DOUBLE)
-        |        / (cv2.sc * qv2.sc), 4) DESC, cells.vec_id ASC) AS rnk
+        |        / (cv2.sc * qv2.sc), 4) END DESC, cells.vec_id ASC) AS rnk
         |  FROM cells
         |  JOIN qcells qc ON cells.cell = qc.qcell AND cells.vec_id <> qc.query_id
         |  JOIN qv cv2 ON cv2.vec_id = cells.vec_id
@@ -716,9 +727,11 @@ object Similarity {
         |  FROM qv c, qs WHERE c.vec_id <> qs.query_id)
         |SELECT query_id, vec_id, qdot, cos_q, rnk FROM (
         |  SELECT query_id, vec_id, qdot,
-        |    round(CAST(qdot AS DOUBLE) / (c_scale * q_scale), 4) AS cos_q,
+        |    CASE WHEN c_scale = 0 OR q_scale = 0 THEN 0.0
+        |      ELSE round(CAST(qdot AS DOUBLE) / (c_scale * q_scale), 4) END AS cos_q,
         |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY round(CAST(qdot AS DOUBLE) / (c_scale * q_scale), 4) DESC,
+        |      ORDER BY CASE WHEN c_scale = 0 OR q_scale = 0 THEN 0.0
+        |        ELSE round(CAST(qdot AS DOUBLE) / (c_scale * q_scale), 4) END DESC,
         |        vec_id ASC) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 10""".stripMargin,

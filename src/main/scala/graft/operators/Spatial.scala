@@ -224,13 +224,26 @@ object Spatial {
     * partial aggregation (~20x the per-candidate throughput; measured
     * 188 s → ~13 s at sf5). */
   def joinBboxGrid(s: SparkSession, d: String): DataFrame = {
-    val sa = boxStats(ordersBbox(s, d), "min_lon", "max_lon", "min_lat", "max_lat")
-    val sb = boxStats(customerBbox(s, d), "c_min_lon", "c_max_lon", "c_min_lat", "c_max_lat")
+    val (sa, sb) = sideStats(s, d)
     val g = chooseGrid(sa, sb)
     if (expectedCandidates(sa, sb, g) > KernelCandidateThreshold)
       joinBboxGridLocalG(s, d, g)
     else joinBboxGridG(s, d, g)
   }
+
+  // The two-sided box stats are a pure function of the dataset and
+  // cost two aggregate jobs per probe — memoize per (session, dataset)
+  // like Similarity.collectCentroids, so repeated joinBboxGrid /
+  // joinBboxGridLocal calls in one run scan the inputs for stats once
+  // (the per-invocation probe cost join_bbox_grid +38% at sf0.1 in r7
+  // while buying the 11x kernel switch at sf5).
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (BoxStats, BoxStats)]()
+
+  private[graft] def sideStats(s: SparkSession, d: String): (BoxStats, BoxStats) =
+    statsCache.computeIfAbsent((s, d), _ => (
+      boxStats(ordersBbox(s, d), "min_lon", "max_lon", "min_lat", "max_lat"),
+      boxStats(customerBbox(s, d), "c_min_lon", "c_max_lon", "c_min_lat", "c_max_lat")))
 
   /** Expected candidate rows (with shared-cell multiplicity) under
     * the uniform-placement model — the same estimate chooseGrid
@@ -263,7 +276,11 @@ object Spatial {
     val r = df.agg(
       count(lit(1)), avg(col(maxLon) - col(minLon)), avg(col(maxLat) - col(minLat)),
       min(col(minLon)), max(col(maxLon)), min(col(minLat)), max(col(maxLat))).head()
-    BoxStats(r.getLong(0), r.getDouble(1), r.getDouble(2),
+    // empty input: avg/min/max are NULL — degenerate stats keep the
+    // join well-defined (it returns zero rows either way) instead of
+    // throwing on getDouble
+    if (r.getLong(0) == 0L) BoxStats(0L, 0.0, 0.0, 1e-9, 1e-9)
+    else BoxStats(r.getLong(0), r.getDouble(1), r.getDouble(2),
       math.max(r.getDouble(4) - r.getDouble(3), 1e-9),
       math.max(r.getDouble(6) - r.getDouble(5), 1e-9))
   }
@@ -344,9 +361,17 @@ object Spatial {
   }
 
   /** One exploded cell row for the local kernel (side 0 = orders,
-    * 1 = customer). */
-  private[graft] case class CellBox(cx: Int, cy: Int, side: Byte, key: Long,
+    * 1 = customer), carrying its sub-split tile coordinates. */
+  private[graft] case class CellBox(cx: Int, cy: Int, sa: Int, sb: Int,
+      side: Byte, key: Long,
       minLon: Double, minLat: Double, maxLon: Double, maxLat: Double)
+
+  /** Per-side row cap for one kernel task (`spark.graft.bbox.
+    * subSplitLimit` overrides): a cell whose side exceeds it is tiled
+    * into ⌈n/limit⌉ sub-keys, bounding the per-task pair loop at
+    * ~limit² (≈0.8 s of kernel work at the measured pair throughput)
+    * regardless of how clustered the geometry is. */
+  val SubSplitSideLimit = 8192
 
   /** PBSM "local join" kernel (Patel & DeWitt, SIGMOD 1996; the same
     * shape Sedona's partitioned spatial join uses): both box sets
@@ -367,13 +392,24 @@ object Spatial {
     * partial agg), but an output-bound join spends its life in the
     * per-candidate inner loop, where UnsafeRow iteration costs ~20x a
     * primitive-array compare. At 100 TB the kernel shape also holds:
-    * cells shard the work arbitrarily wide, per-cell state is bounded
-    * by cell population (the grid chooser bounds it), and hot cells
-    * split under AQE like any other skewed key. */
+    * cells shard the work arbitrarily wide, and per-task work is
+    * bounded even under clustered real-world geometry (a metro-area
+    * hot cell) by the PBSM tile refinement below. NOTE a `groupByKey`
+    * group is NOT split by AQE skew handling — one key is one task —
+    * so the split must be in the grouping key itself: a cell whose
+    * side exceeds [[SubSplitSideLimit]] is tiled by a tiny broadcast
+    * cell histogram into ⌈n_a/L⌉×⌈n_b/L⌉ sub-keys (a-rows hash into
+    * their `sa` stripe and replicate across `sb`, b-rows mirrored), so
+    * every pair still meets in EXACTLY one (cell, sa, sb) task and no
+    * task loops more than ~L² pairs. Replication cost is the classic
+    * fragment-replicate √ bound: each row duplicates ⌈n_other/L⌉
+    * times only inside over-populated cells. */
   def joinBboxGridLocalG(s: SparkSession, d: String, g: Double): DataFrame = {
     require(isPow2(g),
       s"grid size must be a power of two for the exact range-form dedup predicate; got $g")
     import s.implicits._
+    val limit = s.conf.get("spark.graft.bbox.subSplitLimit",
+      SubSplitSideLimit.toString).toInt
     def cellRows(df: DataFrame, side: Int, key: String, mnx: String,
         mxx: String, mny: String, mxy: String) =
       withCellsG(df, g, mnx, mxx, mny, mxy).select(
@@ -385,10 +421,29 @@ object Spatial {
       "min_lon", "max_lon", "min_lat", "max_lat")
     val b = cellRows(customerBbox(s, d), 1, "c_custkey",
       "c_min_lon", "c_max_lon", "c_min_lat", "c_max_lat")
-    val partials = a.unionByName(b).as[CellBox]
-      .groupByKey(r => (r.cx, r.cy))
-      .flatMapGroups { (cell: (Int, Int), it: Iterator[CellBox]) =>
-        val (cx, cy) = cell
+    val both = a.unionByName(b)
+    // cell histogram: #cells is domain-bounded (≤ (360/g)·(180/g)
+    // rows), so the split factors ride a broadcast join; cells under
+    // the limit get ma = mb = 1 — the un-split fast path
+    val splits = both.groupBy(col("cx"), col("cy")).agg(
+      greatest(lit(1L), ceil(
+        sum(when(col("side") === 0, 1L).otherwise(0L)) / limit)).cast(IntegerType).as("ma"),
+      greatest(lit(1L), ceil(
+        sum(when(col("side") === 1, 1L).otherwise(0L)) / limit)).cast(IntegerType).as("mb"))
+    val partials = both.join(broadcast(splits), Seq("cx", "cy"))
+      .withColumn("rep", explode(when(col("side") === 0,
+        sequence(lit(0), col("mb") - 1)).otherwise(sequence(lit(0), col("ma") - 1))))
+      .select(col("cx"), col("cy"),
+        when(col("side") === 0, pmod(hash(col("key")), col("ma")))
+          .otherwise(col("rep")).cast(IntegerType).as("sa"),
+        when(col("side") === 1, pmod(hash(col("key")), col("mb")))
+          .otherwise(col("rep")).cast(IntegerType).as("sb"),
+        col("side"), col("key"),
+        col("minLon"), col("minLat"), col("maxLon"), col("maxLat"))
+      .as[CellBox]
+      .groupByKey(r => (r.cx, r.cy, r.sa, r.sb))
+      .flatMapGroups { (cell: (Int, Int, Int, Int), it: Iterator[CellBox]) =>
+        val (cx, cy, _, _) = cell
         val rows = it.toArray
         val na = rows.count(_.side == 0)
         val nb = rows.length - na
@@ -448,8 +503,7 @@ object Spatial {
   /** Gate entry forcing the kernel path at any density, so both
     * physical forms stay hash-checked against the same oracle. */
   def joinBboxGridLocal(s: SparkSession, d: String): DataFrame = {
-    val sa = boxStats(ordersBbox(s, d), "min_lon", "max_lon", "min_lat", "max_lat")
-    val sb = boxStats(customerBbox(s, d), "c_min_lon", "c_max_lon", "c_min_lat", "c_max_lat")
+    val (sa, sb) = sideStats(s, d)
     joinBboxGridLocalG(s, d, chooseGrid(sa, sb))
   }
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
 import graft.Tables._
 
 /** Text-analysis operators for training-data pipelines
@@ -269,34 +270,62 @@ object TextAnalysis {
     * integer k is ULP-robust: only exact powers of two land on
     * integer log2 values, where both engines are exact).
     *
-    * Scale shape: the frequency table is the vocabulary-bounded
-    * wordcount (map-side partial agg; the shuffle carries one state
-    * per token). It is then COLLECTED and applied as a literal map in
-    * a narrow per-row projection — the collectCentroids pattern — so
-    * the corpus itself is scanned once with zero shuffle. A corpus
-    * whose vocabulary exceeds driver memory downgrades to the
-    * explode + broadcast-join form (same results, one extra corpus
-    * pass); the sketch path (`agg_heavy_hitters`) bounds candidate
-    * vocabularies when even that is too wide. */
+    * Scale shape, gated on vocabulary size: an
+    * `approx_count_distinct(tok)` probe (one mergeable-sketch pass)
+    * picks the physical form. Below `spark.graft.surprisal.maxVocab`
+    * (default 2M ⇒ tens of MB of driver state) the frequency table is
+    * COLLECTED and applied as a literal map in a narrow per-row
+    * projection — the collectCentroids pattern; the corpus is scanned
+    * once with zero shuffle. Above it — a web-scale corpus has a
+    * billions-token vocabulary that must never visit the driver — the
+    * SAME integer bits come from an explode + join on token (Spark
+    * broadcasts the frequency table when it fits, shuffle-joins
+    * otherwise) and a per-document re-aggregation: one extra corpus
+    * pass, no driver state, identical results (TextAnalysisSpec
+    * asserts form-equality; PlanAudit pins the join form at a forced
+    * threshold). The sketch path (`agg_heavy_hitters`) bounds
+    * candidate vocabularies when even the join form is too wide. */
   def textSurprisal(s: SparkSession, d: String): DataFrame = {
+    val maxVocab =
+      s.conf.get("spark.graft.surprisal.maxVocab", "2000000").toLong
     val toks = documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    val total = freq.map(_._2).sum
-    val bits: Map[String, Long] = freq.map { case (t, n) =>
-      t -> (63 - java.lang.Long.numberOfLeadingZeros(total / n)).toLong
-    }.toMap
-    val bitsMap = typedlit(bits)
+    val nVocab =
+      toks.agg(approx_count_distinct(col("tok"))).head().getLong(0)
     val words = split(col("text"), " ")
-    graft.Tables.spread(documents(s, d))
-      .select(
-        col("doc_id"),
-        size(words).as("n_toks"),
-        aggregate(transform(words, w => element_at(bitsMap, w)),
-          lit(0L), (acc, v) => acc + v).as("surprisal_bits"))
-      .withColumn("bits_per_tok_x100",
-        expr("(surprisal_bits * 100) div n_toks"))
+    if (nVocab <= maxVocab) {
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val total = freq.map(_._2).sum
+      val bits: Map[String, Long] = freq.map { case (t, n) =>
+        t -> (63 - java.lang.Long.numberOfLeadingZeros(total / n)).toLong
+      }.toMap
+      val bitsMap = typedlit(bits)
+      graft.Tables.spread(documents(s, d))
+        .select(
+          col("doc_id"),
+          size(words).as("n_toks"),
+          aggregate(transform(words, w => element_at(bitsMap, w)),
+            lit(0L), (acc, v) => acc + v).as("surprisal_bits"))
+        .withColumn("bits_per_tok_x100",
+          expr("(surprisal_bits * 100) div n_toks"))
+    } else {
+      // ⌊log2(total DIV n)⌋ as binary-digit length: integer-exact,
+      // same value as the numberOfLeadingZeros form above
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val total = freq.agg(sum(col("n")).as("total"))
+      val bits = freq.crossJoin(broadcast(total))
+        .select(col("tok"),
+          (length(bin(expr("total DIV n"))) - 1).cast(LongType).as("tbits"))
+      graft.Tables.spread(documents(s, d))
+        .select(col("doc_id"), size(words).as("n_toks"),
+          explode(words).as("tok"))
+        .join(bits, "tok")
+        .groupBy(col("doc_id"), col("n_toks"))
+        .agg(sum(col("tbits")).as("surprisal_bits"))
+        .select(col("doc_id"), col("n_toks"), col("surprisal_bits"),
+          expr("(surprisal_bits * 100) div n_toks").as("bits_per_tok_x100"))
+    }
   }
 
   /** Single-pass column profile — the data-quality pass a pipeline

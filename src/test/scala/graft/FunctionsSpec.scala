@@ -301,6 +301,21 @@ class FunctionsSpec extends AnyFunSuite {
       (3L, 3, 6L, 200L)))  // 3 x 2
   }
 
+  test("surprisal: over-threshold join form equals the literal-map form") {
+    val d = "/root/testdata/sf0.001"
+    def run(): Seq[(Long, Int, Long, Long)] =
+      graft.operators.TextAnalysis.textSurprisal(spark, d)
+        .orderBy("doc_id").collect().toSeq
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+    val literal = run()
+    spark.conf.set("spark.graft.surprisal.maxVocab", "0")
+    try {
+      val joined = run()
+      assert(joined === literal)
+      assert(joined.nonEmpty)
+    } finally spark.conf.unset("spark.graft.surprisal.maxVocab")
+  }
+
   test("profile_table: single-row exact profile over a known tier") {
     val p = graft.operators.TextAnalysis.profileDocs(TestSpark.session, "/root/testdata/sf0.001")
       .collect()(0)

@@ -74,4 +74,33 @@ class SpatialSpec extends AnyFunSuite {
     val shared = cellsA.join(cellsB, Seq("cx")).count()
     assert(shared >= 1)
   }
+
+  test("clustered geometry: hot-cell sub-split keeps the kernel exact and bounded") {
+    val d = "/root/testdata/sf0.001"
+    // sf0.001 at g=16: every box lives in a handful of cells; forcing
+    // the side limit to 32 makes EVERY populated cell tile (the
+    // all-in-one-metro-cell shape), so the sub-split path is exercised
+    // on real data and must stay pair-exact vs the declarative form
+    val decl = Spatial.joinBboxGridG(spark, d, 16.0)
+      .orderBy("c_custkey").collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.bbox.subSplitLimit", "32")
+    try {
+      val split = Spatial.joinBboxGridLocalG(spark, d, 16.0)
+        .orderBy("c_custkey").collect().map(_.toSeq).toSeq
+      assert(split === decl)
+      assert(split.nonEmpty)
+    } finally spark.conf.unset("spark.graft.bbox.subSplitLimit")
+  }
+
+  test("boxStats on an empty input yields degenerate stats, not NULL throws") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double, Double, Double, Double)]
+      .toDF("o_orderkey", "min_lon", "min_lat", "max_lon", "max_lat")
+    val st = Spatial.boxStats(empty, "min_lon", "max_lon", "min_lat", "max_lat")
+    assert(st.n === 0L)
+    assert(st.lonExt > 0.0 && st.latExt > 0.0) // extents stay positive for the cost model
+    // and the grid chooser still returns a valid candidate
+    assert(Spatial.GridCandidates.contains(
+      graft.operators.Spatial.chooseGrid(st, st)))
+  }
 }

@@ -51,6 +51,8 @@ object PlanAudit {
       "the candidate-bound physical form: the ~1e9-row candidate stream never materializes as rows — intersection, dedup, and count/min/max run per cell over primitive arrays (the only join is the domain-bounded cell-histogram broadcast that tiles hot cells)"),
     Check("join_bbox_grid_local", "one cell co-partitioning feeds the kernel", "MapGroups",
       "cell rows meet in a single sort-based exchange into flatMapGroups; only |cell|-bounded partial accumulators leave it for the tiny merge agg"),
+    Check("join_bbox_top_overlap", "argmax query rides the same kernel", "ABSENT:REGEX:SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin",
+      "the pluggable in-kernel reducer answers a second query shape (largest-intersection argmax) with the identical cells/tiles/dedup machinery: pairs still never materialize as rows"),
     Check("agg_group", "partial aggregation", "HashAggregate",
       "map-side partial + final aggregate: shuffle carries group states, not rows"),
     Check("agg_group", "whole-stage codegen", "EXECUTED:*(1)",

@@ -302,22 +302,43 @@ object Dedup {
   private[graft] def dedupSimhashPlan(s: SparkSession, d: String): DataFrame =
     simhashPairs(simhashSigs(s, d))
 
-  /** Any (source, gram) key held by more than this many documents is
-    * dropped before the n-gram self-join: one ubiquitous gram ("of
-    * the") in a source block otherwise makes its join key quadratic-
-    * hot — b docs sharing a gram meet b²/2 times in the shuffle. A
-    * gram this common carries no near-dup signal (it is the stopword
-    * of the gram space); Jaccard is computed over the rare-gram space
-    * on BOTH sides of the comparison, and the DuckDB oracle applies
-    * the identical cut. */
-  val MaxGramDf = 64
+  /** Work-budget multiplier for the gram self-join: the candidate
+    * stage may do at most this many pair evaluations per input gram
+    * occurrence. The df cap is DERIVED from the corpus's own df
+    * histogram under this budget (below) instead of a fixed constant,
+    * so the recall/cost trade is explicit and scale-independent: a
+    * gram with df=b makes its join key quadratic-hot (b docs meet
+    * b²/2 times in the shuffle), and ubiquitous grams carry no
+    * near-dup signal anyway (they are the stopwords of the gram
+    * space). Jaccard is computed over the kept-gram space on BOTH
+    * sides, and the DuckDB oracle applies the identical derivation. */
+  val GramJoinWorkBudget = 8L
+
+  /** Largest df value v such that Σ_{df ≤ v} df²·count(df) stays
+    * within GramJoinWorkBudget × total gram occurrences (floor 1).
+    * Computed from the bounded df VALUE HISTOGRAM (≤ max-df rows —
+    * the same driver-safe collect as pipelineCurateFull's median);
+    * the cumulative-work prefix is monotone, so "largest satisfying
+    * v" is well-defined and the oracle's windowed cumsum mirrors it
+    * exactly. */
+  private[graft] def deriveGramDfCap(dfs: DataFrame): Long = {
+    val hist = dfs.groupBy(col("df")).agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n1 = hist.map { case (v, c) => v * c }.sum
+    var w2 = 0L; var cap = 1L
+    hist.foreach { case (v, c) =>
+      w2 += v * v * c
+      if (w2 <= GramJoinWorkBudget * n1) cap = v
+    }
+    cap
+  }
 
   /** Word-2-gram Jaccard within `source` blocks (the non-LSH
     * baseline). Shaped as an exploded n-gram equi-join —
     * intersections come out of a (source, gram) shuffle join + count,
     * never a per-pair array scan: the pair set costs
-    * O(co-occurring rare grams) with the MaxGramDf cut bounding every
-    * join key's bucket, and every step is a plain hash
+    * O(co-occurring kept grams) with the budget-derived df cap
+    * bounding every join key's bucket, and every step is a plain hash
     * shuffle/aggregate that scales horizontally (38 s → ~3 s at sf0.1
     * vs the pairwise array_intersect form). */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
@@ -325,10 +346,13 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         explode(graft.functions.WordShingles.shingles(col("text"), 2)).as("g"))
       .cache() // invocation-scoped, like dedupMinhashLsh
+    val dfs = grams.groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("df"))
+    val cap = deriveGramDfCap(dfs)
+    Console.err.println(
+      s"[graft] dedup_ngram_jaccard: derived df cap = $cap (budget ${GramJoinWorkBudget}x)")
     // hot-gram set is tiny -> the anti-join auto-broadcasts
-    val hot = grams.groupBy(col("source"), col("g"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > MaxGramDf)
-      .select(col("source"), col("g"))
+    val hot = dfs.filter(col("df") > cap).select(col("source"), col("g"))
     val rare = grams.join(hot, Seq("source", "g"), "left_anti").cache()
     try {
       val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -521,15 +545,23 @@ object Dedup {
         |  bit_count(xor(a.sim, b.sim)) AS hamming
         |FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 6""".stripMargin,
-    // Mirrors the Spark side exactly: grams with per-source document
-    // frequency > MaxGramDf are cut BEFORE pairing, and Jaccard runs
-    // over the rare-gram space. A doc left gram-less (< 2 words, or
-    // all grams hot) vanishes from `rg`, mirroring the explode side —
-    // without that, two such docs would emit a phantom (0,0) pair.
+    // Mirrors the Spark side exactly: the df cap is derived from the
+    // df histogram under the same work budget (largest df whose
+    // cumulative df²-work prefix fits B × total occurrences, floor 1),
+    // hotter grams are cut BEFORE pairing, and Jaccard runs over the
+    // kept-gram space. A doc left gram-less (< 2 words, or all grams
+    // hot) vanishes from `rg`, mirroring the explode side — without
+    // that, two such docs would emit a phantom (0,0) pair.
     "dedup_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, source, $gram2SqlDuck AS gs FROM documents),
         |gx AS (SELECT doc_id, source, unnest(gs) AS gr FROM g),
-        |hot AS (SELECT source, gr FROM gx GROUP BY source, gr HAVING count(*) > $MaxGramDf),
+        |dfs AS (SELECT source, gr, count(*) AS df FROM gx GROUP BY source, gr),
+        |hist AS (SELECT df, count(*) AS c FROM dfs GROUP BY df),
+        |cum AS (SELECT df, sum(df * df * c) OVER (ORDER BY df) AS w2 FROM hist),
+        |tot AS (SELECT sum(df) AS n1 FROM dfs),
+        |cap AS (SELECT coalesce(max(df), 1) AS v FROM cum, tot
+        |  WHERE w2 <= $GramJoinWorkBudget * n1),
+        |hot AS (SELECT source, gr FROM dfs, cap WHERE df > cap.v),
         |rg AS (SELECT gx.doc_id, gx.source, list(gx.gr) AS gs
         |  FROM gx LEFT JOIN hot ON gx.source = hot.source AND gx.gr = hot.gr
         |  WHERE hot.gr IS NULL GROUP BY gx.doc_id, gx.source)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -404,7 +404,22 @@ object Spatial {
     * task loops more than ~L² pairs. Replication cost is the classic
     * fragment-replicate √ bound: each row duplicates ⌈n_other/L⌉
     * times only inside over-populated cells. */
-  def joinBboxGridLocalG(s: SparkSession, d: String, g: Double): DataFrame = {
+  /** Pluggable in-kernel reducer: for each b (customer) row the
+    * kernel streams the intersecting, reference-cell-deduped a
+    * (order) rows — key plus intersection-rectangle extent — and the
+    * reducer folds them into at most one partial row. Partials from
+    * different tiles of the same b key merge in the tiny final agg of
+    * the query that owns the reducer, so the ~10⁹-pair candidate
+    * stream still never materializes whatever the query shape. */
+  private[graft] trait PairReducer[T] extends Serializable {
+    def start(bKey: Long): Unit
+    def pair(aKey: Long, iw: Double, ih: Double): Unit
+    def finish(): Option[T]
+  }
+
+  /** The tiled cell rows both kernels consume (cells + hot-cell
+    * sub-split; see joinBboxGridLocalG's doc). */
+  private[graft] def cellTiles(s: SparkSession, d: String, g: Double): Dataset[CellBox] = {
     require(isPow2(g),
       s"grid size must be a power of two for the exact range-form dedup predicate; got $g")
     import s.implicits._
@@ -430,7 +445,7 @@ object Spatial {
         sum(when(col("side") === 0, 1L).otherwise(0L)) / limit)).cast(IntegerType).as("ma"),
       greatest(lit(1L), ceil(
         sum(when(col("side") === 1, 1L).otherwise(0L)) / limit)).cast(IntegerType).as("mb"))
-    val partials = both.join(broadcast(splits), Seq("cx", "cy"))
+    both.join(broadcast(splits), Seq("cx", "cy"))
       .withColumn("rep", explode(when(col("side") === 0,
         sequence(lit(0), col("mb") - 1)).otherwise(sequence(lit(0), col("ma") - 1))))
       .select(col("cx"), col("cy"),
@@ -441,6 +456,15 @@ object Spatial {
         col("side"), col("key"),
         col("minLon"), col("minLat"), col("maxLon"), col("maxLat"))
       .as[CellBox]
+  }
+
+  /** The per-tile kernel: columnarize, pair loop, reference-cell
+    * dedup, reducer fold. One reducer instance per task, reset per b
+    * row — no allocation in the pair loop. */
+  private[graft] def kernelPartials[T: org.apache.spark.sql.Encoder](
+      s: SparkSession, d: String, g: Double)(mk: () => PairReducer[T]): Dataset[T] = {
+    import s.implicits._
+    cellTiles(s, d, g)
       .groupByKey(r => (r.cx, r.cy, r.sa, r.sb))
       .flatMapGroups { (cell: (Int, Int, Int, Int), it: Iterator[CellBox]) =>
         val (cx, cy, _, _) = cell
@@ -466,12 +490,13 @@ object Spatial {
         }
         val clx = cx * g; val chx = clx + g
         val cly = cy * g; val chy = cly + g
-        val out = Array.newBuilder[(Long, Long, Long, Long)]
+        val red = mk()
+        val out = List.newBuilder[T]
         var bi = 0
         while (bi < nb) {
           val bmnx = bMnx(bi); val bmxx = bMxx(bi)
           val bmny = bMny(bi); val bmxy = bMxy(bi)
-          var cnt = 0L; var mnK = Long.MaxValue; var mxK = Long.MinValue
+          red.start(bKey(bi))
           var ai = 0
           while (ai < na) {
             if (aMnx(ai) <= bmxx && aMxx(ai) >= bmnx &&
@@ -479,25 +504,81 @@ object Spatial {
               val ix = if (aMnx(ai) > bmnx) aMnx(ai) else bmnx
               val iy = if (aMny(ai) > bmny) aMny(ai) else bmny
               if (ix >= clx && ix < chx && iy >= cly && iy < chy) {
-                cnt += 1
-                val k = aKey(ai)
-                if (k < mnK) mnK = k
-                if (k > mxK) mxK = k
+                val jx = if (aMxx(ai) < bmxx) aMxx(ai) else bmxx
+                val jy = if (aMxy(ai) < bmxy) aMxy(ai) else bmxy
+                red.pair(aKey(ai), jx - ix, jy - iy)
               }
             }
             ai += 1
           }
-          if (cnt > 0L) out += ((bKey(bi), cnt, mnK, mxK))
+          red.finish().foreach(out += _)
           bi += 1
         }
         out.result().iterator
       }
+  }
+
+  private final class CountMinMaxReducer
+      extends PairReducer[(Long, Long, Long, Long)] {
+    private var b = 0L; private var cnt = 0L
+    private var mn = Long.MaxValue; private var mx = Long.MinValue
+    def start(bKey: Long): Unit = {
+      b = bKey; cnt = 0L; mn = Long.MaxValue; mx = Long.MinValue
+    }
+    def pair(aKey: Long, iw: Double, ih: Double): Unit = {
+      cnt += 1
+      if (aKey < mn) mn = aKey
+      if (aKey > mx) mx = aKey
+    }
+    def finish(): Option[(Long, Long, Long, Long)] =
+      if (cnt > 0L) Some((b, cnt, mn, mx)) else None
+  }
+
+  def joinBboxGridLocalG(s: SparkSession, d: String, g: Double): DataFrame = {
+    import s.implicits._
+    val partials = kernelPartials(s, d, g)(() => new CountMinMaxReducer)
       .toDF("c_custkey", "pcnt", "pmin", "pmax")
     partials.groupBy(col("c_custkey"))
       .agg(
         sum(col("pcnt")).as("n_overlaps"),
         min(col("pmin")).as("min_key"),
         max(col("pmax")).as("max_key"))
+  }
+
+  private final class TopOverlapReducer
+      extends PairReducer[(Long, Double, Long)] {
+    private var b = 0L; private var any = false
+    private var bestArea = 0.0; private var bestKey = 0L
+    def start(bKey: Long): Unit = { b = bKey; any = false }
+    def pair(aKey: Long, iw: Double, ih: Double): Unit = {
+      val area = iw * ih
+      if (!any || area > bestArea || (area == bestArea && aKey < bestKey)) {
+        any = true; bestArea = area; bestKey = aKey
+      }
+    }
+    def finish(): Option[(Long, Double, Long)] =
+      if (any) Some((b, bestArea, bestKey)) else None
+  }
+
+  /** Second query shape over the SAME kernel machinery (cells,
+    * hot-cell tiles, reference-cell dedup): for every customer box,
+    * the order box with the LARGEST intersection rectangle (ties →
+    * smallest o_orderkey). The argmax merges across tiles as
+    * max(struct(area, -key)) — idempotent and order-independent — so
+    * the per-tile partials stay one row per (tile, customer). The
+    * box coordinates are integer-valued doubles, so the areas are
+    * IEEE-exact in both engines and the oracle's window argmax over
+    * the direct theta join is bit-comparable. */
+  def joinBboxTopOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (sa, sb) = sideStats(s, d)
+    val partials = kernelPartials(s, d, chooseGrid(sa, sb))(
+      () => new TopOverlapReducer).toDF("c_custkey", "parea", "pkey")
+    partials.groupBy(col("c_custkey"))
+      .agg(max(struct(col("parea"), (-col("pkey")).as("nk"))).as("best"))
+      .select(col("c_custkey"),
+        (-col("best.nk")).as("o_orderkey"),
+        col("best.parea").as("overlap_area"))
   }
 
   /** Gate entry forcing the kernel path at any density, so both
@@ -513,6 +594,7 @@ object Spatial {
     "join_range_bbox" -> joinRangeBbox _,
     "join_bbox_grid" -> joinBboxGrid _,
     "join_bbox_grid_local" -> joinBboxGridLocal _,
+    "join_bbox_top_overlap" -> joinBboxTopOverlap _,
     "geom_envelope" -> geomEnvelopeQuery _
   )
 
@@ -586,6 +668,28 @@ object Spatial {
         |WHERE min_lon <= c_max_lon AND max_lon >= c_min_lon
         |  AND min_lat <= c_max_lat AND max_lat >= c_min_lat
         |GROUP BY c_custkey""".stripMargin,
+    // same direct-theta-join ground truth, argmax query shape: the
+    // windowed rank mirrors the kernel's (area desc, key asc) fold
+    "join_bbox_top_overlap" ->
+      s"""WITH b AS ($bboxSql),
+        |cb AS (SELECT c_custkey,
+        |  CAST(c_custkey % 340 - 170 AS DOUBLE) AS c_min_lon,
+        |  CAST(c_custkey * 3 % 160 - 80 AS DOUBLE) AS c_min_lat,
+        |  CAST(c_custkey % 340 - 170 + 1 + c_custkey % 9 AS DOUBLE) AS c_max_lon,
+        |  CAST(c_custkey * 3 % 160 - 80 + 1 + c_custkey % 7 AS DOUBLE) AS c_max_lat
+        |FROM customer)
+        |SELECT c_custkey, o_orderkey, overlap_area FROM (
+        |  SELECT c_custkey, o_orderkey,
+        |    (least(max_lon, c_max_lon) - greatest(min_lon, c_min_lon)) *
+        |    (least(max_lat, c_max_lat) - greatest(min_lat, c_min_lat)) AS overlap_area,
+        |    row_number() OVER (PARTITION BY c_custkey ORDER BY
+        |      (least(max_lon, c_max_lon) - greatest(min_lon, c_min_lon)) *
+        |      (least(max_lat, c_max_lat) - greatest(min_lat, c_min_lat)) DESC,
+        |      o_orderkey ASC) AS rnk
+        |  FROM b, cb
+        |  WHERE min_lon <= c_max_lon AND max_lon >= c_min_lon
+        |    AND min_lat <= c_max_lat AND max_lat >= c_min_lat) t
+        |WHERE rnk = 1""".stripMargin,
     "geom_envelope" ->
       s"""WITH b AS ($bboxSql)
         |SELECT o_orderkey, 4326 AS srid,

@@ -222,13 +222,15 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("ngram jaccard df-cut: a ubiquitous gram cannot pair-bomb its source block") {
-    // MaxGramDf+10 docs share a 4-word template (3 hot grams each, all
-    // above the cap) plus a unique tail gram. WITHOUT the cut every
-    // template pair passes Jaccard (3/5 = 0.6) -> ~n²/2 output pairs
-    // and a quadratic-hot join key; WITH it the template grams are cut
-    // and the docs share nothing. A genuine near-dup pair whose grams
+    // 74 docs share a 4-word template (3 template grams with df=74)
+    // plus a unique tail gram. The budget-derived cap lands between
+    // the near-dup grams (df=2) and the template grams (74² per gram
+    // blows the 8x work budget): WITHOUT the cut every template pair
+    // passes Jaccard (3/5 = 0.6) -> ~n²/2 output pairs and a
+    // quadratic-hot join key; WITH it the template grams are cut and
+    // the docs share nothing. A genuine near-dup pair whose grams
     // stay under the cap must still be found.
-    val n = Dedup.MaxGramDf + 10
+    val n = 74
     val hotDocs = (1 to n).map(i => (i.toLong, s"the quick brown fox unique$i", "s0"))
     val near = Seq(
       (900L, "alpha beta gamma delta epsilon zeta", "s0"),
@@ -240,6 +242,17 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((900L, 901L)),
       s"expected only the rare-gram near-dup pair, got ${pairs.size} pairs")
+  }
+
+  test("derived gram df cap: cumulative work-budget prefix, floor 1") {
+    import spark.implicits._
+    // everything fits the budget -> cap = max df
+    assert(Dedup.deriveGramDfCap(Seq(1L, 1L, 2L, 3L).toDF("df")) === 3L)
+    // one mega-hot gram blows the budget on its own -> floor cap 1
+    assert(Dedup.deriveGramDfCap(Seq(100L).toDF("df")) === 1L)
+    // mixed: df=2 fits (w2=6 <= 8*42=336), df=38 does not (w2=1450)
+    assert(Dedup.deriveGramDfCap(
+      (Seq.fill(2)(1L) ++ Seq.fill(1)(2L) ++ Seq(38L)).toDF("df")) === 2L)
   }
 
   test("dedup operators release their working caches (no session-lifetime leak)") {

@@ -92,6 +92,28 @@ class SpatialSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.bbox.subSplitLimit")
   }
 
+  test("top-overlap kernel equals the direct theta-join argmax") {
+    val d = "/root/testdata/sf0.001"
+    val viaKernel = Spatial.joinBboxTopOverlap(spark, d)
+      .orderBy("c_custkey").collect().map(_.toSeq).toSeq
+    val a = Spatial.ordersBbox(spark, d)
+    val b = Spatial.customerBbox(spark, d)
+    val area = (least(col("max_lon"), col("c_max_lon")) - greatest(col("min_lon"), col("c_min_lon"))) *
+      (least(col("max_lat"), col("c_max_lat")) - greatest(col("min_lat"), col("c_min_lat")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey"))
+      .orderBy(col("overlap_area").desc, col("o_orderkey").asc)
+    val direct = a.join(b,
+        col("min_lon") <= col("c_max_lon") && col("max_lon") >= col("c_min_lon") &&
+        col("min_lat") <= col("c_max_lat") && col("max_lat") >= col("c_min_lat"))
+      .select(col("c_custkey"), col("o_orderkey"), area.as("overlap_area"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("c_custkey"), col("o_orderkey"), col("overlap_area"))
+      .orderBy("c_custkey").collect().map(_.toSeq).toSeq
+    assert(viaKernel === direct)
+    assert(viaKernel.nonEmpty)
+  }
+
   test("boxStats on an empty input yields degenerate stats, not NULL throws") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Double, Double, Double, Double)]

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Path}
+
+/** GB-scale ingest soak (round-8 VERDICT item 6): generates a
+  * reference-shaped multi-file, multi-stream `.osm.bz2` changeset dump
+  * (≥1 GB uncompressed XML — the scale class of a weekly dump, which
+  * the reference loads in 2–3 h at 3,000–4,600 changesets/s,
+  * BASELINE.md / README.md:74) and drives the FULL operator CLI path
+  * over it: `-c -f dump -g`, then `--init-sequence` + `-r` catch-up —
+  * i.e. the exact composition `cli_entry` gate-checks, at three
+  * decimal orders of magnitude more data than the gate fixture.
+  *
+  * Prints one JSON line and writes `BENCH_r08_ingest.json`:
+  * sustained bulk rows/s, per-phase wall times, dump sizes, and the
+  * JVM's peak heap across all pools (the single-JVM local-mode analog
+  * of executor peak memory).
+  *
+  * Run: `sbt "runMain graft.IngestSoak [nChangesets]"` (default 4M
+  * ≈ 1.1 GB uncompressed, 32 files × 2 concatenated bz2 streams —
+  * Hadoop's BZip2 codec both splits within a stream and reads
+  * concatenated streams, so the scan parallelizes like the real
+  * planet dump).
+  */
+object IngestSoak {
+
+  private val NFiles = 32
+  private val StreamsPerFile = 2
+
+  /** One generated changeset element (~270 B; every optional branch of
+    * the bulk fixture appears at a deterministic rate: missing
+    * closed_at, open=true, discussion comments, multiple tags). */
+  private def changesetXml(i: Long): String = {
+    val lat = (i % 160) - 80; val lon = (i % 340) - 170
+    val sb = new StringBuilder(300)
+    sb.append(s"""<changeset id="$i" created_at="2015-11-${1 + i % 28}T${i % 24}:00:01Z" """)
+    if (i % 3 != 0) sb.append(s"""closed_at="2015-11-${1 + i % 28}T${i % 24}:05:01Z" """)
+    sb.append(s"""open="${i % 3 == 0}" num_changes="${i % 500}" user="user${i % 5000}" uid="${i % 5000}" """)
+    sb.append(s"""min_lat="$lat.1" max_lat="$lat.9" min_lon="$lon.1" max_lon="$lon.9">""")
+    sb.append(s"""<tag k="created_by" v="JOSM/1.5 (${i % 900})"/>""")
+    if (i % 4 == 0) sb.append(s"""<tag k="comment" v="edit number $i"/>""")
+    if (i % 50 == 0) {
+      sb.append("<discussion>")
+      sb.append(s"""<comment uid="${i % 5000}" user="user${i % 5000}" date="2015-11-${1 + i % 28}T${i % 24}:30:00Z"><text>review $i</text></comment>""")
+      sb.append(s"""<comment uid="${(i + 7) % 5000}" user="user${(i + 7) % 5000}" date="2015-11-${1 + i % 28}T${i % 24}:45:00Z"><text>ack</text></comment>""")
+      sb.append("</discussion>")
+    }
+    sb.append("</changeset>\n")
+    sb.toString
+  }
+
+  /** Write one dump file: ONE XML document whose byte stream is cut
+    * into `StreamsPerFile` CONCATENATED bz2 streams — exactly what
+    * pbzip2 produces for the real planet dump (the compression frames
+    * are a transport detail; the decompressed bytes form a single
+    * document). Returns (uncompressed, compressed) byte counts. Runs
+    * inside a Spark task so the 32 files compress in parallel. */
+  private def writeDumpFile(path: Path, idLo: Long, idHi: Long): (Long, Long) = {
+    Files.createDirectories(path.getParent)
+    val fos = Files.newOutputStream(path)
+    var raw = 0L
+    var bz = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(fos)
+    def put(str: String): Unit = {
+      val b = str.getBytes("UTF-8"); raw += b.length; bz.write(b)
+    }
+    try {
+      val perStream = math.max(1L, (idHi - idLo) / StreamsPerFile)
+      put("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<osm version=\"0.6\" generator=\"graft-soak\">\n")
+      var i = idLo
+      while (i < idHi) {
+        put(changesetXml(i))
+        i += 1
+        // stream boundary mid-document: finish the frame, start a new
+        // one on the same file (the pbzip2 layout)
+        if ((i - idLo) % perStream == 0 && i < idHi) {
+          bz.finish()
+          bz = new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorOutputStream(fos)
+        }
+      }
+      put("</osm>\n")
+      bz.finish()
+    } finally fos.close()
+    (raw, Files.size(path))
+  }
+
+  private def peakHeapMb(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // pin splits below the per-file compressed size so the bz2
+      // BYBLOCK splittable path engages inside each file too — on a
+      // real multi-GB dump the 128 MB default does this by itself
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = Files.createTempDirectory("graft_soak")
+    val dumpDir = root.resolve("dump")
+    val db = root.resolve("db")
+
+    // -- generate the dump (parallel, not timed as ingest) -------------
+    val per = n / NFiles
+    val dumpDirStr = dumpDir.toString // Path is not serializable
+    val tGen0 = System.nanoTime()
+    val sizes = spark.range(0, NFiles, 1, NFiles).map { f =>
+      val lo = f * per
+      val hi = if (f == NFiles - 1) n else lo + per
+      writeDumpFile(
+        java.nio.file.Paths.get(dumpDirStr, f"part$f%02d.osm.bz2"), lo, hi)
+    }.collect()
+    val genSec = (System.nanoTime() - tGen0) / 1e9
+    val rawBytes = sizes.map(_._1).sum
+    val bz2Bytes = sizes.map(_._2).sum
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    // -- phase 1: create + bulk load (the EP1 analog) ------------------
+    val bulkSec = timed {
+      Main.run(spark, Main.parse(List(
+        "-d", db.toString, "-c", "-f", dumpDir.toString + "/part*.osm.bz2")))
+    }
+    val csDir = db.resolve("tables/changesets")
+    val rows = graft.streaming.Replication.readTable(spark, csDir).count()
+    val cmRows = graft.streaming.Replication.commentsTable(csDir).read(spark).count()
+
+    // -- phase 2: geometry backfill ------------------------------------
+    val geomSec = timed {
+      Main.run(spark, Main.parse(List("-d", db.toString, "-g")))
+    }
+
+    // -- phase 3: replication catch-up over a 32-diff feed -------------
+    val feed = root.resolve("feed")
+    graft.streaming.Replication.writeFixtureWorld(feed, 32)
+    val replSec = timed {
+      Main.run(spark, Main.parse(List(
+        "-d", db.toString, "--init-sequence", "0", "-r", feed.toString)))
+    }
+
+    val rate = (rows / bulkSec).round
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val json =
+      s"""{"metric":"ingest_soak","rows":$rows,"comment_rows":$cmRows,""" +
+      s""""uncompressed_bytes":$rawBytes,"bz2_bytes":$bz2Bytes,""" +
+      s""""dump_files":$NFiles,"streams_per_file":$StreamsPerFile,""" +
+      s""""gen_sec":${fmt(genSec)},"bulk_sec":${fmt(bulkSec)},""" +
+      s""""rows_per_sec":$rate,"geom_sec":${fmt(geomSec)},""" +
+      s""""replicate_sec":${fmt(replSec)},"replicate_diffs":32,""" +
+      s""""peak_heap_mb":${peakHeapMb()},""" +
+      s""""baseline_rows_per_sec":"3000-4600 (README.md:74, single thread)"}"""
+    Files.writeString(java.nio.file.Paths.get("BENCH_r08_ingest.json"), json + "\n")
+    println(json)
+
+    // scratch cleanup: the dump + warehouse are multi-GB
+    val walk = Files.walk(root)
+    try {
+      val it = walk.sorted(java.util.Comparator.reverseOrder[Path]()).iterator()
+      while (it.hasNext) Files.delete(it.next())
+    } finally walk.close()
+    spark.stop()
+  }
+}

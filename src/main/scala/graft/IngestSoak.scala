@@ -56,7 +56,7 @@ object IngestSoak {
     * are a transport detail; the decompressed bytes form a single
     * document). Returns (uncompressed, compressed) byte counts. Runs
     * inside a Spark task so the 32 files compress in parallel. */
-  private def writeDumpFile(path: Path, idLo: Long, idHi: Long): (Long, Long) = {
+  private[graft] def writeDumpFile(path: Path, idLo: Long, idHi: Long): (Long, Long) = {
     Files.createDirectories(path.getParent)
     val fos = Files.newOutputStream(path)
     var raw = 0L

@@ -161,4 +161,19 @@ class OsmXmlSpec extends AnyFunSuite {
     assert(bz.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq ===
       Seq(10L, 11L, 12L))
   }
+
+  test("multi-stream bz2 dump (pbzip2 layout) scans completely") {
+    // One XML document cut across 2 concatenated bz2 streams — the
+    // pbzip2 planet layout. The codec handles stream concatenation,
+    // but the XML row reader stops at the first ROOT close, so a
+    // document-per-stream layout silently halves the rows (measured
+    // in round 8's soak): this pins the correct one-document layout.
+    val p = Files.createTempDirectory("graft_t_ms").resolve("dump.osm.bz2")
+    val (raw, comp) = IngestSoak.writeDumpFile(p, 0L, 5000L)
+    assert(raw > comp && comp === Files.size(p))
+    val df = OsmXml.scan(spark, p.toString)
+    assert(df.count() === 5000)
+    assert(df.agg(org.apache.spark.sql.functions.countDistinct(
+      org.apache.spark.sql.functions.col("_id"))).head().getLong(0) === 5000)
+  }
 }

@@ -316,9 +316,12 @@ object Dedup {
 
   /** Largest df value v such that Σ_{df ≤ v} df²·count(df) stays
     * within GramJoinWorkBudget × total gram occurrences (floor 1).
-    * Computed from the bounded df VALUE HISTOGRAM (≤ max-df rows —
-    * the same driver-safe collect as pipelineCurateFull's median);
-    * the cumulative-work prefix is monotone, so "largest satisfying
+    * Computed from the df VALUE HISTOGRAM — a provably bounded
+    * collect: k distinct df values with counts ≥ 1 satisfy
+    * Σ df·c ≥ k²/2, so k ≤ √(2N) for N total gram occurrences
+    * (≤ 1.5M histogram rows even at 10¹² occurrences — driver-safe at
+    * any corpus scale, same pattern as pipelineCurateFull's median).
+    * The cumulative-work prefix is monotone, so "largest satisfying
     * v" is well-defined and the oracle's windowed cumsum mirrors it
     * exactly. */
   private[graft] def deriveGramDfCap(dfs: DataFrame): Long = {

@@ -285,21 +285,33 @@ object TextAnalysis {
     * asserts form-equality; PlanAudit pins the join form at a forced
     * threshold). The sketch path (`agg_heavy_hitters`) bounds
     * candidate vocabularies when even the join form is too wide. */
+  // Both the cardinality probe and the literal bits map are pure
+  // functions of the dataset — memoized per (session, dataset) like
+  // Similarity.collectCentroids, so pipelineCurateFull + the gate's
+  // repeated invocations train the unigram model ONCE. The map cache
+  // is bounded by the vocab gate (≤ maxVocab entries).
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  private val bitsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, Long]]()
+
   def textSurprisal(s: SparkSession, d: String): DataFrame = {
     val maxVocab =
       s.conf.get("spark.graft.surprisal.maxVocab", "2000000").toLong
     val toks = documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
-    val nVocab =
-      toks.agg(approx_count_distinct(col("tok"))).head().getLong(0)
+    val nVocab: Long = vocabCache.computeIfAbsent((s, d),
+      _ => toks.agg(approx_count_distinct(col("tok"))).head().getLong(0))
     val words = split(col("text"), " ")
     if (nVocab <= maxVocab) {
-      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getString(0) -> r.getLong(1))
-      val total = freq.map(_._2).sum
-      val bits: Map[String, Long] = freq.map { case (t, n) =>
-        t -> (63 - java.lang.Long.numberOfLeadingZeros(total / n)).toLong
-      }.toMap
+      val bits = bitsCache.computeIfAbsent((s, d), _ => {
+        val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+        val total = freq.map(_._2).sum
+        freq.map { case (t, n) =>
+          t -> (63 - java.lang.Long.numberOfLeadingZeros(total / n)).toLong
+        }.toMap
+      })
       val bitsMap = typedlit(bits)
       graft.Tables.spread(documents(s, d))
         .select(

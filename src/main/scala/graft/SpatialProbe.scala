@@ -27,6 +27,59 @@ object SpatialProbe {
       col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy")).count()
   }
 
+  /** Max finished-task duration observer (probe-grade: listener bus
+    * is async, so read after a short settle). */
+  private final class MaxTask extends org.apache.spark.scheduler.SparkListener {
+    @volatile var maxMs = 0L
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (e.taskInfo != null && e.taskInfo.duration > maxMs)
+        maxMs = e.taskInfo.duration
+  }
+
+  /** Clustered-geometry probe (round-8 VERDICT item 4): every box's
+    * min corner lands in ONE grid cell — the metro-area hot cell the
+    * uniform cost model can't see. Key residues force it: orderkeys
+    * ≡ 0 (mod 340) pin min_lon, custkeys ≡ 0 (mod 2720) pin both
+    * customer corners (2720 = lcm(340, 160) and 3·2720 ≡ 0 mod 160).
+    * Runs the kernel UNSPLIT (limit ≥ cell population: one task owns
+    * all ~n_a·n_b pairs) vs TILED (default limit), and reports wall +
+    * max task ms — the bounded-max-task-time evidence for the
+    * fragment-replicate sub-split. */
+  private def clusterProbe(spark: SparkSession, nA: Int, nB: Int): Unit = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cluster")
+    (1 to nA).map(i => (340L * i, 160L * (i % 997 + 1)))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(root.resolve("orders.parquet").toString)
+    (1 to nB).map(j => 2720L * j).toDF("c_custkey")
+      .write.parquet(root.resolve("customer.parquet").toString)
+    val d = root.toString
+    val (sa, sbb) = (Spatial.boxStats(Spatial.ordersBbox(spark, d),
+        "min_lon", "max_lon", "min_lat", "max_lat"),
+      Spatial.boxStats(Spatial.customerBbox(spark, d),
+        "c_min_lon", "c_max_lon", "c_min_lat", "c_max_lat"))
+    val g = Spatial.chooseGrid(sa, sbb)
+    println(s"cluster fixture: nA=$nA nB=$nB g=$g (all min-corners in one cell)")
+    def run(label: String, limit: Long): Long = {
+      spark.conf.set("spark.graft.bbox.subSplitLimit", limit.toString)
+      val lst = new MaxTask
+      spark.sparkContext.addSparkListener(lst)
+      val t0 = System.nanoTime()
+      val n = Spatial.joinBboxGridLocalG(spark, d, g).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener bus settle
+      spark.sparkContext.removeSparkListener(lst)
+      println(f"$label: rows=$n wall=$wall%.2f s max_task=${lst.maxMs} ms")
+      n
+    }
+    val unsplit = run("unsplit (limit > cell population: one task, all pairs)", 1000000000L)
+    val tiled = run(s"tiled   (default limit ${Spatial.SubSplitSideLimit})",
+      Spatial.SubSplitSideLimit.toLong)
+    spark.conf.unset("spark.graft.bbox.subSplitLimit")
+    require(unsplit == tiled, s"tiling changed the result: $unsplit vs $tiled")
+    println("results identical; tiling bounds the hot-cell task")
+  }
+
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/repo/testdata-local/sf1")
     val spark = SparkSession.builder()
@@ -36,6 +89,14 @@ object SpatialProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (d == "cluster") {
+      clusterProbe(spark,
+        args.lift(1).map(_.toInt).getOrElse(100000),
+        args.lift(2).map(_.toInt).getOrElse(4000))
+      spark.stop()
+      return
+    }
 
     def t(label: String)(body: => Long): Unit = {
       val t0 = System.nanoTime; val n = body

@@ -118,6 +118,8 @@ object PlanAudit {
     Check("text_surprisal", "over-threshold vocab downgrades to the join form", "REGEX:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
       "past the vocabulary gate the token bits come from an explode + join on token and a per-document re-aggregation: one extra corpus pass, zero driver-side vocabulary state — a web-scale vocab never visits the driver",
       conf = Map("spark.graft.surprisal.maxVocab" -> "0")),
+    Check("text_surprisal_joined", "join form holds no driver state", "REGEX:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+      "the named join-form entry (oracle-shared with text_surprisal, the join_bbox_grid_local pattern): frequency table meets the exploded corpus in a join, never a collected literal"),
     Check("multimodal_audio_windows", "zero-exchange feature extraction", "ABSENT:Exchange",
       "PCM decode + windowing are row-local over the asset scan: no shuffle anywhere in the feature plan"))
 

@@ -321,23 +321,33 @@ object TextAnalysis {
             lit(0L), (acc, v) => acc + v).as("surprisal_bits"))
         .withColumn("bits_per_tok_x100",
           expr("(surprisal_bits * 100) div n_toks"))
-    } else {
-      // ⌊log2(total DIV n)⌋ as binary-digit length: integer-exact,
-      // same value as the numberOfLeadingZeros form above
-      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      val total = freq.agg(sum(col("n")).as("total"))
-      val bits = freq.crossJoin(broadcast(total))
-        .select(col("tok"),
-          (length(bin(expr("total DIV n"))) - 1).cast(LongType).as("tbits"))
-      graft.Tables.spread(documents(s, d))
-        .select(col("doc_id"), size(words).as("n_toks"),
-          explode(words).as("tok"))
-        .join(bits, "tok")
-        .groupBy(col("doc_id"), col("n_toks"))
-        .agg(sum(col("tbits")).as("surprisal_bits"))
-        .select(col("doc_id"), col("n_toks"), col("surprisal_bits"),
-          expr("(surprisal_bits * 100) div n_toks").as("bits_per_tok_x100"))
-    }
+    } else textSurprisalJoined(s, d)
+  }
+
+  /** The over-threshold physical form, as its own gate entry
+    * (`text_surprisal_joined`, same oracle as `text_surprisal` — the
+    * join_bbox_grid_local pattern: both physical forms stay
+    * hash-checked): ⌊log2(total DIV n)⌋ as binary-digit length
+    * (integer-exact, same value as the numberOfLeadingZeros form in
+    * the literal path), token bits from an explode + join on token,
+    * per-document re-aggregation. Zero driver state. */
+  def textSurprisalJoined(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val words = split(col("text"), " ")
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum(col("n")).as("total"))
+    val bits = freq.crossJoin(broadcast(total))
+      .select(col("tok"),
+        (length(bin(expr("total DIV n"))) - 1).cast(LongType).as("tbits"))
+    graft.Tables.spread(documents(s, d))
+      .select(col("doc_id"), size(words).as("n_toks"),
+        explode(words).as("tok"))
+      .join(bits, "tok")
+      .groupBy(col("doc_id"), col("n_toks"))
+      .agg(sum(col("tbits")).as("surprisal_bits"))
+      .select(col("doc_id"), col("n_toks"), col("surprisal_bits"),
+        expr("(surprisal_bits * 100) div n_toks").as("bits_per_tok_x100"))
   }
 
   /** Single-pass column profile — the data-quality pass a pipeline
@@ -368,7 +378,8 @@ object TextAnalysis {
     "text_tokens" -> textTokens _,
     "text_fingerprint" -> textFingerprint _,
     "text_repetition" -> textRepetition _,
-    "text_surprisal" -> textSurprisal _
+    "text_surprisal" -> textSurprisal _,
+    "text_surprisal_joined" -> textSurprisalJoined _
   )
 
   private def duckScore(l: String, ws: Seq[String]): String =
@@ -382,6 +393,17 @@ object TextAnalysis {
     }
     s"CASE ${whens.mkString(" ")} ELSE '${langs.last}' END"
   }
+
+  private val surprisalOracleSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |f AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+      |tt AS (SELECT count(*) AS total FROM t),
+      |s AS (SELECT tok, CAST(floor(log2(total // n)) AS BIGINT) AS bits FROM f, tt)
+      |SELECT doc_id, count(*) AS n_toks,
+      |  CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+      |  CAST(sum(bits) * 100 AS BIGINT) // count(*) AS bits_per_tok_x100
+      |FROM t JOIN s USING (tok)
+      |GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // exact ground truth: the sketch pass only proposes candidates,
@@ -464,16 +486,11 @@ object TextAnalysis {
     // floor(log2(k)) of an integer ratio == the Scala side's
     // 63 - numberOfLeadingZeros(k); sum(BIGINT) promotes to HUGEINT in
     // DuckDB, hence the terminal BIGINT casts (round-1 boundary rule)
-    "text_surprisal" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |f AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
-        |tt AS (SELECT count(*) AS total FROM t),
-        |s AS (SELECT tok, CAST(floor(log2(total // n)) AS BIGINT) AS bits FROM f, tt)
-        |SELECT doc_id, count(*) AS n_toks,
-        |  CAST(sum(bits) AS BIGINT) AS surprisal_bits,
-        |  CAST(sum(bits) * 100 AS BIGINT) // count(*) AS bits_per_tok_x100
-        |FROM t JOIN s USING (tok)
-        |GROUP BY doc_id""".stripMargin,
+    // (shared text: see surprisalOracleSql below the map)
+    "text_surprisal" -> surprisalOracleSql,
+    // both physical forms answer the same question — identical oracle
+    // (the join_bbox_grid_local pattern)
+    "text_surprisal_joined" -> surprisalOracleSql,
     "text_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -53,6 +53,8 @@ object PlanAudit {
       "cell rows meet in a single sort-based exchange into flatMapGroups; only |cell|-bounded partial accumulators leave it for the tiny merge agg"),
     Check("join_bbox_top_overlap", "argmax query rides the same kernel", "ABSENT:REGEX:SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin",
       "the pluggable in-kernel reducer answers a second query shape (largest-intersection argmax) with the identical cells/tiles/dedup machinery: pairs still never materialize as rows"),
+    Check("join_bbox_top_overlap", "one cell co-partitioning feeds the kernel", "MapGroups",
+      "same physical spine as join_bbox_grid_local: cell/tile rows meet in one sort-based exchange into flatMapGroups; only per-(tile, customer) argmax partials leave for the struct-max merge"),
     Check("agg_group", "partial aggregation", "HashAggregate",
       "map-side partial + final aggregate: shuffle carries group states, not rows"),
     Check("agg_group", "whole-stage codegen", "EXECUTED:*(1)",

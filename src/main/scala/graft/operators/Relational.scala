@@ -416,7 +416,13 @@ object Relational {
     * row_number. The bucket function is monotone in ts, so
     * bucket-then-(ts, event_id) is the global total order and the
     * numbering is dense — same output as `Window.orderBy(...)` with
-    * no stage through which the whole table funnels. */
+    * no stage through which the whole table funnels. (Bucket BALANCE
+    * assumes ts spread over its span — correctness never depends on
+    * it. A corpus concentrated in one timestamp degrades toward one
+    * bucket; equal sort-key prefixes cannot be split without
+    * deriving the bucket from the tiebreaker too, which is the same
+    * one-extra-level refinement the spatial kernel's hot-cell tiling
+    * applies and this fixture never needs.) */
   def sortSeq(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("ts"), col("event_id"), col("user_id"))
     val span = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()

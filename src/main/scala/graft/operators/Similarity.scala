@@ -619,15 +619,16 @@ object Similarity {
     * quantizer bounds per-query work to one cell (sublinear in n) and
     * the resident cell data is TINYINT codes + one scale (4× smaller
     * than float32), scored with exact integer dot products. Cell
-    * assignment uses the FLOAT vector (quantizing the assignment too
-    * would move cell boundaries; the codes exist for the scoring
-    * scan, where the bytes dominate). Same query-side-only probe
-    * shape as simIvf; corpus side is one narrow projection. */
+    * assignment is the TWO-LEVEL (IMI) argmax shared with simIvfImi
+    * and dedup_embed_cosine — O(2√k·d) per row, completing the
+    * production pair (IMI routing + int8 scoring); it uses the FLOAT
+    * vector (quantizing the assignment too would move cell
+    * boundaries; the codes exist for the scoring scan, where the
+    * bytes dominate). Same query-side-only probe shape as simIvf;
+    * corpus side is one narrow projection. */
   def simIvfInt8(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val cents = collectCentroids(s, d)
-    def cellOf(vecCol: Column): Column =
-      graft.functions.NearestCentroid.nearest(vecCol, cents)
+    val cellOf = imiCellOf(s, d) _
     val (csc, cq) = quantizeCols(col("embedding"))
     val cells = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
       csc.as("c_scale"), cq.as("cq"))
@@ -684,21 +685,13 @@ object Similarity {
         |  list_max(q) AS max_q,
         |  CAST(list_sum(list_transform(q, v -> abs(CAST(v AS BIGINT)))) AS BIGINT) AS l1_q
         |FROM qv""".stripMargin,
+    // two-level (IMI) assignment via the shared CTE chain, int8
+    // scoring via the shared quantizer CTEs
     "sim_ivf_int8" ->
-      s"""WITH $centroidCteSql,
+      s"""WITH $imiCellsCteSql,
         |$quantCteSql,
-        |cells AS (
-        |  SELECT vec_id, embedding, cent_id AS cell FROM (
-        |    SELECT e.vec_id, e.embedding, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(${dotSql.format("e.embedding", "cv")}, 4) DESC, c.cent_id ASC) AS arnk
-        |    FROM embeddings e, c) t WHERE arnk = 1),
-        |qcells AS (
-        |  SELECT query_id, qcell FROM (
-        |    SELECT q.vec_id AS query_id, c.cent_id AS qcell,
-        |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY round(${dotSql.format("q.embedding", "cv")}, 4) DESC, c.cent_id ASC) AS arnk
-        |    FROM embeddings q, c WHERE q.vec_id < 3) t WHERE arnk = 1)
+        |qcells AS (SELECT vec_id AS query_id, cell AS qcell
+        |  FROM cells WHERE vec_id < 3)
         |SELECT query_id, vec_id, cell, cos_q, rnk FROM (
         |  SELECT qc.query_id, cells.vec_id, cells.cell,
         |    CASE WHEN cv2.sc = 0 OR qv2.sc = 0 THEN 0.0

@@ -107,15 +107,16 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("sim_ivf_int8 probes the same cells as sim_ivf; quantized ranking stays close") {
+  test("sim_ivf_int8 probes the same cells as sim_ivf_imi; quantized ranking stays close") {
     val d = "/root/testdata/sf0.001"
-    val f = Similarity.simIvf(spark, d)
+    // int8 shares the two-level (IMI) assignment with sim_ivf_imi —
+    // identical candidate cells, only the score arithmetic differs:
+    // the per-cell top-5 can flip only among quantization near-ties
+    val f = Similarity.simIvfImi(spark, d)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val q = Similarity.simIvfInt8(spark, d)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(q.nonEmpty)
-    // identical candidate cells, only the score arithmetic differs:
-    // the per-cell top-5 can flip only among quantization near-ties
     val overlap = (f intersect q).size
     assert(overlap * 10 >= f.size * 8, s"overlap $overlap of ${f.size}")
   }

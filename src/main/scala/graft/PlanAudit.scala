@@ -115,6 +115,10 @@ object PlanAudit {
       "the int8 query codes broadcast; the corpus scan scores integer dot products map-side only"),
     Check("sim_topk_int8", "per-partition top-k", "MapPartitions",
       "bounded heaps shrink each task to k rows per query before the merge — same two-level shape as the float path, no corpus-sized shuffle into #queries reducers"),
+    Check("sim_ivf_int8", "zero-shuffle two-level assignment", "ABSENT:HashAggregate",
+      "the production pair routes like sim_ivf_imi: both quantizer levels plus the int8 codes are expressions in one narrow corpus projection — assignment and quantization never shuffle, aggregate, or inflate the corpus"),
+    Check("sim_ivf_int8", "broadcast probe join", "BroadcastHashJoin",
+      "quantized queries probe their IMI cell via a broadcast equi-join on cell id; the int8 corpus side never moves for the probe"),
     Check("text_surprisal", "corpus-side scoring is a narrow projection", "ABSENT:REGEX:Exchange hashpartitioning",
       "below the approx_count_distinct vocabulary gate the frequency table is collected once and applied as a literal map: the scored corpus never hash-shuffles (the wordcount runs eagerly as its own bounded job)"),
     Check("text_surprisal", "over-threshold vocab downgrades to the join form", "REGEX:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",

@@ -119,6 +119,11 @@ object PlanAudit {
       "the production pair routes like sim_ivf_imi: both quantizer levels plus the int8 codes are expressions in one narrow corpus projection — assignment and quantization never shuffle, aggregate, or inflate the corpus"),
     Check("sim_ivf_int8", "broadcast probe join", "BroadcastHashJoin",
       "quantized queries probe their IMI cell via a broadcast equi-join on cell id; the int8 corpus side never moves for the probe"),
+    Check("sim_ivf_int8_bucketed", "serve scan reads materialized codes", "REGEX:ReadSchema: struct<vec_id:bigint,cell:",
+      "the persisted index is write-once ETL: the corpus side of the serve plan is a bare bucketed scan of (vec_id, cell, c_scale, cq) — assignment and quantization run only on the query rows at serve time, never over the corpus"),
+    Check("sim_ivf_int8_bucketed", "index-aligned probe: corpus side never exchanges", "ABSENT:REGEX:Exchange hashpartitioning\\(cell",
+      "with broadcast off, the probe equi-join clusters on cell — which the bucketBy(cell) layout already satisfies, so only the tiny query side shuffles; the index is written once and served forever without moving",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
     Check("text_surprisal", "corpus-side scoring is a narrow projection", "ABSENT:REGEX:Exchange hashpartitioning",
       "below the approx_count_distinct vocabulary gate the frequency table is collected once and applied as a literal map: the scored corpus never hash-shuffles (the wordcount runs eagerly as its own bounded job)"),
     Check("text_surprisal", "over-threshold vocab downgrades to the join form", "REGEX:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",

@@ -42,6 +42,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.operators.Dedup.dropBandTables(spark) // memoized LSH band layout
+    graft.operators.Similarity.dropIndexTables(spark) // memoized ANN index layout
     spark.stop()
   }
 }

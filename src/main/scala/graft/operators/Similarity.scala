@@ -647,11 +647,84 @@ object Similarity {
       .filter(col("rnk") <= 5)
   }
 
+  // One persisted ANN index per (session, dataset dir): assignment +
+  // quantization are write-once ETL (the "index build" phase), so
+  // repeat invocations in a session — the gate runs the operator,
+  // PlanAudit re-plans it under conf scopes — reuse the layout
+  // instead of rebuilding it (the dedup_minhash_lsh_bucketed
+  // pattern, Dedup.scala).
+  private val indexTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, java.nio.file.Path)]()
+
+  /** The persisted serve layout: (vec_id, cell, c_scale, cq) written
+    * `bucketBy(cell)` — IMI routing and int8 codes are computed ONCE
+    * at write time; every serve run reads materialized codes already
+    * clustered by cell, so the corpus side of the probe join never
+    * exchanges and never re-runs assignment or quantization. */
+  private[graft] def bucketedIndexTable(s: SparkSession, d: String): DataFrame = {
+    val (bt, _) = indexTables.computeIfAbsent((s, d), _ => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+      val name = "ivf_index_" + wh.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "_")
+      val cellOf = imiCellOf(s, d) _
+      val (csc, cq) = quantizeCols(col("embedding"))
+      embeddings(s, d)
+        .select(col("vec_id"), cellOf(col("embedding")).as("cell"),
+          csc.as("c_scale"), cq.as("cq"))
+        .write.mode("overwrite")
+        .bucketBy(8, "cell").sortBy("cell")
+        .option("path", wh.resolve("index").toString).saveAsTable(name)
+      (name, wh)
+    })
+    s.table(bt)
+  }
+
+  /** Drop this session's memoized index tables and delete their files
+    * (Verify calls this when its run is over). */
+  def dropIndexTables(s: SparkSession): Unit = {
+    val it = indexTables.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        val (bt, wh) = e.getValue
+        s.sql(s"DROP TABLE IF EXISTS $bt")
+        val files = java.nio.file.Files.walk(wh)
+        try files.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally files.close()
+        it.remove()
+      }
+    }
+  }
+
+  /** The 100 TB serve path of `sim_ivf_int8`: probe the persisted
+    * bucketed index instead of recomputing assignment + codes per
+    * query batch. Same result and oracle as sim_ivf_int8 — the index
+    * is a layout choice, not a semantic one; only the QUERY side
+    * (3 vectors here) runs the quantizer expressions at serve time. */
+  def simIvfInt8Bucketed(s: SparkSession, d: String): DataFrame = {
+    val idx = bucketedIndexTable(s, d)
+    val cellOf = imiCellOf(s, d) _
+    val qcells = embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), cellOf(col("embedding")).as("qcell"),
+        quantizeCols(col("embedding"))._1.as("q_scale"),
+        quantizeCols(col("embedding"))._2.as("qq"))
+    val qdot = graft.functions.DotI8.dotI8(col("cq"), col("qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("vec_id").asc)
+    idx.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        cosQ(qdot).as("cos_q"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk _,
     "embed_quantize" -> embedQuantize _,
     "sim_topk_int8" -> simTopkInt8 _,
     "sim_ivf_int8" -> simIvfInt8 _,
+    "sim_ivf_int8_bucketed" -> simIvfInt8Bucketed _,
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_lsh_multiprobe" -> simAnnLshMultiprobe _,
     "sim_ivf" -> simIvf _,
@@ -674,6 +747,32 @@ object Similarity {
       |      + 0.5) AS TINYINT)) AS q
       |  FROM embeddings e JOIN qz ON e.vec_id = qz.vec_id)""".stripMargin
 
+  /** Shared by sim_ivf_int8 and sim_ivf_int8_bucketed: two-level
+    * (IMI) assignment via the shared CTE chain, int8 scoring via the
+    * shared quantizer CTEs. The bucketed index serve path must
+    * hash-match the identical relation — the layout is physical. */
+  private lazy val simIvfInt8OracleSql =
+    s"""WITH $imiCellsCteSql,
+      |$quantCteSql,
+      |qcells AS (SELECT vec_id AS query_id, cell AS qcell
+      |  FROM cells WHERE vec_id < 3)
+      |SELECT query_id, vec_id, cell, cos_q, rnk FROM (
+      |  SELECT qc.query_id, cells.vec_id, cells.cell,
+      |    CASE WHEN cv2.sc = 0 OR qv2.sc = 0 THEN 0.0
+      |      ELSE round(CAST(CAST(list_sum(list_transform(range(1, 65),
+      |        i -> CAST(cv2.q[i] AS BIGINT) * qv2.q[i])) AS BIGINT) AS DOUBLE)
+      |      / (cv2.sc * qv2.sc), 4) END AS cos_q,
+      |    row_number() OVER (PARTITION BY qc.query_id
+      |      ORDER BY CASE WHEN cv2.sc = 0 OR qv2.sc = 0 THEN 0.0
+      |        ELSE round(CAST(CAST(list_sum(list_transform(range(1, 65),
+      |          i -> CAST(cv2.q[i] AS BIGINT) * qv2.q[i])) AS BIGINT) AS DOUBLE)
+      |        / (cv2.sc * qv2.sc), 4) END DESC, cells.vec_id ASC) AS rnk
+      |  FROM cells
+      |  JOIN qcells qc ON cells.cell = qc.qcell AND cells.vec_id <> qc.query_id
+      |  JOIN qv cv2 ON cv2.vec_id = cells.vec_id
+      |  JOIN qv qv2 ON qv2.vec_id = qc.query_id) t
+      |WHERE rnk <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "embed_quantize" ->
       s"""WITH $quantCteSql
@@ -687,27 +786,10 @@ object Similarity {
         |FROM qv""".stripMargin,
     // two-level (IMI) assignment via the shared CTE chain, int8
     // scoring via the shared quantizer CTEs
-    "sim_ivf_int8" ->
-      s"""WITH $imiCellsCteSql,
-        |$quantCteSql,
-        |qcells AS (SELECT vec_id AS query_id, cell AS qcell
-        |  FROM cells WHERE vec_id < 3)
-        |SELECT query_id, vec_id, cell, cos_q, rnk FROM (
-        |  SELECT qc.query_id, cells.vec_id, cells.cell,
-        |    CASE WHEN cv2.sc = 0 OR qv2.sc = 0 THEN 0.0
-        |      ELSE round(CAST(CAST(list_sum(list_transform(range(1, 65),
-        |        i -> CAST(cv2.q[i] AS BIGINT) * qv2.q[i])) AS BIGINT) AS DOUBLE)
-        |      / (cv2.sc * qv2.sc), 4) END AS cos_q,
-        |    row_number() OVER (PARTITION BY qc.query_id
-        |      ORDER BY CASE WHEN cv2.sc = 0 OR qv2.sc = 0 THEN 0.0
-        |        ELSE round(CAST(CAST(list_sum(list_transform(range(1, 65),
-        |          i -> CAST(cv2.q[i] AS BIGINT) * qv2.q[i])) AS BIGINT) AS DOUBLE)
-        |        / (cv2.sc * qv2.sc), 4) END DESC, cells.vec_id ASC) AS rnk
-        |  FROM cells
-        |  JOIN qcells qc ON cells.cell = qc.qcell AND cells.vec_id <> qc.query_id
-        |  JOIN qv cv2 ON cv2.vec_id = cells.vec_id
-        |  JOIN qv qv2 ON qv2.vec_id = qc.query_id) t
-        |WHERE rnk <= 5""".stripMargin,
+    "sim_ivf_int8" -> simIvfInt8OracleSql,
+    // identical semantics — the bucketed index is a physical layout,
+    // so the serve path must hash-match the same oracle
+    "sim_ivf_int8_bucketed" -> simIvfInt8OracleSql,
     "sim_topk_int8" ->
       s"""WITH $quantCteSql,
         |qs AS (SELECT vec_id AS query_id, sc AS q_scale, q AS qq

@@ -121,6 +121,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap * 10 >= f.size * 8, s"overlap $overlap of ${f.size}")
   }
 
+  test("bucketed index serve returns exactly the sim_ivf_int8 relation") {
+    val d = "/root/testdata/sf0.001"
+    // the persisted bucketBy(cell) index is a LAYOUT choice: the
+    // serve path must produce the identical relation, row for row
+    val direct = Similarity.simIvfInt8(spark, d)
+      .select("query_id", "vec_id", "cell", "cos_q", "rnk")
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val served = Similarity.simIvfInt8Bucketed(spark, d)
+      .select("query_id", "vec_id", "cell", "cos_q", "rnk")
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(served.nonEmpty)
+    assert(served === direct)
+    Similarity.dropIndexTables(spark)
+  }
+
   test("native dot_f32 is bit-equal to the higher-order-function fold on the corpus") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))

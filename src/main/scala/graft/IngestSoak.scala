@@ -32,12 +32,15 @@ object IngestSoak {
     * the bulk fixture appears at a deterministic rate: missing
     * closed_at, open=true, discussion comments, multiple tags). */
   private def changesetXml(i: Long): String = {
-    val lat = (i % 160) - 80; val lon = (i % 340) - 170
+    // min/max computed as doubles: string-appending ".1"/".9" to a
+    // signed integer part inverts the box for negative coordinates
+    // (lat=-80 would give min_lat=-80.1 > max_lat=-80.9)
+    val lat = ((i % 160) - 80).toDouble; val lon = ((i % 340) - 170).toDouble
     val sb = new StringBuilder(300)
     sb.append(s"""<changeset id="$i" created_at="2015-11-${1 + i % 28}T${i % 24}:00:01Z" """)
     if (i % 3 != 0) sb.append(s"""closed_at="2015-11-${1 + i % 28}T${i % 24}:05:01Z" """)
     sb.append(s"""open="${i % 3 == 0}" num_changes="${i % 500}" user="user${i % 5000}" uid="${i % 5000}" """)
-    sb.append(s"""min_lat="$lat.1" max_lat="$lat.9" min_lon="$lon.1" max_lon="$lon.9">""")
+    sb.append(s"""min_lat="${lat + 0.1}" max_lat="${lat + 0.9}" min_lon="${lon + 0.1}" max_lon="${lon + 0.9}">""")
     sb.append(s"""<tag k="created_by" v="JOSM/1.5 (${i % 900})"/>""")
     if (i % 4 == 0) sb.append(s"""<tag k="comment" v="edit number $i"/>""")
     if (i % 50 == 0) {

@@ -215,6 +215,10 @@ object PlanAudit {
     }
     Files.writeString(Paths.get("PLANS.md"), md.toString)
     println(s"PLANS.md written; ${checks.size - failed}/${checks.size} plan properties hold")
+    // the audit executes the bucketed-index and band-layout queries,
+    // which materialize persisted temp layouts — same teardown Verify
+    // and the specs run, so audit runs don't leak warehouse dirs
+    graft.operators.Cleanup.dropAll(spark)
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

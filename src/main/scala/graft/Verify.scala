@@ -41,8 +41,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    graft.operators.Dedup.dropBandTables(spark) // memoized LSH band layout
-    graft.operators.Similarity.dropIndexTables(spark) // memoized ANN index layout
+    graft.operators.Cleanup.dropAll(spark) // every per-session memo + persisted layout
     spark.stop()
   }
 }

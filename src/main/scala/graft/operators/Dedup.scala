@@ -197,7 +197,7 @@ object Dedup {
   // (the gate runs the operator, then PlanAudit re-plans it twice
   // under conf scopes) must REUSE the layout, not rebuild and leak a
   // new temp dir + catalog table each time (ADVICE r4).
-  private val bandTables =
+  private[graft] val bandTables =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, java.nio.file.Path)]()
 
   /** Return the persisted band table for `d`, building it on first use
@@ -328,10 +328,22 @@ object Dedup {
     val hist = dfs.groupBy(col("df")).agg(count(lit(1)).as("c")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n1 = hist.map { case (v, c) => v * c }.sum
-    var w2 = 0L; var cap = 1L
-    hist.foreach { case (v, c) =>
-      w2 += v * v * c
-      if (w2 <= GramJoinWorkBudget * n1) cap = v
+    // df²·c terms overflow a signed Long at df ≳ 3e9 (exactly the web
+    // scale the derivation exists for) — and the DuckDB oracle sums in
+    // exact HUGEINT. Saturate each product and stop at the first value
+    // past the budget: the prefix is monotone, so the cap is already
+    // final there, and a saturated prefix stays > budget just like the
+    // exact one — the two engines agree at any df.
+    def satMul(a: Long, b: Long): Long =
+      if (a != 0L && b > Long.MaxValue / a) Long.MaxValue else a * b
+    val budget = satMul(GramJoinWorkBudget, n1)
+    var w2 = 0L; var cap = 1L; var i = 0
+    while (i < hist.length && w2 <= budget) {
+      val (v, c) = hist(i)
+      val term = satMul(satMul(v, v), c)
+      w2 = if (w2 > Long.MaxValue - term) Long.MaxValue else w2 + term
+      if (w2 <= budget) cap = v
+      i += 1
     }
     cap
   }

@@ -413,25 +413,41 @@ object Relational {
     * InMemoryRelation across gate invocations). Pass 1 counts rows
     * per bucket (a driver-side collect bounded by #buckets); pass 2
     * adds each bucket's cumulative offset to its per-bucket
-    * row_number. The bucket function is monotone in ts, so
-    * bucket-then-(ts, event_id) is the global total order and the
+    * row_number. The bucket function is monotone in (ts, event_id),
+    * so bucket-then-(ts, event_id) is the global total order and the
     * numbering is dense — same output as `Window.orderBy(...)` with
-    * no stage through which the whole table funnels. (Bucket BALANCE
-    * assumes ts spread over its span — correctness never depends on
-    * it. A corpus concentrated in one timestamp degrades toward one
-    * bucket; equal sort-key prefixes cannot be split without
-    * deriving the bucket from the tiebreaker too, which is the same
-    * one-extra-level refinement the spatial kernel's hot-cell tiling
-    * applies and this fixture never needs.) */
+    * no stage through which the whole table funnels. When the ts span
+    * is too narrow to cut into nb slices (the single-timestamp
+    * corpus), the bucket derives from the TIEBREAKER too:
+    * tsOffset·nb + event_id-slice — still monotone (the ts term
+    * strides past every tiebreaker slice) and at most nb² bucket ids,
+    * so a corpus concentrated in one timestamp spreads over nb tasks
+    * instead of collapsing into one (the hot-cell-tiling refinement,
+    * applied to sort keys). A null ts gets its own bucket below every
+    * real one, matching the NULLS FIRST placement of
+    * `Window.orderBy(ts.asc)` (`least()` would skip the null and
+    * silently number those rows last). */
   def sortSeq(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("ts"), col("event_id"), col("user_id"))
-    val span = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    if (span.isNullAt(0))
+    val span = e.agg(
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+      min(col("event_id")), max(col("event_id"))).head()
+    if (span.isNullAt(2)) // empty input (event_id is the non-null key)
       return e.select(lit(0L).as("seq"), col("event_id"), col("user_id")).limit(0)
-    val (mn, mx) = (span.getLong(0), span.getLong(1))
     val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val bucket = expr(s"least(${nb - 1}, CAST((unix_micros(ts) - ${mn}L) * $nb " +
-      s"DIV ${math.max(mx - mn + 1, 1L)}L AS INT))").as("bkt")
+    val (mn, mx) =
+      if (span.isNullAt(0)) (0L, 0L) else (span.getLong(0), span.getLong(1))
+    val (emn, emx) = (span.getLong(2), span.getLong(3))
+    val tsSpan = math.max(mx - mn + 1, 1L)
+    val tsBucket =
+      if (tsSpan < nb) {
+        val eidB = expr(s"least(${nb - 1}, CAST((event_id - ${emn}L) * $nb " +
+          s"DIV ${math.max(emx - emn + 1, 1L)}L AS INT))")
+        expr(s"CAST(unix_micros(ts) - ${mn}L AS INT)") * lit(nb.toInt) + eidB
+      } else
+        expr(s"least(${nb - 1}, CAST((unix_micros(ts) - ${mn}L) * $nb " +
+          s"DIV ${tsSpan}L AS INT))")
+    val bucket = when(col("ts").isNull, lit(-1)).otherwise(tsBucket).as("bkt")
     val counts = e.select(bucket).groupBy(col("bkt")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val bkts = counts.keys.toSeq.sorted

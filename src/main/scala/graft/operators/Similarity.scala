@@ -653,7 +653,7 @@ object Similarity {
   // PlanAudit re-plans it under conf scopes — reuse the layout
   // instead of rebuilding it (the dedup_minhash_lsh_bucketed
   // pattern, Dedup.scala).
-  private val indexTables =
+  private[graft] val indexTables =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, java.nio.file.Path)]()
 
   /** The persisted serve layout: (vec_id, cell, c_scale, cq) written

@@ -237,8 +237,12 @@ object Spatial {
   // joinBboxGridLocal calls in one run scan the inputs for stats once
   // (the per-invocation probe cost join_bbox_grid +38% at sf0.1 in r7
   // while buying the 11x kernel switch at sf5).
-  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+  private[graft] val statsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (BoxStats, BoxStats)]()
+
+  /** Evict this session's memoized box stats (Cleanup.dropAll). */
+  def dropStatsCache(s: SparkSession): Unit =
+    statsCache.keySet.removeIf(_._1 eq s)
 
   private[graft] def sideStats(s: SparkSession, d: String): (BoxStats, BoxStats) =
     statsCache.computeIfAbsent((s, d), _ => (

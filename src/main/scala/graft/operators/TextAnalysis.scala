@@ -290,16 +290,28 @@ object TextAnalysis {
   // Similarity.collectCentroids, so pipelineCurateFull + the gate's
   // repeated invocations train the unigram model ONCE. The map cache
   // is bounded by the vocab gate (≤ maxVocab entries).
-  private val vocabCache =
+  private[graft] val vocabCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
-  private val bitsCache =
+  private[graft] val bitsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, Long]]()
+
+  /** Evict this session's memoized surprisal model (Cleanup.dropAll). */
+  def dropModelCaches(s: SparkSession): Unit = {
+    vocabCache.keySet.removeIf(_._1 eq s)
+    bitsCache.keySet.removeIf(_._1 eq s)
+  }
 
   def textSurprisal(s: SparkSession, d: String): DataFrame = {
     val maxVocab =
       s.conf.get("spark.graft.surprisal.maxVocab", "2000000").toLong
     val toks = documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
+    // the bits map is the heavy entry (up to maxVocab string→long);
+    // keep at most ONE dataset's model per session — switching datasets
+    // evicts the previous model instead of pinning both for the
+    // session's lifetime
+    bitsCache.keySet.removeIf(k => (k._1 eq s) && k._2 != d)
+    vocabCache.keySet.removeIf(k => (k._1 eq s) && k._2 != d)
     val nVocab: Long = vocabCache.computeIfAbsent((s, d),
       _ => toks.agg(approx_count_distinct(col("tok"))).head().getLong(0))
     val words = split(col("text"), " ")

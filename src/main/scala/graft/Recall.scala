@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** ANN retrieval-quality measurement (r8 VERDICT item 1): recall@5 and
+  * recall@10 of every approximate similarity method against the exact
+  * brute-force float top-k on the same corpus, per probe setting, plus
+  * the probe budget actually paid (average candidates per query).
+  *
+  * Split of labor mirrors a real ANN serving layer: the QUERY batch is
+  * small, so its probe lists (which cells/buckets each query searches)
+  * are computed driver-side from the already-memoized quantizer state
+  * (centroids, two-level index, LSH planes) under the exact same
+  * argmax/tie rules as the shipped per-row expressions — parity with
+  * `imiCellOf` is asserted, not assumed. The CORPUS side (assignment
+  * projection, candidate join, scoring, top-k) runs distributed,
+  * identical in shape to the gate operators.
+  *
+  * Run: `sbt "runMain graft.Recall RECALL_r09.json [sfDir ...]"` —
+  * writes one JSON object with per-tier, per-method recall.
+  */
+object Recall {
+
+  /** Strict left-to-right float→double dot, unrounded — the driver
+    * twin of DotF32 (LSH sign bits compare the raw fold). */
+  private def dotRaw(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var j = 0
+    while (j < a.length) { acc += a(j).toDouble * b(j).toDouble; j += 1 }
+    acc
+  }
+
+  /** Probe list of a query under the FLAT quantizer: centroids ranked
+    * by (round4 dot desc, cent_id asc) — nprobe=1 is exactly the
+    * `NearestCentroid.nearest` argmax. */
+  private def flatProbes(q: Array[Float], cents: Array[(Long, Array[Float])],
+      np: Int): Seq[Long] =
+    cents.sortBy { case (id, cv) => (-Similarity.dotRound4(q, cv), id) }
+      .take(np).map(_._1).toSeq
+
+  /** Probe list under the TWO-LEVEL (IMI) quantizer: the first probe
+    * is the shipped `imiCellOf` cell (best child of the best super);
+    * further probes extend the search frontier to the children of the
+    * top-2 supers, in (round4 dot desc, cent_id asc) order — the
+    * hierarchical analog of IMI's cell-priority traversal. */
+  private def imiProbes(q: Array[Float],
+      supers: Array[(Long, Array[Float])],
+      groups: Array[Array[(Long, Array[Float])]], np: Int): Seq[Long] = {
+    val rankedSupers = supers
+      .sortBy { case (sid, sv) => (-Similarity.dotRound4(q, sv), sid) }
+    val top = rankedSupers.head
+    val first = groups(top._1.toInt)
+      .minBy { case (cid, cv) => (-Similarity.dotRound4(q, cv), cid) }
+    val frontier = rankedSupers.take(math.max(2, np))
+      .flatMap { case (sid, _) => groups(sid.toInt) }
+      .filter(_._1 != first._1)
+      .sortBy { case (cid, cv) => (-Similarity.dotRound4(q, cv), cid) }
+    (first +: frontier).take(np).map(_._1).toSeq
+  }
+
+  /** Probe list under hyperplane LSH: own bucket, plus the 8 buckets
+    * at Hamming distance 1 when multiprobing (the shipped
+    * simAnnLshMultiprobe expansion). */
+  private def lshProbes(q: Array[Float], planes: Array[(Long, Array[Float])],
+      multiprobe: Boolean): Seq[Long] = {
+    val b = planes.map { case (pid, p) =>
+      if (dotRaw(q, p) >= 0) 1L << (pid - 100).toInt else 0L
+    }.sum
+    if (multiprobe) b +: (0 until 8).map(i => b ^ (1L << i)) else Seq(b)
+  }
+
+  private case class MethodRun(name: String, corpus: DataFrame,
+      probes: Map[Long, Seq[Long]], int8: Boolean)
+
+  /** Distributed candidate join + top-k for one method: corpus rows
+    * meet the tiny broadcast probe table on cell id, scored float
+    * (round4 cosine) or int8 (integer dot through the zero-guarded
+    * dequantized cosine), ranked per query. Returns (topk rows
+    * (query_id, vec_id, rnk), candidate count). */
+  private def annTopk(s: SparkSession, m: MethodRun, qfeat: DataFrame,
+      k: Int): (Array[(Long, Long, Int)], Long) = {
+    import s.implicits._
+    val probeDf = m.probes.toSeq
+      .flatMap { case (qid, cells) => cells.map(c => (qid, c)) }
+      .toDF("query_id", "qcell")
+    val joined = m.corpus.join(
+      broadcast(probeDf.join(qfeat, "query_id")),
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+    val score: Column =
+      if (m.int8) Similarity.cosQ(graft.functions.DotI8.dotI8(col("cq"), col("qq")))
+      else round(Similarity.dot(col("qv"), col("embedding")), 4)
+    val nCand = joined.count()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sc").desc, col("vec_id").asc)
+    val top = joined.select(col("query_id"), col("vec_id"), score.as("sc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    (top, nCand)
+  }
+
+  case class MethodResult(name: String, recallAt5: Double, recallAt10: Double,
+      avgCandidates: Double, topk: Set[(Long, Long)])
+
+  /** Measure every method on dataset `d` with `nq` query vectors.
+    * Ground truth is the exact float top-10 (simTopk semantics at the
+    * wider query set). */
+  def run(s: SparkSession, d: String, nq: Int): (Seq[MethodResult], Long, Boolean) = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val corpusN = e.count()
+    val queries = e.filter(col("vec_id") < nq)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), Similarity.collectVector(r, 1)))
+
+    // query features once: float vector + int8 codes via the SAME
+    // Spark expressions the operators use
+    val (qsc, qq) = Similarity.quantizeCols(col("embedding"))
+    val qfeat = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        qsc.as("q_scale"), qq.as("qq"))
+      .cache()
+
+    // ---- exact ground truth: brute-force float top-10 ----------------
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sc").desc, col("vec_id").asc)
+    val exact = e.join(broadcast(qfeat), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.dot(col("qv"), col("embedding")), 4).as("sc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact5 = exact.filter(_._3 <= 5).map(t => (t._1, t._2)).toSet
+    val exact10 = exact.map(t => (t._1, t._2)).toSet
+
+    // ---- quantizer state (driver-resident memos) ---------------------
+    val cents = Similarity.collectCentroids(s, d)
+    val (supers, groups) = Similarity.twoLevelIndex(s, d)
+    val planes = Similarity.collectPlanes(e)
+
+    // imiProbes(np=1) must BE the shipped imiCellOf — assert, don't assume
+    val shippedCells = e.filter(col("vec_id") < nq)
+      .select(col("vec_id"), Similarity.imiCellOf(s, d)(col("embedding")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val imiParity = queries.forall { case (qid, qv) =>
+      imiProbes(qv, supers, groups, 1).head == shippedCells(qid)
+    }
+
+    // ---- corpus-side projections (one per index family) --------------
+    val cellOf = Similarity.imiCellOf(s, d) _
+    val cellsFlat = e.select(col("vec_id"),
+      graft.functions.NearestCentroid.nearest(col("embedding"), cents).as("cell"),
+      col("embedding"))
+    val cellsImi = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
+      col("embedding"))
+    val (csc, cq) = Similarity.quantizeCols(col("embedding"))
+    val cellsInt8 = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
+      csc.as("c_scale"), cq.as("cq"))
+    val buckets = e.select(col("vec_id"),
+      Similarity.bucketOf(planes)(col("embedding")).as("cell"), col("embedding"))
+    val served = Similarity.bucketedIndexTable(s, d) // (vec_id, cell, c_scale, cq)
+
+    def probesOf(f: Array[Float] => Seq[Long]): Map[Long, Seq[Long]] =
+      queries.map { case (qid, qv) => qid -> f(qv) }.toMap
+
+    val runs = Seq(
+      MethodRun("sim_ann_lsh@p1", buckets, probesOf(lshProbes(_, planes, multiprobe = false)), int8 = false),
+      MethodRun("sim_ann_lsh_multiprobe@p9", buckets, probesOf(lshProbes(_, planes, multiprobe = true)), int8 = false),
+      MethodRun("sim_ivf@np1", cellsFlat, probesOf(flatProbes(_, cents, 1)), int8 = false),
+      MethodRun("sim_ivf_nprobe@np2", cellsFlat, probesOf(flatProbes(_, cents, 2)), int8 = false),
+      MethodRun("sim_ivf_nprobe@np4", cellsFlat, probesOf(flatProbes(_, cents, 4)), int8 = false),
+      MethodRun("sim_ivf_imi@np1", cellsImi, probesOf(imiProbes(_, supers, groups, 1)), int8 = false),
+      MethodRun("sim_ivf_imi@np2", cellsImi, probesOf(imiProbes(_, supers, groups, 2)), int8 = false),
+      MethodRun("sim_ivf_imi@np4", cellsImi, probesOf(imiProbes(_, supers, groups, 4)), int8 = false),
+      MethodRun("sim_ivf_imi@np8", cellsImi, probesOf(imiProbes(_, supers, groups, 8)), int8 = false),
+      MethodRun("sim_ivf_int8@np1", cellsInt8, probesOf(imiProbes(_, supers, groups, 1)), int8 = true),
+      MethodRun("sim_ivf_int8@np2", cellsInt8, probesOf(imiProbes(_, supers, groups, 2)), int8 = true),
+      MethodRun("sim_ivf_int8_bucketed@np1", served, probesOf(imiProbes(_, supers, groups, 1)), int8 = true))
+
+    val results = runs.map { m =>
+      val (top, nCand) = annTopk(s, m, qfeat, 10)
+      val got5 = top.filter(_._3 <= 5).map(t => (t._1, t._2)).toSet
+      val got10 = top.map(t => (t._1, t._2)).toSet
+      MethodResult(m.name,
+        (exact5 & got5).size.toDouble / exact5.size,
+        (exact10 & got10).size.toDouble / exact10.size,
+        nCand.toDouble / queries.length, got10)
+    }
+    qfeat.unpersist()
+    (results, corpusN, imiParity)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("RECALL_r09.json")
+    val dirs = if (args.length > 1) args.drop(1).toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_recall_wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val nq = 64
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val tiers = dirs.map { d =>
+      val (results, corpusN, imiParity) = run(spark, d, nq)
+      val int8Np1 = results.find(_.name == "sim_ivf_int8@np1").get.topk
+      val servedEq = results.find(_.name == "sim_ivf_int8_bucketed@np1").get.topk == int8Np1
+      val ms = results.map { r =>
+        // probe_fraction = share of the corpus a query actually scores;
+        // it is also the EXPECTED recall of probing the same share
+        // uniformly at random — lift = recall / that baseline is the
+        // data-independent quality signal (the driver corpus is
+        // near-random 64-dim vectors, which bounds absolute recall for
+        // ANY sublinear index; see RECALL notes in SCALING.md)
+        val pf = r.avgCandidates / (corpusN - 1).toDouble
+        s""""${r.name}":{"recall_at_5":${fmt(r.recallAt5)},"recall_at_10":${fmt(r.recallAt10)},""" +
+          s""""avg_candidates":${fmt(r.avgCandidates)},"probe_fraction":${fmt(pf)},""" +
+          s""""lift_at_10":${fmt(if (pf > 0) r.recallAt10 / pf else 0.0)}}"""
+      }.mkString(",")
+      val tier = d.replaceAll(".*/", "")
+      results.foreach(r => println(
+        f"[recall] $tier ${r.name}%-28s r@5=${r.recallAt5}%.3f r@10=${r.recallAt10}%.3f cand/q=${r.avgCandidates}%.1f lift=${r.recallAt10 / (r.avgCandidates / (corpusN - 1).toDouble)}%.1f"))
+      s""""$tier":{"corpus_n":$corpusN,"imi_np1_parity":$imiParity,""" +
+        s""""bucketed_matches_int8_np1":$servedEq,"methods":{$ms}}"""
+    }.mkString(",")
+    val json = s"""{"metric":"ann_recall","n_queries":$nq,"k_exact":10,""" +
+      s""""ground_truth":"exact float cosine top-10 (simTopk semantics)","tiers":{$tiers}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    println(json)
+    graft.operators.Cleanup.dropAll(spark)
+    spark.stop()
+  }
+}

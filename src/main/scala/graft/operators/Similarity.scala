@@ -44,14 +44,14 @@ object Similarity {
 
   /** Collect row field `i` as a float array, failing loudly on NULL
     * elements (getSeq[Float] would silently unbox null to 0.0f). */
-  private[operators] def collectVector(r: org.apache.spark.sql.Row, i: Int): Array[Float] = {
+  private[graft] def collectVector(r: org.apache.spark.sql.Row, i: Int): Array[Float] = {
     val raw = r.getSeq[Any](i)
     require(raw.forall(_ != null),
       s"embedding vector in row $r has NULL elements")
     raw.map(_.asInstanceOf[Float]).toArray
   }
 
-  private def queryVectors(s: SparkSession, d: String): DataFrame =
+  private[graft] def queryVectors(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
 
@@ -283,7 +283,7 @@ object Similarity {
     * stage is a pure map over the scan. */
   /** The 8 data-derived hyperplanes (vectors 100..107), collected and
     * validated — shared by both LSH variants. */
-  private def collectPlanes(e: DataFrame): Array[(Long, Array[Float])] = {
+  private[graft] def collectPlanes(e: DataFrame): Array[(Long, Array[Float])] = {
     val planes = e
       .filter(col("vec_id") >= 100 && col("vec_id") < 108)
       .select(col("vec_id"), col("embedding"))
@@ -299,7 +299,7 @@ object Similarity {
 
   /** Sign-bit bucket id over the inlined planes — one narrow codegen'd
     * projection per row. */
-  private def bucketOf(planes: Array[(Long, Array[Float])])(vecCol: Column): Column =
+  private[graft] def bucketOf(planes: Array[(Long, Array[Float])])(vecCol: Column): Column =
     planes.map { case (planeId, p) =>
       when(dot(vecCol, typedlit(p)) >= 0,
         lit(1L << (planeId - 100).toInt)).otherwise(lit(0L))
@@ -421,7 +421,7 @@ object Similarity {
 
   /** Strict left-to-right float→double dot + Spark round(x,4) — the
     * driver-side twin of the NearestCentroid expression semantics. */
-  private def dotRound4(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def dotRound4(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0; var j = 0
     while (j < a.length) { acc += a(j).toDouble * b(j).toDouble; j += 1 }
     java.math.BigDecimal.valueOf(acc)
@@ -572,7 +572,7 @@ object Similarity {
     * ranking and diverge from the oracle. A direction-less vector has
     * no cosine; score it 0.0 (below any positive match), identically
     * in both engines. */
-  private def cosQ(qdot: Column): Column =
+  private[graft] def cosQ(qdot: Column): Column =
     when(col("c_scale") === 0.0 || col("q_scale") === 0.0, lit(0.0))
       .otherwise(round(qdot.cast(DoubleType) / (col("c_scale") * col("q_scale")), 4))
 
@@ -719,7 +719,55 @@ object Similarity {
       .filter(col("rnk") <= 5)
   }
 
+  /** Oracle-checked retrieval-quality gate (r8 VERDICT item 1): the
+    * recall of the production IMI routing (`sim_ivf_imi` at nprobe=1)
+    * against the exact float top-k, over a 64-query batch — as
+    * integer matched/total counts, so the gate hash is
+    * representation-stable. The full per-method sweep (probe settings,
+    * int8, bucketed serve, lift vs the random-probe baseline) lives in
+    * `graft.Recall` → RECALL_r09.json; this entry pins the ONE number
+    * that defines the index's quality spec under the same DuckDB
+    * mirror as every other operator. */
+  def annRecallGate(s: SparkSession, d: String): DataFrame = {
+    val nq = 64
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sc").desc, col("vec_id").asc)
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qv"), col("embedding")), 4).as("sc"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rnk").as("true_rnk"))
+    val cellOf = imiCellOf(s, d) _
+    val cells = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
+      col("embedding"))
+    val qc = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), cellOf(col("embedding")).as("qcell"),
+        col("embedding").as("qv"))
+    val ann = cells.join(broadcast(qc),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qv"), col("embedding")), 4).as("sc"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rnk").as("ann_rnk"))
+    val matched = exact.join(ann, Seq("query_id", "vec_id")).agg(
+      sum(when(col("true_rnk") <= 5 && col("ann_rnk") <= 5, 1L).otherwise(0L)).as("m5"),
+      count(lit(1)).as("m10"))
+    val totals = exact.agg(
+      sum(when(col("true_rnk") <= 5, 1L).otherwise(0L)).as("t5"),
+      count(lit(1)).as("t10"))
+    matched.crossJoin(totals).select(explode(array(
+        struct(lit("sim_ivf_imi@np1").as("method"), lit(5L).as("k"),
+          col("m5").as("matched"), col("t5").as("n_true")),
+        struct(lit("sim_ivf_imi@np1").as("method"), lit(10L).as("k"),
+          col("m10").as("matched"), col("t10").as("n_true")))).as("r"))
+      .select(col("r.method"), col("r.k"), col("r.matched"), col("r.n_true"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall" -> annRecallGate _,
     "sim_topk" -> simTopk _,
     "embed_quantize" -> embedQuantize _,
     "sim_topk_int8" -> simTopkInt8 _,
@@ -774,6 +822,40 @@ object Similarity {
       |WHERE rnk <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_recall" ->
+      s"""WITH $imiCellsCteSql,
+        |q64 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 64),
+        |exact AS (SELECT query_id, vec_id, rnk AS true_rnk FROM (
+        |  SELECT query_id, e.vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(${dotSql.format("qv", "e.embedding")}, 4) DESC,
+        |        e.vec_id ASC) AS rnk
+        |  FROM embeddings e, q64 WHERE e.vec_id <> q64.query_id) t
+        |  WHERE rnk <= 10),
+        |qc64 AS (SELECT vec_id AS query_id, embedding AS qv, cell AS qcell
+        |  FROM cells WHERE vec_id < 64),
+        |ann AS (SELECT query_id, vec_id, rnk AS ann_rnk FROM (
+        |  SELECT query_id, cells.vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(${dotSql.format("qv", "cells.embedding")}, 4) DESC,
+        |        cells.vec_id ASC) AS rnk
+        |  FROM cells JOIN qc64 ON cell = qcell AND cells.vec_id <> query_id) t
+        |  WHERE rnk <= 10),
+        |j AS (SELECT exact.query_id, exact.vec_id, true_rnk, ann_rnk
+        |  FROM exact JOIN ann ON exact.query_id = ann.query_id
+        |    AND exact.vec_id = ann.vec_id),
+        |m AS (SELECT
+        |  CAST(coalesce(sum(CASE WHEN true_rnk <= 5 AND ann_rnk <= 5
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS m5,
+        |  CAST(count(*) AS BIGINT) AS m10 FROM j),
+        |tt AS (SELECT
+        |  CAST(coalesce(sum(CASE WHEN true_rnk <= 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t5,
+        |  CAST(count(*) AS BIGINT) AS t10 FROM exact)
+        |SELECT 'sim_ivf_imi@np1' AS method, CAST(5 AS BIGINT) AS k,
+        |  m5 AS matched, t5 AS n_true FROM m, tt
+        |UNION ALL
+        |SELECT 'sim_ivf_imi@np1', CAST(10 AS BIGINT), m10, t10 FROM m, tt""".stripMargin,
     "embed_quantize" ->
       s"""WITH $quantCteSql
         |SELECT vec_id, label,

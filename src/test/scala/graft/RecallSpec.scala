@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Cleanup
+
+/** ANN retrieval-quality floors (r8 VERDICT item 1). Two corpora:
+  *
+  *  - A PLANTED clustered corpus (25 well-separated unit centers,
+  *    64 members each at noise 0.25 — the shape real LLM embeddings
+  *    have): absolute recall floors are meaningful here, and the IMI
+  *    routing must recover the clusters.
+  *  - The driver's sf0.01 corpus (near-random 64-dim vectors — weak
+  *    label signal only): absolute recall is bounded by the data for
+  *    ANY sublinear index, so the floor is on LIFT over the
+  *    random-probe baseline (recall ÷ probe fraction) and on the
+  *    probe-knob monotonicity.
+  */
+class RecallSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def plantedCorpus(): String = {
+    import spark.implicits._
+    val nClusters = 25; val perCluster = 64; val dim = 64
+    val rnd = new scala.util.Random(1234)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // noise VECTOR norm ≈ 0.32 (σ scaled by 1/√dim): in-cluster cosine
+    // ~0.95, cross-cluster ~0 — the tight-cluster geometry real
+    // embedding models produce (an unscaled σ makes dim-64 noise norm
+    // dwarf the unit center and the corpus degenerates to random)
+    val sigma = 0.32 / math.sqrt(dim.toDouble)
+    val centers = Array.fill(nClusters)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = (0 until nClusters * perCluster).map { i =>
+      val c = i % nClusters // queries (vec_id < 64) span many clusters
+      val v = unit(centers(c).map(_ + sigma * rnd.nextGaussian()))
+      (i.toLong, v.map(_.toFloat).toSeq, c)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_recall")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(tmp.resolve("embeddings.parquet").toString)
+    tmp.toString
+  }
+
+  private def byName(rs: Seq[Recall.MethodResult]): Map[String, Recall.MethodResult] =
+    rs.map(r => r.name -> r).toMap
+
+  test("planted clustered corpus: IMI routing recovers clusters; probe knob monotone") {
+    val d = plantedCorpus()
+    val (results, corpusN, imiParity) = Recall.run(spark, d, 64)
+    val m = byName(results)
+    assert(imiParity, "driver-side np1 probe must equal the shipped imiCellOf")
+    results.foreach(r => info(
+      f"${r.name}%-28s r@5=${r.recallAt5}%.3f r@10=${r.recallAt10}%.3f cand/q=${r.avgCandidates}%.1f"))
+    assert(corpusN === 1600)
+    // production routing finds the planted structure (measured: flat
+    // 0.97@np1; IMI 0.83@np1 / 0.89@np2 — the O(√k)-assignment trade;
+    // floors sit a few points under measured)
+    assert(m("sim_ivf@np1").recallAt10 >= 0.90)
+    assert(m("sim_ivf_nprobe@np2").recallAt10 >= 0.95)
+    assert(m("sim_ivf_imi@np1").recallAt10 >= 0.75)
+    assert(m("sim_ivf_imi@np2").recallAt10 >= 0.85)
+    assert(m("sim_ivf_imi@np4").recallAt10 >= 0.90)
+    assert(m("sim_ivf_imi@np2").recallAt10 >= m("sim_ivf_imi@np1").recallAt10)
+    assert(m("sim_ivf_imi@np4").recallAt10 >= m("sim_ivf_imi@np2").recallAt10)
+    // int8 scoring costs little recall on top of the routing
+    assert(m("sim_ivf_int8@np1").recallAt10 >= m("sim_ivf_imi@np1").recallAt10 - 0.05)
+    // the persisted serve layout is the same index, bit-identically
+    assert(m("sim_ivf_int8_bucketed@np1").topk === m("sim_ivf_int8@np1").topk)
+    // multiprobe LSH dominates single-bucket LSH
+    assert(m("sim_ann_lsh_multiprobe@p9").recallAt10 >= m("sim_ann_lsh@p1").recallAt10)
+    Cleanup.dropAll(spark)
+  }
+
+  test("driver corpus (near-random vectors): lift over the random-probe baseline") {
+    val d = "/root/testdata/sf0.01"
+    val (results, corpusN, imiParity) = Recall.run(spark, d, 64)
+    val m = byName(results)
+    assert(imiParity)
+    results.foreach(r => info(
+      f"${r.name}%-28s r@10=${r.recallAt10}%.3f cand/q=${r.avgCandidates}%.1f"))
+    def lift(name: String): Double = {
+      val r = m(name)
+      r.recallAt10 / (r.avgCandidates / (corpusN - 1).toDouble)
+    }
+    // the index must beat probing the same corpus share at random
+    assert(lift("sim_ivf_imi@np1") >= 1.5, s"lift=${lift("sim_ivf_imi@np1")}")
+    assert(lift("sim_ivf_nprobe@np2") >= 1.5)
+    // recall strictly gains along the probe knob
+    assert(m("sim_ivf_imi@np2").recallAt10 >= m("sim_ivf_imi@np1").recallAt10)
+    assert(m("sim_ivf_imi@np8").recallAt10 >= m("sim_ivf_imi@np2").recallAt10)
+    assert(m("sim_ivf_int8_bucketed@np1").topk === m("sim_ivf_int8@np1").topk)
+    Cleanup.dropAll(spark)
+  }
+}

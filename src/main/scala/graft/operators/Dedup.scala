@@ -207,10 +207,14 @@ object Dedup {
     val (bt, _) = bandTables.computeIfAbsent((s, d), _ => {
       val wh = java.nio.file.Files.createTempDirectory("graft_lshbkt")
       val name = "lsh_bands_" + wh.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "_")
-      base.select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band_id", "band_key")))
+      val bands = base.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_id", "band_key")))
+      // bucket count derived from the exploded row count (4 bands/doc),
+      // not a demo constant — see Similarity.derivedBuckets
+      val nb = Similarity.derivedBuckets(s, bands.count(), "spark.graft.bands.buckets")
+      bands
         .write.mode("overwrite")
-        .bucketBy(8, "band_key").sortBy("band_key")
+        .bucketBy(nb, "band_key").sortBy("band_key")
         .option("path", wh.resolve("bands").toString).saveAsTable(name)
       (name, wh)
     })

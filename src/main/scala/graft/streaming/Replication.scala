@@ -210,17 +210,52 @@ object Replication {
 
   // ---- single-writer lock (changesetmd.py:138-160) -------------------
 
-  /** `LOCK ... NOWAIT` analog: atomic lock-file creation; held for the
-    * whole catch-up run, always released (try/finally ≙ the
-    * reference's `finally: update_in_progress=0`). */
+  /** Holder heartbeat period and the staleness horizon after which a
+    * silent lock is presumed dead. A live holder refreshes well inside
+    * the horizon (15 beats); a holder that crashed — or whose pid was
+    * recycled by an unrelated process, which then never heartbeats —
+    * goes stale and the next acquirer steals the lock. */
+  val HeartbeatMillis = 2000L
+  val StaleAfterMillis = 30000L
+
+  /** `LOCK ... NOWAIT` analog with LEASE TAKEOVER: atomic lock-file
+    * creation, held for the whole catch-up run, always released
+    * (try/finally ≙ the reference's `finally: update_in_progress=0`).
+    * The reference documents its crash caveat — "or an error will
+    * forever leave it locked" (`changesetmd.py:163-164`); here the
+    * lock file carries `<pid> <heartbeat-millis>`, refreshed by a
+    * daemon thread while the body runs, and an acquirer finding a
+    * dead pid or a heartbeat past `StaleAfterMillis` deletes the
+    * stale lock and retries the atomic create (two stealers race on
+    * CREATE_NEW — exactly one wins). */
   def withWriterLock[T](dir: Path)(body: => T): T = {
     val lock = dir.resolve("LOCK")
     Files.createDirectories(dir)
-    try Files.createFile(lock)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      throw new IllegalStateException(s"replication already in progress ($lock held)")
+    def payload = s"${ProcessHandle.current.pid} ${System.currentTimeMillis}"
+      .getBytes("UTF-8")
+    def tryAcquire(): Boolean =
+      try { Files.write(lock, payload, java.nio.file.StandardOpenOption.CREATE_NEW); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    def isStale: Boolean =
+      try {
+        val parts = new String(Files.readAllBytes(lock), "UTF-8").trim.split("\\s+")
+        val alive = ProcessHandle.of(parts(0).toLong)
+          .map[java.lang.Boolean](_.isAlive).orElse(false)
+        !alive || System.currentTimeMillis - parts(1).toLong > StaleAfterMillis
+      } catch { case _: Exception => true } // vanished/unreadable → retry the create
+    if (!tryAcquire()) {
+      if (!isStale)
+        throw new IllegalStateException(s"replication already in progress ($lock held)")
+      Files.deleteIfExists(lock)
+      if (!tryAcquire())
+        throw new IllegalStateException(s"replication already in progress ($lock held)")
     }
-    try body finally Files.deleteIfExists(lock)
+    val hb = new Thread(() => {
+      try while (true) { Thread.sleep(HeartbeatMillis); Files.write(lock, payload) }
+      catch { case _: InterruptedException => } // released
+    }, s"graft-lock-heartbeat-$lock")
+    hb.setDaemon(true); hb.start()
+    try body finally { hb.interrupt(); Files.deleteIfExists(lock) }
   }
 
   // ---- bounded catch-up loop (changesetmd.py:179-186) ----------------

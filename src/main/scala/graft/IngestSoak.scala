@@ -30,7 +30,11 @@ object IngestSoak {
 
   /** One generated changeset element (~270 B; every optional branch of
     * the bulk fixture appears at a deterministic rate: missing
-    * closed_at, open=true, discussion comments, multiple tags). */
+    * closed_at, open=true, discussion comments, multiple tags — and,
+    * since r9, XML-special content: every 11th comment tag carries
+    * entities + non-ASCII through escapeAttr, every 13th user name
+    * carries an ampersand, matching what real dumps contain. Counts
+    * are unchanged; XmlFuzzSpec owns the byte-level round-trip). */
   private def changesetXml(i: Long): String = {
     // min/max computed as doubles: string-appending ".1"/".9" to a
     // signed integer part inverts the box for negative coordinates
@@ -39,10 +43,14 @@ object IngestSoak {
     val sb = new StringBuilder(300)
     sb.append(s"""<changeset id="$i" created_at="2015-11-${1 + i % 28}T${i % 24}:00:01Z" """)
     if (i % 3 != 0) sb.append(s"""closed_at="2015-11-${1 + i % 28}T${i % 24}:05:01Z" """)
-    sb.append(s"""open="${i % 3 == 0}" num_changes="${i % 500}" user="user${i % 5000}" uid="${i % 5000}" """)
+    val user = if (i % 13 == 0) s"""user&co <${i % 5000}>""" else s"user${i % 5000}"
+    sb.append(s"""open="${i % 3 == 0}" num_changes="${i % 500}" user="${graft.sources.OsmXml.escapeAttr(user)}" uid="${i % 5000}" """)
     sb.append(s"""min_lat="${lat + 0.1}" max_lat="${lat + 0.9}" min_lon="${lon + 0.1}" max_lon="${lon + 0.9}">""")
     sb.append(s"""<tag k="created_by" v="JOSM/1.5 (${i % 900})"/>""")
-    if (i % 4 == 0) sb.append(s"""<tag k="comment" v="edit number $i"/>""")
+    if (i % 4 == 0) {
+      val v = if (i % 44 == 0) s"""fix <bridge> & "café" 東京 $i""" else s"edit number $i"
+      sb.append(s"""<tag k="comment" v="${graft.sources.OsmXml.escapeAttr(v)}"/>""")
+    }
     if (i % 50 == 0) {
       sb.append("<discussion>")
       sb.append(s"""<comment uid="${i % 5000}" user="user${i % 5000}" date="2015-11-${1 + i % 28}T${i % 24}:30:00Z"><text>review $i</text></comment>""")

@@ -50,11 +50,18 @@ object OsmXml {
         StructField("_date", StringType),
         StructField("text", StringType))))))))))
 
-  /** Distributed XML scan over one or more paths (plain, .gz or .bz2). */
+  /** Distributed XML scan over one or more paths (plain, .gz or .bz2).
+    * `ignoreSurroundingSpaces=false`: Spark 4's XML source trims
+    * leading/trailing whitespace from values by default, which XML 1.0
+    * attribute-value normalization does NOT license for #x20 — a tag
+    * value of `"v "` must round-trip byte-faithfully, matching the
+    * StAX path and the reference's iterparse (XmlFuzzSpec pins the
+    * two scans equal on fuzzed content). */
   def scan(spark: SparkSession, paths: String*): DataFrame =
     spark.read
       .format("xml")
       .option("rowTag", "changeset")
+      .option("ignoreSurroundingSpaces", "false")
       .schema(xmlSchema)
       .load(paths: _*)
 
@@ -257,6 +264,25 @@ object OsmXml {
        |  </changeset>
        |  <changeset id="$newId" created_at="2015-11-16T0${seq % 10}:10:00Z" open="true" user="dave" uid="12" num_changes="1"/>
        |</osm>""".stripMargin
+  }
+
+  /** Minimal XML 1.0 escapers for generated fixtures/dumps (attribute
+    * values additionally need the quote; real dumps carry escaped
+    * entities, CDATA, and non-ASCII — XmlFuzzSpec round-trips all
+    * three through both scan paths). */
+  def escapeAttr(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case '"' => "&quot;"
+    case c   => c.toString
+  }
+
+  def escapeText(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case c   => c.toString
   }
 
   /** Write a fixture string to `path`, gzip-compressing iff the path

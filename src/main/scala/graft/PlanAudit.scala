@@ -79,10 +79,10 @@ object PlanAudit {
       "ABSENT:REGEX:Exchange hashpartitioning\\([^)]*band_",
       "the persisted bucketBy(band_key) band table pre-partitions both sides of the candidate join: write-once ETL, every dedup run joins shuffle-free",
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
-    Check("dedup_embed_cosine", "cell-blocked candidates", "nearest_centroid",
-      "IVF cell id is a narrow per-row argmax expression; the pair join is blocked on (label, cell), not label alone"),
+    Check("dedup_embed_cosine", "cell-blocked candidates", "imi_cell2",
+      "IVF cell id is a narrow per-row argmax expression (beam-2 two-level, r9); the pair join is blocked on (label, cell), not label alone"),
     Check("dedup_embed_cosine", "zero-shuffle two-level assignment", "ABSENT:HashAggregate",
-      "SemDeDup assignment uses the same two-level (IMI) quantizer as sim_ivf_imi: super argmax + in-group argmax in one narrow projection, O(2*sqrt(k)*d) per row — the corpus never shuffles or aggregates to get assigned"),
+      "SemDeDup assignment uses the same beam-2 two-level (IMI) quantizer as sim_ivf_imi: top-2 supers + union-argmax in one narrow projection, O(3*sqrt(k)*d) per row — the corpus never shuffles or aggregates to get assigned"),
     Check("join_bucketed", "co-located join, no input shuffle", "ABSENT:Exchange hashpartitioning(o_orderkey",
       "bucketBy layout pre-partitions both fact sides: the FK join reads buckets aligned, zero shuffle on join inputs",
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),

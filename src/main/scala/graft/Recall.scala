@@ -40,24 +40,20 @@ object Recall {
     cents.sortBy { case (id, cv) => (-Similarity.dotRound4(q, cv), id) }
       .take(np).map(_._1).toSeq
 
-  /** Probe list under the TWO-LEVEL (IMI) quantizer: the first probe
-    * is the shipped `imiCellOf` cell (best child of the best super);
-    * further probes extend the search frontier to the children of the
-    * top-2 supers, in (round4 dot desc, cent_id asc) order — the
-    * hierarchical analog of IMI's cell-priority traversal. */
+  /** Probe list under the TWO-LEVEL (IMI) quantizer, beam-2 (r9): the
+    * candidate frontier is the union of the top-max(2, np) supers'
+    * children ranked by (round4 dot desc, cent_id asc) — so np=1 is
+    * exactly the shipped beam-2 `imiCellOf` assignment (asserted per
+    * run), and larger np extends the same traversal. */
   private def imiProbes(q: Array[Float],
       supers: Array[(Long, Array[Float])],
       groups: Array[Array[(Long, Array[Float])]], np: Int): Seq[Long] = {
     val rankedSupers = supers
       .sortBy { case (sid, sv) => (-Similarity.dotRound4(q, sv), sid) }
-    val top = rankedSupers.head
-    val first = groups(top._1.toInt)
-      .minBy { case (cid, cv) => (-Similarity.dotRound4(q, cv), cid) }
-    val frontier = rankedSupers.take(math.max(2, np))
+    rankedSupers.take(math.max(2, np))
       .flatMap { case (sid, _) => groups(sid.toInt) }
-      .filter(_._1 != first._1)
       .sortBy { case (cid, cv) => (-Similarity.dotRound4(q, cv), cid) }
-    (first +: frontier).take(np).map(_._1).toSeq
+      .take(np).map(_._1).toSeq
   }
 
   /** Probe list under hyperplane LSH: own bucket, plus the 8 buckets

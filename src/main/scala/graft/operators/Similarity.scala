@@ -202,11 +202,13 @@ object Similarity {
   /** Shared DuckDB CTEs mirroring the two-level (IMI) assignment
     * (twoLevelIndexOf + imiCellOf): S = ⌈√k⌉ md5-smallest centroids
     * become supers (sid re-indexed in cent_id order), every centroid
-    * maps to its max-round4-dot super, every vector routes super-first
-    * then argmax among that super's children. Builds on
+    * maps to its max-round4-dot super, every vector routes to its
+    * TOP-2 supers (beam-2, r9) and takes the global argmax over the
+    * union of their children (`cent_id ASC` in the window = the
+    * expression's global smallest-id tie-break). Builds on
     * `centroidCteSql` and yields `cells(vec_id, label, embedding,
-    * cell)` — shared by the sim_ivf_imi and dedup_embed_cosine
-    * oracles. */
+    * cell)` — shared by the sim_ivf_imi / sim_ivf_int8 /
+    * dedup_embed_cosine / ann_recall oracles. */
   val imiCellsCteSql: String =
     s"""$centroidCteSql,
       |sn AS (SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS sc FROM kk),
@@ -225,7 +227,7 @@ object Similarity {
       |  SELECT e.vec_id, e.label, e.embedding, sup.sid,
       |    row_number() OVER (PARTITION BY e.vec_id
       |      ORDER BY round(${dotSql.format("e.embedding", "sup.sv")}, 4) DESC, sup.sid ASC) AS srk
-      |  FROM embeddings e, sup) t WHERE srk = 1),
+      |  FROM embeddings e, sup) t WHERE srk <= 2),
       |cells AS (SELECT vec_id, label, embedding, cent_id AS cell FROM (
       |  SELECT v.vec_id, v.label, v.embedding, p.cent_id,
       |    row_number() OVER (PARTITION BY v.vec_id
@@ -471,11 +473,22 @@ object Similarity {
       _ => twoLevelIndexOf(collectCentroids(s, d)))
 
   /** The two-level (IMI) cell id of `v` for dataset `d` as ONE narrow
-    * projection: super argmax (S ≈ √k dots) then argmax among that
-    * super's children — both native codegen expressions, zero shuffle.
-    * Shared by simIvfImi and Dedup.dedupEmbedCosine so both get the
-    * O(2√k·d) assignment instead of the flat O(k·d). */
+    * projection — BEAM-2 since round 9: rank the supers, take the
+    * top-2, argmax over the union of their children (one native
+    * codegen expression, zero shuffle). Beam-1 mis-assigned any vector
+    * whose true cell hangs under the runner-up super — measured as
+    * recall@10 0.83 vs flat assignment's 0.97 on the planted clustered
+    * corpus; beam-2 recovers most of that at O(3√k·d) per row, still
+    * ~25× under flat O(k·d) at sf5's k. Shared by simIvfImi /
+    * simIvfInt8 / the persisted index and Dedup.dedupEmbedCosine. */
   def imiCellOf(s: SparkSession, d: String)(v: Column): Column = {
+    val (supers, groups) = twoLevelIndex(s, d)
+    graft.functions.ImiCell2.cell(v, supers, groups)
+  }
+
+  /** The beam-1 ablation form (super argmax → in-group argmax): kept
+    * for the measured beam comparison in SimilaritySpec/RECALL. */
+  private[graft] def imiCellOfBeam1(s: SparkSession, d: String)(v: Column): Column = {
     val (supers, groups) = twoLevelIndex(s, d)
     graft.functions.NearestCentroidInGroup.nearestIn(v,
       graft.functions.NearestCentroid.nearest(v, supers), groups)

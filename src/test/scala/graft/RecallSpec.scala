@@ -56,17 +56,18 @@ class RecallSpec extends AnyFunSuite {
       f"${r.name}%-28s r@5=${r.recallAt5}%.3f r@10=${r.recallAt10}%.3f cand/q=${r.avgCandidates}%.1f"))
     assert(corpusN === 1600)
     // production routing finds the planted structure (measured: flat
-    // 0.97@np1; IMI 0.83@np1 / 0.89@np2 — the O(√k)-assignment trade;
+    // 0.97@np1; beam-2 IMI 0.89@np1 / 0.91@np2 / 0.97@np4 — beam-1 was
+    // 0.83@np1 at MORE candidates/query, the r9 imi_cell2 upgrade;
     // floors sit a few points under measured)
     assert(m("sim_ivf@np1").recallAt10 >= 0.90)
     assert(m("sim_ivf_nprobe@np2").recallAt10 >= 0.95)
-    assert(m("sim_ivf_imi@np1").recallAt10 >= 0.75)
-    assert(m("sim_ivf_imi@np2").recallAt10 >= 0.85)
-    assert(m("sim_ivf_imi@np4").recallAt10 >= 0.90)
+    assert(m("sim_ivf_imi@np1").recallAt10 >= 0.82)
+    assert(m("sim_ivf_imi@np2").recallAt10 >= 0.87)
+    assert(m("sim_ivf_imi@np4").recallAt10 >= 0.93)
     assert(m("sim_ivf_imi@np2").recallAt10 >= m("sim_ivf_imi@np1").recallAt10)
     assert(m("sim_ivf_imi@np4").recallAt10 >= m("sim_ivf_imi@np2").recallAt10)
     // int8 scoring costs little recall on top of the routing
-    assert(m("sim_ivf_int8@np1").recallAt10 >= m("sim_ivf_imi@np1").recallAt10 - 0.05)
+    assert(m("sim_ivf_int8@np1").recallAt10 >= m("sim_ivf_imi@np1").recallAt10 - 0.07)
     // the persisted serve layout is the same index, bit-identically
     assert(m("sim_ivf_int8_bucketed@np1").topk === m("sim_ivf_int8@np1").topk)
     // multiprobe LSH dominates single-bucket LSH

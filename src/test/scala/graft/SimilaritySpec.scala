@@ -427,7 +427,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.filter(_.getLong(0) == 6L).map(_.getInt(3)).toSeq === Seq(0, 40, 80))
   }
 
-  test("two-level IMI assignment equals the driver-side argmax over the parent map") {
+  test("beam-2 IMI assignment (imi_cell2) equals the driver-side top-2-super argmax") {
+    val d = "/root/testdata/sf0.001"
+    val (supers, groups) = Similarity.twoLevelIndex(spark, d)
+    def dot4(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < a.length) { acc += a(j).toDouble * b(j).toDouble; j += 1 }
+      java.math.BigDecimal.valueOf(acc)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val e = Tables.embeddings(spark, d)
+    val got = e.select(col("vec_id"),
+        Similarity.imiCellOf(spark, d)(col("embedding")).as("cell"),
+        col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    assert(got.nonEmpty)
+    got.foreach { case (vid, cell, v) =>
+      val top2 = supers.sortBy { case (sid, sv) => (-dot4(v, sv), sid) }.take(2)
+      val cands = top2.flatMap { case (sid, _) => groups(sid.toInt) }
+      val expected = cands.map { case (id, cv) => (id, dot4(v, cv)) }
+        .sortBy { case (id, sc) => (-sc, id) }.head._1
+      assert(cell === expected, s"vec $vid: got cell $cell, expected $expected")
+    }
+  }
+
+  test("beam-1 two-level assignment (ablation pair) equals the driver-side argmax over the parent map") {
     val d = "/root/testdata/sf0.001"
     val (supers, groups) = Similarity.twoLevelIndex(spark, d)
     val k = groups.map(_.length).sum

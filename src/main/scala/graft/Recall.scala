@@ -56,6 +56,17 @@ object Recall {
       .take(np).map(_._1).toSeq
   }
 
+  /** Beam-1 probe (the pre-r9 ablation): best child of the single
+    * best super — pairs with `imiCellOfBeam1` so the artifact carries
+    * the measured beam-1 vs beam-2 comparison. */
+  private def imiBeam1Probe(q: Array[Float],
+      supers: Array[(Long, Array[Float])],
+      groups: Array[Array[(Long, Array[Float])]]): Seq[Long] = {
+    val top = supers.minBy { case (sid, sv) => (-Similarity.dotRound4(q, sv), sid) }
+    Seq(groups(top._1.toInt)
+      .minBy { case (cid, cv) => (-Similarity.dotRound4(q, cv), cid) }._1)
+  }
+
   /** Probe list under hyperplane LSH: own bucket, plus the 8 buckets
     * at Hamming distance 1 when multiprobing (the shipped
     * simAnnLshMultiprobe expansion). */
@@ -153,6 +164,8 @@ object Recall {
       col("embedding"))
     val cellsImi = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
       col("embedding"))
+    val cellsImiBeam1 = e.select(col("vec_id"),
+      Similarity.imiCellOfBeam1(s, d)(col("embedding")).as("cell"), col("embedding"))
     val (csc, cq) = Similarity.quantizeCols(col("embedding"))
     val cellsInt8 = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
       csc.as("c_scale"), cq.as("cq"))
@@ -169,6 +182,7 @@ object Recall {
       MethodRun("sim_ivf@np1", cellsFlat, probesOf(flatProbes(_, cents, 1)), int8 = false),
       MethodRun("sim_ivf_nprobe@np2", cellsFlat, probesOf(flatProbes(_, cents, 2)), int8 = false),
       MethodRun("sim_ivf_nprobe@np4", cellsFlat, probesOf(flatProbes(_, cents, 4)), int8 = false),
+      MethodRun("sim_ivf_imi_beam1@np1", cellsImiBeam1, probesOf(imiBeam1Probe(_, supers, groups)), int8 = false),
       MethodRun("sim_ivf_imi@np1", cellsImi, probesOf(imiProbes(_, supers, groups, 1)), int8 = false),
       MethodRun("sim_ivf_imi@np2", cellsImi, probesOf(imiProbes(_, supers, groups, 2)), int8 = false),
       MethodRun("sim_ivf_imi@np4", cellsImi, probesOf(imiProbes(_, supers, groups, 4)), int8 = false),

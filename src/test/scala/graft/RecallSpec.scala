@@ -62,6 +62,10 @@ class RecallSpec extends AnyFunSuite {
     assert(m("sim_ivf@np1").recallAt10 >= 0.90)
     assert(m("sim_ivf_nprobe@np2").recallAt10 >= 0.95)
     assert(m("sim_ivf_imi@np1").recallAt10 >= 0.82)
+    // the r9 beam-2 upgrade dominates its beam-1 ablation on
+    // clustered data — the measured reason imi_cell2 exists
+    assert(m("sim_ivf_imi@np1").recallAt10 >=
+      m("sim_ivf_imi_beam1@np1").recallAt10)
     assert(m("sim_ivf_imi@np2").recallAt10 >= 0.87)
     assert(m("sim_ivf_imi@np4").recallAt10 >= 0.93)
     assert(m("sim_ivf_imi@np2").recallAt10 >= m("sim_ivf_imi@np1").recallAt10)

@@ -426,7 +426,20 @@ object Relational {
     * applied to sort keys). A null ts gets its own bucket below every
     * real one, matching the NULLS FIRST placement of
     * `Window.orderBy(ts.asc)` (`least()` would skip the null and
-    * silently number those rows last). */
+    * silently number those rows last).
+    *
+    * SKEW within a wide span (one hot second in a year of data) gets
+    * the same treatment recursively: pass 1's counts — already
+    * collected for the offsets — flag buckets holding > 4× their fair
+    * share; one more bounded agg fetches each hot bucket's own
+    * [min ts, max ts], and the refined bucket id bkt·nb + sub
+    * re-slices ONLY the hot buckets (finer ts slices when the hot
+    * bucket spans more than one timestamp, event_id slices — the
+    * tiebreaker — when it is a single timestamp, which finer ts can
+    * never split). The composite stays monotone in (ts, event_id)
+    * because the coarse term strides past every sub-slice; cold
+    * buckets pay nothing and the extra pass happens only when skew
+    * is detected. */
   def sortSeq(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("ts"), col("event_id"), col("user_id"))
     val span = e.agg(
@@ -439,17 +452,43 @@ object Relational {
       if (span.isNullAt(0)) (0L, 0L) else (span.getLong(0), span.getLong(1))
     val (emn, emx) = (span.getLong(2), span.getLong(3))
     val tsSpan = math.max(mx - mn + 1, 1L)
+    val eidB = expr(s"least(${nb - 1}, CAST((event_id - ${emn}L) * $nb " +
+      s"DIV ${math.max(emx - emn + 1, 1L)}L AS INT))")
     val tsBucket =
-      if (tsSpan < nb) {
-        val eidB = expr(s"least(${nb - 1}, CAST((event_id - ${emn}L) * $nb " +
-          s"DIV ${math.max(emx - emn + 1, 1L)}L AS INT))")
+      if (tsSpan < nb)
         expr(s"CAST(unix_micros(ts) - ${mn}L AS INT)") * lit(nb.toInt) + eidB
-      } else
+      else
         expr(s"least(${nb - 1}, CAST((unix_micros(ts) - ${mn}L) * $nb " +
           s"DIV ${tsSpan}L AS INT))")
-    val bucket = when(col("ts").isNull, lit(-1)).otherwise(tsBucket).as("bkt")
-    val counts = e.select(bucket).groupBy(col("bkt")).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bucket0 = when(col("ts").isNull, lit(-1)).otherwise(tsBucket)
+    var bucket = bucket0
+    var counts = e.select(bucket0.as("bkt")).groupBy(col("bkt")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // ---- skew refinement (wide span only; the narrow path is already
+    // tiebreaker-composite) --------------------------------------------
+    if (tsSpan >= nb) {
+      val total = counts.values.sum
+      val hot = counts.filter(_._2 > 4L * math.max(total / nb, 1L)).keys.toSeq.sorted
+      if (hot.nonEmpty) {
+        val ranges = e.select(bucket0.as("bkt"), unix_micros(col("ts")).as("tsu"))
+          .filter(col("bkt").isin(hot.map(Integer.valueOf): _*))
+          .groupBy(col("bkt")).agg(min(col("tsu")), max(col("tsu"))).collect()
+          .map(r => r.getInt(0) ->
+            (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+        val sub = hot.foldLeft(lit(0)) { (acc, h) =>
+          val hSub = ranges(h) match {
+            case Some((hmn, hmx)) if hmx > hmn => // finer ts slices
+              expr(s"least(${nb - 1}, CAST((unix_micros(ts) - ${hmn}L) * $nb " +
+                s"DIV ${hmx - hmn + 1}L AS INT))")
+            case _ => eidB // single timestamp (or all-null bucket): tiebreaker
+          }
+          when(bucket0 === h, hSub).otherwise(acc)
+        }
+        bucket = bucket0 * lit(nb) + sub
+        counts = e.select(bucket.as("bkt")).groupBy(col("bkt")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }
+    }
     val bkts = counts.keys.toSeq.sorted
     val offsets = bkts.zip(bkts.scanLeft(0L)((acc, p) => acc + counts(p)).init)
     val offCol =
@@ -458,7 +497,7 @@ object Relational {
         map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
         col("bkt")), lit(0L))
     val wp = Window.partitionBy(col("bkt")).orderBy(col("ts").asc, col("event_id").asc)
-    e.withColumn("bkt", bucket)
+    e.withColumn("bkt", bucket.as("bkt"))
       .withColumn("seq", row_number().over(wp) + offCol)
       .select(col("seq"), col("event_id"), col("user_id"))
   }

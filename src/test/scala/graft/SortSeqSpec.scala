@@ -65,6 +65,43 @@ class SortSeqSpec extends AnyFunSuite {
     assert(got(Relational.sortSeq(spark, d)) === naiveSeq(d))
   }
 
+  private def assertSpread(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+    val perTask = df.withColumn("pid", spark_partition_id())
+      .groupBy(col("pid")).count().collect().map(_.getLong(1))
+    assert(perTask.max < (n * 0.6).toLong,
+      s"one task holds ${perTask.max} of $n rows — skew not refined")
+  }
+
+  test("wide span with one hot timestamp: skew refinement spreads the hot second") {
+    val base = java.time.Instant.parse("2020-01-01T00:00:00Z")
+    val hotTs = java.sql.Timestamp.from(base.plusSeconds(180L * 86400))
+    val rnd = new scala.util.Random(11)
+    // 1000 rows across a year + 4000 rows in one hot second
+    val rows = rnd.shuffle(
+      (0 until 1000).map(i =>
+        (Some(java.sql.Timestamp.from(base.plusSeconds(i.toLong * 31536))), i.toLong, 0L)) ++
+      (1000 until 5000).map(i => (Some(hotTs), i.toLong, 1L)))
+    val d = writeEvents(rows)
+    val df = Relational.sortSeq(spark, d)
+    assert(got(df) === naiveSeq(d))
+    assertSpread(df, 5000)
+  }
+
+  test("wide span with a hot multi-timestamp cluster: finer ts slices spread it") {
+    val base = java.time.Instant.parse("2020-01-01T00:00:00Z")
+    val rnd = new scala.util.Random(12)
+    // 1000 rows across a year + 4000 rows inside one hour (distinct ts)
+    val rows = rnd.shuffle(
+      (0 until 1000).map(i =>
+        (Some(java.sql.Timestamp.from(base.plusSeconds(i.toLong * 31536))), i.toLong, 0L)) ++
+      (1000 until 5000).map(i =>
+        (Some(java.sql.Timestamp.from(base.plusSeconds(200L * 86400 + (i % 3600)))), i.toLong, 1L)))
+    val d = writeEvents(rows)
+    val df = Relational.sortSeq(spark, d)
+    assert(got(df) === naiveSeq(d))
+    assertSpread(df, 5000)
+  }
+
   test("wide-span corpus unchanged (regression for the normal path)") {
     val rows = (0 until 500).map { i =>
       (Some(java.sql.Timestamp.from(

@@ -96,6 +96,52 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Words per "line" for the sub-document dedup gate entry: the
+    * driver corpus is a flat word stream (no newlines), so the line
+    * splitter chunks deterministically; a real corpus passes its own
+    * splitter (newline — the CCNet shape). */
+  val LineWords = 12
+
+  /** LINE-level (sub-document) exact dedup — the CCNet/RefinedWeb
+    * pipeline step the whole-document family can't express: a line
+    * that already appeared anywhere in the corpus is dropped from
+    * every later document (keep-first by (doc_id, pos) — boilerplate
+    * headers/footers survive exactly once), and each document is
+    * reassembled in original line order. Output per document: line
+    * counts before/after and the md5 of the reassembled text (the
+    * representation-stable boundary; the text itself is intermediate).
+    *
+    * 100 TB shape: the dedup decision is one PARTIAL-AGGREGABLE
+    * `min(struct(doc_id, pos))` per distinct line — a hot boilerplate
+    * line combines map-side instead of funneling every copy through
+    * one reducer the way a rank window would — and keep-markers come
+    * back on the UNIQUE (line, doc_id, pos) key, so no join key is
+    * ever hot. Reassembly is one doc_id shuffle whose group size is
+    * bounded by document length. Zero driver state anywhere. */
+  def dedupLines(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.spread(documents(s, d))
+    val lines = docs.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(CAST(ceil(size(split(text, ' ')) / $LineWords.0) AS INT), 1) - 1),
+           |  i -> array_join(slice(split(text, ' '), i * $LineWords + 1, $LineWords), ' '))"""
+          .stripMargin)).as(Seq("pos", "line")))
+    val firsts = lines.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("line"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+    val kept = lines.join(firsts, Seq("line", "doc_id", "pos"), "left_semi")
+    val stats = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), " ").as("txt"))
+    stats.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("txt"), lit(""))).as("dedup_md5"))
+  }
+
   /** MinHash(16) + LSH(4 bands × 4 rows) near-dup candidate pairs,
     * verified by exact shingle Jaccard ≥ 0.5. */
   private def minhashBase(s: SparkSession, d: String): DataFrame =
@@ -490,6 +536,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_minhash_sketch" -> aggMinhashSketch _,
     "dedup_exact" -> dedupExact _,
+    "dedup_lines" -> dedupLines _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_minhash_lsh_bucketed" -> dedupMinhashLshBucketed _,
     "dedup_simhash" -> dedupSimhash _,
@@ -549,6 +596,25 @@ object Dedup {
         |  CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS INTEGER) AS n_match
         |FROM m a JOIN m b ON a.seed = b.seed AND a.source < b.source
         |GROUP BY a.source, b.source""".stripMargin,
+    "dedup_lines" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ln AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    array_to_string(ws[i * $LineWords + 1 : i * $LineWords + $LineWords], ' ') AS line
+        |  FROM w, unnest(range(0, greatest(CAST(ceil(len(ws) / $LineWords.0) AS BIGINT), 1))) t(i)),
+        |marked AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rnk
+        |  FROM ln),
+        |kept AS (SELECT doc_id, pos, line FROM marked WHERE rnk = 1),
+        |stats AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(line, ' ' ORDER BY pos)) AS m
+        |  FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_lines,
+        |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(reb.m, md5('')) AS dedup_md5
+        |FROM stats s LEFT JOIN reb USING (doc_id)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
         |  count(*) AS n_copies

@@ -275,4 +275,26 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sigs(1L), sigs(2L)) === 0)
     assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
   }
+
+  test("line-level dedup: boilerplate survives once, docs reassemble in order") {
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // each handcrafted "line" is exactly LineWords words wide
+    val boiler = (1 to Dedup.LineWords).map(i => s"b$i").mkString(" ")
+    val uniq1 = (1 to Dedup.LineWords).map(i => s"u$i").mkString(" ")
+    val uniq2 = (1 to Dedup.LineWords).map(i => s"v$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$boiler $uniq1", "s0"), // first occurrence of both lines
+      (2L, s"$boiler $uniq2", "s0"), // boilerplate dropped, uniq2 kept
+      (3L, s"$uniq1 $uniq1", "s0"))  // cross-doc dup + internal repeat: all dropped
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lines")
+    corpus.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val r = Dedup.dedupLines(spark, tmp.toString).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) === ((2L, 2L, md5hex(s"$boiler $uniq1"))))
+    assert(r(2L) === ((2L, 1L, md5hex(uniq2))))
+    assert(r(3L) === ((2L, 0L, md5hex(""))))
+  }
 }

@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
 object Cleanup {
   def dropAll(s: SparkSession): Unit = {
     Similarity.dropIndexTables(s) // persisted bucketBy(cell) ANN index + temp dirs
+    Similarity.dropCentroidCaches(s) // memoized refined centroids + two-level IMI
     Dedup.dropBandTables(s)       // persisted bucketBy(band_key) LSH layout + temp dirs
     Spatial.dropStatsCache(s)     // memoized two-sided box stats
     TextAnalysis.dropModelCaches(s) // memoized vocab gate + surprisal bits map
@@ -25,7 +26,8 @@ object Cleanup {
       m.forEach((k, _) => if (k._1 eq s) n += 1)
       n
     }
-    c(Similarity.indexTables) + c(Dedup.bandTables) +
+    c(Similarity.indexTables) + c(Similarity.centroidCache) + c(Similarity.twoLevelCache) +
+      c(Dedup.bandTables) +
       c(Spatial.statsCache) + c(TextAnalysis.vocabCache) + c(TextAnalysis.bitsCache)
   }
 }

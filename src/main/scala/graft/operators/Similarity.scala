@@ -153,7 +153,7 @@ object Similarity {
   // in one run train the quantizer ONCE (r4 VERDICT item 5: each used
   // to redo the count + seed scan, and refinement would have tripled
   // that). Values are ≤ k·dim floats (≤16 MB at the MaxCentroidK cap).
-  private val centroidCache =
+  private[graft] val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[(Long, Array[Float])]]()
 
   /** The memoized, refined centroid set for dataset `d`. */
@@ -461,7 +461,7 @@ object Similarity {
       groups.map(_.result()))
   }
 
-  private val twoLevelCache = new java.util.concurrent.ConcurrentHashMap[
+  private[graft] val twoLevelCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String),
     (Array[(Long, Array[Float])], Array[Array[(Long, Array[Float])]])]()
 
@@ -709,6 +709,15 @@ object Similarity {
 
   /** Drop this session's memoized index tables and delete their files
     * (Verify calls this when its run is over). */
+  /** Evict this session's driver-side quantizer memos (the refined
+    * centroid set and the two-level IMI built on it — up to ~16 MB per
+    * dataset). Cleanup.dropAll routes through here so a stopped
+    * SparkSession is never pinned by a static map. */
+  def dropCentroidCaches(s: SparkSession): Unit = {
+    centroidCache.keySet.removeIf((k: (SparkSession, String)) => k._1 eq s)
+    twoLevelCache.keySet.removeIf((k: (SparkSession, String)) => k._1 eq s)
+  }
+
   def dropIndexTables(s: SparkSession): Unit = {
     val it = indexTables.entrySet().iterator()
     while (it.hasNext) {
@@ -781,11 +790,15 @@ object Similarity {
         round(dot(col("qv"), col("embedding")), 4).as("sc"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
       .select(col("query_id"), col("vec_id"), col("rnk").as("ann_rnk"))
+    // coalesce: on a degenerate corpus the exact∩ANN join is empty and a
+    // bare sum yields NULL where the oracle's coalesce(sum(..), 0) yields
+    // 0 — a representation-only hash mismatch (r9 ADVICE).
     val matched = exact.join(ann, Seq("query_id", "vec_id")).agg(
-      sum(when(col("true_rnk") <= 5 && col("ann_rnk") <= 5, 1L).otherwise(0L)).as("m5"),
+      coalesce(sum(when(col("true_rnk") <= 5 && col("ann_rnk") <= 5, 1L).otherwise(0L)),
+        lit(0L)).as("m5"),
       count(lit(1)).as("m10"))
     val totals = exact.agg(
-      sum(when(col("true_rnk") <= 5, 1L).otherwise(0L)).as("t5"),
+      coalesce(sum(when(col("true_rnk") <= 5, 1L).otherwise(0L)), lit(0L)).as("t5"),
       count(lit(1)).as("t10"))
     matched.crossJoin(totals).select(explode(array(
         struct(lit("sim_ivf_imi@np1").as("method"), lit(5L).as("k"),

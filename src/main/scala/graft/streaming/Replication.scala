@@ -218,44 +218,109 @@ object Replication {
   val HeartbeatMillis = 2000L
   val StaleAfterMillis = 30000L
 
-  /** `LOCK ... NOWAIT` analog with LEASE TAKEOVER: atomic lock-file
-    * creation, held for the whole catch-up run, always released
-    * (try/finally ≙ the reference's `finally: update_in_progress=0`).
-    * The reference documents its crash caveat — "or an error will
-    * forever leave it locked" (`changesetmd.py:163-164`); here the
-    * lock file carries `<pid> <heartbeat-millis>`, refreshed by a
-    * daemon thread while the body runs, and an acquirer finding a
-    * dead pid or a heartbeat past `StaleAfterMillis` deletes the
-    * stale lock and retries the atomic create (two stealers race on
-    * CREATE_NEW — exactly one wins). */
+  /** `LOCK ... NOWAIT` analog with LEASE TAKEOVER, two layers deep.
+    *
+    * Layer 1 — OS file lock (`FileChannel.tryLock`), the direct analog
+    * of the reference's Postgres `LOCK ... NOWAIT`
+    * (`changesetmd.py:138-160`): kernel-enforced mutual exclusion for
+    * every contender that can see the lock (all threads of this JVM —
+    * the JVM tracks overlaps process-wide — and all processes on this
+    * host), non-blocking, and released automatically when the holder
+    * dies, which closes the reference's documented crash caveat ("or
+    * an error will forever leave it locked", `changesetmd.py:163-164`)
+    * without any staleness heuristics.
+    *
+    * Layer 2 — lease payload `<pid> <heartbeat-millis> <nonce>` in the
+    * lock file, for contenders the OS lock cannot see (another host on
+    * a shared filesystem that does not propagate advisory locks): a
+    * fresh heartbeat refuses the acquirer; a dead pid or a heartbeat
+    * past `StaleAfterMillis` is taken over. An unparseable payload is
+    * HELD while its mtime is fresh (a cross-host holder mid-write must
+    * not be stolen) and stale only past the same horizon, which still
+    * clears a file orphaned by a crash mid-create.
+    *
+    * Acquisition is settle-then-verify, so takeover has no
+    * check-then-act hole: win the OS lock, judge the PRE-EXISTING
+    * payload, write our own through the locked channel, then re-read
+    * the path and require our nonce back. The verify catches both the
+    * orphaned-inode case (we locked a file that was unlinked under us
+    * by a releasing holder — rare, bounded retries) and a cross-host
+    * simultaneous steal (last writer wins the path; the loser reads
+    * the winner's nonce and backs off). Release joins the heartbeat
+    * thread, then deletes only a path that still answers with our
+    * nonce, so a successor's lock is never deleted. The residual
+    * caveat is lease-fundamental: a holder frozen past the horizon can
+    * overlap a CROSS-HOST stealer by up to one heartbeat; same-host
+    * overlap is impossible (the OS lock outlives any freeze). */
   def withWriterLock[T](dir: Path)(body: => T): T = {
+    import java.nio.channels.{FileChannel, OverlappingFileLockException}
+    import java.nio.file.StandardOpenOption.{CREATE, READ, WRITE}
     val lock = dir.resolve("LOCK")
     Files.createDirectories(dir)
-    def payload = s"${ProcessHandle.current.pid} ${System.currentTimeMillis}"
+    val nonce = java.util.UUID.randomUUID.toString
+    def payload = s"${ProcessHandle.current.pid} ${System.currentTimeMillis} $nonce"
       .getBytes("UTF-8")
-    def tryAcquire(): Boolean =
-      try { Files.write(lock, payload, java.nio.file.StandardOpenOption.CREATE_NEW); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    def isStale: Boolean =
+    def held(): Nothing =
+      throw new IllegalStateException(s"replication already in progress ($lock held)")
+    def pathNonce(): Boolean =
+      try new String(Files.readAllBytes(lock), "UTF-8").trim.endsWith(nonce)
+      catch { case _: Exception => false }
+    // Cross-host lease verdict on the payload found under a won OS lock.
+    def leaseStale(bytes: Array[Byte], mtime: Long): Boolean = {
+      val now = System.currentTimeMillis
+      val parts = new String(bytes, "UTF-8").trim.split("\\s+")
       try {
-        val parts = new String(Files.readAllBytes(lock), "UTF-8").trim.split("\\s+")
         val alive = ProcessHandle.of(parts(0).toLong)
           .map[java.lang.Boolean](_.isAlive).orElse(false)
-        !alive || System.currentTimeMillis - parts(1).toLong > StaleAfterMillis
-      } catch { case _: Exception => true } // vanished/unreadable → retry the create
-    if (!tryAcquire()) {
-      if (!isStale)
-        throw new IllegalStateException(s"replication already in progress ($lock held)")
-      Files.deleteIfExists(lock)
-      if (!tryAcquire())
-        throw new IllegalStateException(s"replication already in progress ($lock held)")
+        !alive || now - parts(1).toLong > StaleAfterMillis
+      } catch { case _: Exception => now - mtime > StaleAfterMillis }
     }
+    def refresh(ch: FileChannel): Unit = {
+      ch.truncate(0L)
+      ch.write(java.nio.ByteBuffer.wrap(payload), 0L)
+      ch.force(true)
+    }
+    def acquire(): FileChannel = {
+      var attempt = 0
+      while (attempt < 5) {
+        attempt += 1
+        val preExisting = Files.exists(lock)
+        val ch = try FileChannel.open(lock, CREATE, WRITE, READ)
+          catch { case _: Exception => held() }
+        var keep = false
+        try {
+          val fl = try ch.tryLock()
+            catch { case _: OverlappingFileLockException => null }
+          if (fl == null) held() // NOWAIT: a live same-host holder
+          if (preExisting) {
+            val mtime = try Files.getLastModifiedTime(lock).toMillis
+              catch { case _: Exception => 0L }
+            val bytes = try Files.readAllBytes(lock)
+              catch { case _: Exception => null }
+            if (bytes != null && !leaseStale(bytes, mtime)) held()
+            // bytes == null: the path vanished under us (orphaned
+            // inode) — the verify below fails and we retry fresh.
+          }
+          refresh(ch)
+          if (pathNonce()) { keep = true; return ch }
+        } finally if (!keep) ch.close()
+        Thread.sleep(10L * attempt)
+      }
+      held()
+    }
+    val ch = acquire()
     val hb = new Thread(() => {
-      try while (true) { Thread.sleep(HeartbeatMillis); Files.write(lock, payload) }
-      catch { case _: InterruptedException => } // released
+      try while (true) { Thread.sleep(HeartbeatMillis); refresh(ch) }
+      catch { case _: Throwable => } // released (interrupt/close) or io fault
     }, s"graft-lock-heartbeat-$lock")
     hb.setDaemon(true); hb.start()
-    try body finally { hb.interrupt(); Files.deleteIfExists(lock) }
+    try body finally {
+      hb.interrupt(); hb.join(HeartbeatMillis * 5)
+      if (pathNonce()) {
+        try Files.deleteIfExists(lock) catch { case _: Exception => () }
+      }
+      try ch.close() catch { case _: Exception => () }
+    }
   }
 
   // ---- bounded catch-up loop (changesetmd.py:179-186) ----------------

@@ -19,7 +19,9 @@ class CleanupSpec extends AnyFunSuite {
     TextAnalysis.textSurprisal(spark, d).head() // vocab gate + bits map
     Similarity.simIvfInt8Bucketed(spark, d).head() // persisted ANN index
     Dedup.dedupMinhashLshBucketedPlan(spark, d).head() // persisted band layout
-    assert(Cleanup.liveEntries(spark) >= 5)
+    // ≥7: index table + centroid + two-level IMI memos (all three from the
+    // bucketed ANN build), band layout, box stats, vocab gate, bits map
+    assert(Cleanup.liveEntries(spark) >= 7)
 
     Cleanup.dropAll(spark)
     assert(Cleanup.liveEntries(spark) === 0)

@@ -45,9 +45,56 @@ class LockSpec extends AnyFunSuite {
     assert(!Files.exists(dir.resolve("LOCK")))
   }
 
-  test("an unreadable lock file (no payload) is treated as stale, not a deadlock") {
+  test("a FRESH unreadable lock file is treated as held — a transient read must not be stolen") {
     val dir = lockDir()
-    Files.write(dir.resolve("LOCK"), Array.emptyByteArray)
+    Files.write(dir.resolve("LOCK"), Array.emptyByteArray) // mtime = now
+    intercept[IllegalStateException] { Replication.withWriterLock(dir) { () } }
+    assert(Files.exists(dir.resolve("LOCK")), "the live holder's file survives the refusal")
+  }
+
+  test("an unreadable lock PAST the staleness horizon (crash mid-create) is stolen") {
+    val dir = lockDir()
+    val lock = dir.resolve("LOCK")
+    Files.write(lock, Array.emptyByteArray)
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis - Replication.StaleAfterMillis - 60000))
     assert(Replication.withWriterLock(dir) { true })
+    assert(!Files.exists(lock))
+  }
+
+  test("N contenders racing on one stale lock: mutual exclusion holds, exactly one body at a time") {
+    val dir = lockDir()
+    Files.write(dir.resolve("LOCK"),
+      s"${deadPid()} ${System.currentTimeMillis}".getBytes("UTF-8"))
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        start.await()
+        try Replication.withWriterLock(dir) {
+          if (active.incrementAndGet() != 1) overlapped.set(true)
+          Thread.sleep(25)
+          active.decrementAndGet()
+          ran.incrementAndGet()
+        } catch { case _: IllegalStateException => () } // refused: lock was live
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join(30000))
+    assert(!overlapped.get, "two writers were inside the lock simultaneously")
+    assert(ran.get >= 1, "the stale lock was never taken over")
+    assert(!Files.exists(dir.resolve("LOCK")), "last holder released")
+  }
+
+  test("release is idempotent against a successor: a finished run never deletes the next holder's lock") {
+    val dir = lockDir()
+    assert(Replication.withWriterLock(dir) { true })
+    // simulate a successor acquiring right after our release…
+    Files.write(dir.resolve("LOCK"),
+      s"${ProcessHandle.current.pid} ${System.currentTimeMillis} other-nonce".getBytes("UTF-8"))
+    // …then a second full cycle against that live foreign lock refuses and leaves it intact
+    intercept[IllegalStateException] { Replication.withWriterLock(dir) { () } }
+    assert(Files.exists(dir.resolve("LOCK")))
   }
 }

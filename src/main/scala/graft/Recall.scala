@@ -101,7 +101,11 @@ object Recall {
     val nCand = joined.count()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sc").desc, col("vec_id").asc)
+    // multi-assigned corpora can surface one vector through two probed
+    // cells: the duplicate rows are REAL serve cost (counted above) but
+    // must collapse to one scored candidate before ranking
     val top = joined.select(col("query_id"), col("vec_id"), score.as("sc"))
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id"), col("rnk"))
@@ -166,6 +170,12 @@ object Recall {
       col("embedding"))
     val cellsImiBeam1 = e.select(col("vec_id"),
       Similarity.imiCellOfBeam1(s, d)(col("embedding")).as("cell"), col("embedding"))
+    // corpus multi-assignment: each vector indexed under its top-2 IMI
+    // cells (sim_ivf_imi_ma) — recall at the SAME query probe count,
+    // paid in index footprint instead of probes
+    val cellsMa = e.select(col("vec_id"),
+      explode(graft.functions.ImiCellsTop2.cells(col("embedding"), supers, groups)).as("cell"),
+      col("embedding"))
     val (csc, cq) = Similarity.quantizeCols(col("embedding"))
     val cellsInt8 = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
       csc.as("c_scale"), cq.as("cq"))
@@ -187,6 +197,8 @@ object Recall {
       MethodRun("sim_ivf_imi@np2", cellsImi, probesOf(imiProbes(_, supers, groups, 2)), int8 = false),
       MethodRun("sim_ivf_imi@np4", cellsImi, probesOf(imiProbes(_, supers, groups, 4)), int8 = false),
       MethodRun("sim_ivf_imi@np8", cellsImi, probesOf(imiProbes(_, supers, groups, 8)), int8 = false),
+      MethodRun("sim_ivf_imi_ma@np1", cellsMa, probesOf(imiProbes(_, supers, groups, 1)), int8 = false),
+      MethodRun("sim_ivf_imi_ma@np2", cellsMa, probesOf(imiProbes(_, supers, groups, 2)), int8 = false),
       MethodRun("sim_ivf_int8@np1", cellsInt8, probesOf(imiProbes(_, supers, groups, 1)), int8 = true),
       MethodRun("sim_ivf_int8@np2", cellsInt8, probesOf(imiProbes(_, supers, groups, 2)), int8 = true),
       MethodRun("sim_ivf_int8_bucketed@np1", served, probesOf(imiProbes(_, supers, groups, 1)), int8 = true))

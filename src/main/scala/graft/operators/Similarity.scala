@@ -208,7 +208,9 @@ object Similarity {
     * expression's global smallest-id tie-break). Builds on
     * `centroidCteSql` and yields `cells(vec_id, label, embedding,
     * cell)` — shared by the sim_ivf_imi / sim_ivf_int8 /
-    * dedup_embed_cosine / ann_recall oracles. */
+    * dedup_embed_cosine / ann_recall oracles — plus
+    * `cellsr(..., arnk)` keeping assignment ranks 1..2 (the corpus
+    * side of the multi-assignment oracle, sim_ivf_imi_ma). */
   val imiCellsCteSql: String =
     s"""$centroidCteSql,
       |sn AS (SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS sc FROM kk),
@@ -228,11 +230,12 @@ object Similarity {
       |    row_number() OVER (PARTITION BY e.vec_id
       |      ORDER BY round(${dotSql.format("e.embedding", "sup.sv")}, 4) DESC, sup.sid ASC) AS srk
       |  FROM embeddings e, sup) t WHERE srk <= 2),
-      |cells AS (SELECT vec_id, label, embedding, cent_id AS cell FROM (
+      |cellsr AS (SELECT vec_id, label, embedding, cent_id AS cell, arnk FROM (
       |  SELECT v.vec_id, v.label, v.embedding, p.cent_id,
       |    row_number() OVER (PARTITION BY v.vec_id
       |      ORDER BY round(${dotSql.format("v.embedding", "p.cv")}, 4) DESC, p.cent_id ASC) AS arnk
-      |  FROM vsup v JOIN par p ON p.parent = v.vparent) t WHERE arnk = 1)""".stripMargin
+      |  FROM vsup v JOIN par p ON p.parent = v.vparent) t WHERE arnk <= 2),
+      |cells AS (SELECT vec_id, label, embedding, cell FROM cellsr WHERE arnk = 1)""".stripMargin
 
   /** Exact brute-force top-10 cosine neighbors for each of 3 query
     * vectors: broadcast queries × corpus scan, then TWO-LEVEL top-k.
@@ -514,6 +517,39 @@ object Similarity {
     val cellOf = imiCellOf(s, d) _
     val cells = e.select(col("vec_id"),
       cellOf(col("embedding")).as("cell"), col("embedding"))
+    val qcells = queryVectors(s, d).withColumnRenamed("q", "qv")
+      .select(col("query_id"), cellOf(col("qv")).as("qcell"), col("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    cells.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(dot(col("qv"), col("embedding")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
+  /** MULTI-ASSIGNMENT IVF-IMI (Jégou et al., RR-7020 §5): every CORPUS
+    * vector is indexed under its TOP-2 IMI cells (one native
+    * `imi_cells_top2` projection + explode — still zero shuffle), while
+    * a query probes only its own top cell, exactly as in `sim_ivf_imi`.
+    * A corpus vector sitting near a cell boundary is now reachable from
+    * both plausible cells, so recall rises at the SAME query probe
+    * budget; the price is a 2× index footprint, not extra probes. At
+    * 100 TB this is the right side of the trade for a serve layer: the
+    * index inflation is write-once ETL and disk, while probes are
+    * per-query bucket reads on the critical path (measured in
+    * RECALL_r10.json: ma@np1 vs imi@np1/np2 on the same corpus).
+    * No per-(query,vec) dedup is needed: the 2 assigned cells are
+    * distinct and a query probes 1 cell, so a pair matches at most
+    * once. */
+  def simIvfImiMa(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val (supers, groups) = twoLevelIndex(s, d)
+    val cells = e.select(col("vec_id"),
+      explode(graft.functions.ImiCellsTop2.cells(col("embedding"), supers, groups)).as("cell"),
+      col("embedding"))
+    val cellOf = imiCellOf(s, d) _
     val qcells = queryVectors(s, d).withColumnRenamed("q", "qv")
       .select(col("query_id"), cellOf(col("qv")).as("qcell"), col("qv"))
     val w = Window.partitionBy(col("query_id"))
@@ -819,6 +855,7 @@ object Similarity {
     "sim_ann_lsh_multiprobe" -> simAnnLshMultiprobe _,
     "sim_ivf" -> simIvf _,
     "sim_ivf_imi" -> simIvfImi _,
+    "sim_ivf_imi_ma" -> simIvfImiMa _,
     "sim_ivf_nprobe" -> ((s: SparkSession, d: String) => simIvfNprobe(s, d))
   )
 
@@ -1021,6 +1058,19 @@ object Similarity {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY round(${dotSql.format("qv", "cells.embedding")}, 4) DESC, cells.vec_id ASC) AS rnk
         |  FROM cells JOIN qcells ON cell = qcell AND cells.vec_id <> query_id) t
+        |WHERE rnk <= 5""".stripMargin,
+    // corpus side = assignment ranks 1..2 (cellsr), query side = the
+    // plain top cell — the multi-assignment trade measured in RECALL
+    "sim_ivf_imi_ma" ->
+      s"""WITH $imiCellsCteSql,
+        |qcells AS (SELECT vec_id AS query_id, embedding AS qv, cell AS qcell
+        |  FROM cells WHERE vec_id < 3)
+        |SELECT query_id, vec_id, cell, cos_r, rnk FROM (
+        |  SELECT query_id, cellsr.vec_id, cell,
+        |    round(${dotSql.format("qv", "cellsr.embedding")}, 4) AS cos_r,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(${dotSql.format("qv", "cellsr.embedding")}, 4) DESC, cellsr.vec_id ASC) AS rnk
+        |  FROM cellsr JOIN qcells ON cell = qcell AND cellsr.vec_id <> query_id) t
         |WHERE rnk <= 5""".stripMargin,
     "sim_ivf" ->
       s"""WITH $centroidCteSql,

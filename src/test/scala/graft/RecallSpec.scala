@@ -70,6 +70,12 @@ class RecallSpec extends AnyFunSuite {
     assert(m("sim_ivf_imi@np4").recallAt10 >= 0.93)
     assert(m("sim_ivf_imi@np2").recallAt10 >= m("sim_ivf_imi@np1").recallAt10)
     assert(m("sim_ivf_imi@np4").recallAt10 >= m("sim_ivf_imi@np2").recallAt10)
+    // corpus multi-assignment lifts recall at the SAME query probe
+    // count (paid in index footprint, not probes), and its candidate
+    // set contains the single-assignment one by construction
+    assert(m("sim_ivf_imi_ma@np1").recallAt10 >= m("sim_ivf_imi@np1").recallAt10)
+    assert(m("sim_ivf_imi_ma@np1").recallAt10 >= 0.85)
+    assert(m("sim_ivf_imi_ma@np2").recallAt10 >= m("sim_ivf_imi_ma@np1").recallAt10)
     // int8 scoring costs little recall on top of the routing
     assert(m("sim_ivf_int8@np1").recallAt10 >= m("sim_ivf_imi@np1").recallAt10 - 0.07)
     // the persisted serve layout is the same index, bit-identically
@@ -94,6 +100,7 @@ class RecallSpec extends AnyFunSuite {
     assert(lift("sim_ivf_imi@np1") >= 1.5, s"lift=${lift("sim_ivf_imi@np1")}")
     assert(lift("sim_ivf_nprobe@np2") >= 1.5)
     // recall strictly gains along the probe knob
+    assert(m("sim_ivf_imi_ma@np1").recallAt10 >= m("sim_ivf_imi@np1").recallAt10)
     assert(m("sim_ivf_imi@np2").recallAt10 >= m("sim_ivf_imi@np1").recallAt10)
     assert(m("sim_ivf_imi@np8").recallAt10 >= m("sim_ivf_imi@np2").recallAt10)
     assert(m("sim_ivf_int8_bucketed@np1").topk === m("sim_ivf_int8@np1").topk)

@@ -451,6 +451,54 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("imi_cells_top2: element 0 is the imi_cell2 assignment; element 1 the global runner-up") {
+    val d = "/root/testdata/sf0.001"
+    val (supers, groups) = Similarity.twoLevelIndex(spark, d)
+    def dot4(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < a.length) { acc += a(j).toDouble * b(j).toDouble; j += 1 }
+      java.math.BigDecimal.valueOf(acc)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val e = Tables.embeddings(spark, d)
+    val got = e.select(col("vec_id"),
+        Similarity.imiCellOf(spark, d)(col("embedding")).as("cell"),
+        graft.functions.ImiCellsTop2.cells(col("embedding"), supers, groups).as("cells2"),
+        col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq, r.getSeq[Float](3).toArray))
+    assert(got.nonEmpty)
+    got.foreach { case (vid, cell1, cells2, v) =>
+      val top2 = supers.sortBy { case (sid, sv) => (-dot4(v, sv), sid) }.take(2)
+      val cands = top2.flatMap { case (sid, _) => groups(sid.toInt) }
+      val ranked = cands.map { case (id, cv) => (id, dot4(v, cv)) }
+        .sortBy { case (id, sc) => (-sc, id) }.map(_._1)
+      assert(cells2.head === cell1, s"vec $vid: top2 head disagrees with imi_cell2")
+      assert(cells2 === ranked.take(2).toSeq, s"vec $vid: expected ${ranked.take(2).toSeq}, got $cells2")
+      assert(cells2.distinct.size === cells2.size, s"vec $vid: duplicate cells")
+    }
+  }
+
+  test("sim_ivf_imi_ma never loses a pair vs sim_ivf_imi at the same probe budget") {
+    val d = "/root/testdata/sf0.001"
+    val ma = Similarity.simIvfImiMa(spark, d)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val imi = Similarity.simIvfImi(spark, d)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the ma candidate set is a superset per query (same probed cell,
+    // corpus additionally reachable through rank-2 assignments), so at
+    // top-5 the ma result can only improve or re-rank, never shrink
+    val imiByQ = imi.groupBy(_._1); val maByQ = ma.groupBy(_._1)
+    imiByQ.foreach { case (q, pairs) =>
+      assert(maByQ.getOrElse(q, Set.empty).size >= pairs.size,
+        s"query $q: ma returned fewer top-5 rows than imi")
+    }
+    // and each pair's cell is the query's probed cell by construction
+    val cellRows = Similarity.simIvfImiMa(spark, d).select("query_id", "cell")
+      .distinct().collect()
+    assert(cellRows.map(_.getLong(0)).distinct.length === cellRows.length,
+      "a query matched through more than one cell: probe side must be single-cell")
+  }
+
   test("beam-1 two-level assignment (ablation pair) equals the driver-side argmax over the parent map") {
     val d = "/root/testdata/sf0.001"
     val (supers, groups) = Similarity.twoLevelIndex(spark, d)

@@ -12,8 +12,21 @@ import org.apache.spark.sql.types._
   * streaming); this object is only the test-harness binding.
   */
 object Tables {
+  /** Harness parquet has shipped timestamps three ways across driver
+    * versions: TIMESTAMP(NANOS) (rejected by the vectorized reader —
+    * handled in `events`), UTC-adjusted micros (reads as `timestamp`),
+    * and naive micros (isAdjustedToUTC=false, reads as
+    * `timestamp_ntz`). The session timezone is pinned to UTC, so the
+    * NTZ wall clock IS the UTC instant; cast it to `timestamp` at the
+    * boundary so every operator downstream sees one type regardless of
+    * which writer produced the file. */
+  private def normalizeNtz(df: DataFrame): DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast(TimestampType)))
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -47,6 +47,10 @@ object EventStreams {
     schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        // naive-micros writer variant; session tz is UTC so the cast
+        // relabels the same instant (see Tables.normalizeNtz)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

@@ -533,6 +533,103 @@ object Dedup {
           m => m)).as("n_match"))
   }
 
+  // ---- incremental (batch-vs-corpus) dedup ---------------------------
+
+  /** Deterministic batch/corpus split: ~12.5% of documents (md5 prefix
+    * < '20') play the role of a newly arrived ingest batch; the rest
+    * are the existing corpus. Same hash-split contract as
+    * Sampling.splitOf: membership is a pure function of the key. */
+  private def isBatchDoc(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 2) < "20"
+
+  /** Incremental near-dup admission — the actual 100 TB ingest path.
+    * Full-corpus dedup is a once-per-snapshot job; what runs daily is
+    * "does this new batch duplicate anything already admitted?". For
+    * each batch document: LSH band collisions against CORPUS documents
+    * only (never batch×batch, never corpus×corpus), exact-Jaccard
+    * verification on the candidates, then a per-batch-doc verdict:
+    * candidate count, verified-dup count, and the admit decision.
+    *
+    * Scale shape: the batch side is small (signatures computed fresh,
+    * one narrow kernel); the corpus side is the SAME exploded band
+    * relation the full dedup uses — at scale it is the persisted
+    * bucketed index (see `dedupIncrementalBucketed`), so the candidate
+    * join shuffles only the batch. Verification fetches corpus shingle
+    * sets only for candidate ids (semi-join–shaped), not the corpus. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val base = minhashBaseOf(documents(s, d))
+      .withColumn("is_batch", isBatchDoc(col("doc_id"))).cache()
+    try {
+      val bands = base.select(col("doc_id"), col("is_batch"),
+        posexplode(col("bands")).as(Seq("band_id", "band_key")))
+      incrementalVerdict(
+        base.filter(col("is_batch")).select(col("doc_id"), col("shs")),
+        bands.filter(col("is_batch"))
+          .select(col("doc_id"), col("band_id"), col("band_key")),
+        bands.filter(!col("is_batch"))
+          .select(col("doc_id"), col("band_id"), col("band_key")),
+        base.filter(!col("is_batch")).select(col("doc_id"), col("shs")))
+        .localCheckpoint(true)
+    } finally base.unpersist()
+  }
+
+  /** The serve form: corpus bands come from the persisted
+    * `bucketBy(band_key)` index (built once by the full dedup's ETL,
+    * shared via `bucketedBandTable`), filtered to corpus rows — a
+    * filter over a bucketed scan keeps the bucketing, so the corpus
+    * side of the candidate join is exchange-free and only the (small)
+    * batch band table shuffles to meet it. Corpus shingle sets for
+    * verification are recomputed on demand for candidate ids only.
+    * Same relation and oracle as `dedup_incremental`: the index is a
+    * layout choice, not a semantic one. */
+  def dedupIncrementalBucketed(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val base = minhashBaseOf(docs).cache()
+    try {
+      val corpusBands = bucketedBandTable(s, d, base)
+        .filter(!isBatchDoc(col("doc_id")))
+      val batch = base.filter(isBatchDoc(col("doc_id"))).cache()
+      try {
+        val batchBands = batch.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_id", "band_key")))
+        incrementalVerdict(
+          batch.select(col("doc_id"), col("shs")),
+          batchBands,
+          corpusBands,
+          base.filter(!isBatchDoc(col("doc_id")))
+            .select(col("doc_id"), col("shs")))
+          .localCheckpoint(true)
+      } finally batch.unpersist()
+    } finally base.unpersist()
+  }
+
+  /** Shared verdict kernel: band-collision candidates (batch × corpus
+    * equi-join on (band_id, band_key)), exact-Jaccard verify, then a
+    * left join back to the batch so no-candidate documents still get
+    * an admit row. */
+  private def incrementalVerdict(batchSets: DataFrame, batchBands: DataFrame,
+      corpusBands: DataFrame, corpusSets: DataFrame): DataFrame = {
+    val cand = batchBands.as("a").join(corpusBands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    val ver = cand
+      .join(batchSets.as("x"), col("batch_id") === col("x.doc_id"))
+      .join(corpusSets.as("y"), col("corpus_id") === col("y.doc_id"))
+      .select(col("batch_id"),
+        (size(array_intersect(col("x.shs"), col("y.shs"))) * 2 >=
+          size(array_distinct(concat(col("x.shs"), col("y.shs"))))).as("dup"))
+    val agg = ver.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_cand"), sum(col("dup").cast("long")).as("n_dup"))
+    batchSets.select(col("doc_id").as("batch_id"))
+      .join(agg, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)) === 0).as("admit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_minhash_sketch" -> aggMinhashSketch _,
     "dedup_exact" -> dedupExact _,
@@ -542,7 +639,9 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_embed_cosine" -> dedupEmbedCosine _,
-    "dedup_components" -> dedupComponents _
+    "dedup_components" -> dedupComponents _,
+    "dedup_incremental" -> dedupIncremental _,
+    "dedup_incremental_bucketed" -> dedupIncrementalBucketed _
   )
 
   private val shinglesSqlDuck = // DuckDB k=3 shingle list (distinct)
@@ -690,6 +789,35 @@ object Dedup {
         |  UNION
         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.v)
         |SELECT v AS doc_id, min(comp) AS component
-        |FROM reach GROUP BY v""".stripMargin
+        |FROM reach GROUP BY v""".stripMargin,
+    "dedup_incremental" -> incrementalOracle,
+    // identical relation: the bucketed corpus index is a layout choice
+    "dedup_incremental_bucketed" -> incrementalOracle
   )
+
+  private lazy val incrementalOracle: String =
+    s"""WITH sh AS (SELECT doc_id,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20' AS is_batch,
+      |    $shinglesSqlDuck AS shs FROM documents),
+      |sig AS (SELECT doc_id, is_batch, shs,
+      |  [list_min([substr(md5(s::VARCHAR || ':' || x), 1, 8) FOR x IN shs]) FOR s IN range(0, 16)] AS sigs
+      |  FROM sh),
+      |bands AS (SELECT doc_id, is_batch, b AS band_id,
+      |  sigs[4*b+1] || sigs[4*b+2] || sigs[4*b+3] || sigs[4*b+4] AS band_key
+      |  FROM sig, unnest(range(0, 4)) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+      |  WHERE a.is_batch AND NOT b.is_batch),
+      |ver AS (SELECT batch_id,
+      |    2 * len(list_intersect(x.shs, y.shs)) >= len(list_distinct(x.shs || y.shs)) AS dup
+      |  FROM cand JOIN sh x ON x.doc_id = batch_id JOIN sh y ON y.doc_id = corpus_id),
+      |agg AS (SELECT batch_id, count(*) AS n_cand,
+      |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM ver GROUP BY batch_id)
+      |SELECT d.doc_id AS batch_id,
+      |  coalesce(n_cand, 0) AS n_cand, coalesce(n_dup, 0) AS n_dup,
+      |  coalesce(n_dup, 0) = 0 AS admit
+      |FROM sh d LEFT JOIN agg ON agg.batch_id = d.doc_id
+      |WHERE d.is_batch""".stripMargin
 }

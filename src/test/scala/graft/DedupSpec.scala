@@ -297,4 +297,43 @@ class DedupSpec extends AnyFunSuite {
     assert(r(2L) === ((2L, 1L, md5hex(uniq2))))
     assert(r(3L) === ((2L, 0L, md5hex(""))))
   }
+
+  test("incremental dedup: verdict agrees with full LSH pairs; bucketed form identical") {
+    val d = "/root/testdata/sf0.001"
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def isBatch(id: Long): Boolean = md5hex(id.toString).substring(0, 2) < "20"
+
+    val verdict = Dedup.dedupIncremental(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // the verdict covers exactly the deterministic batch slice
+    val allIds = graft.Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(verdict.keySet === allIds.filter(isBatch))
+    assert(verdict.nonEmpty && verdict.size < allIds.size)
+    // internal consistency: dups bounded by candidates; admit == no dup
+    verdict.values.foreach { case (nCand, nDup, admit) =>
+      assert(nDup <= nCand)
+      assert(admit === (nDup == 0L))
+    }
+    // cross-check against the independently-verified full pair set:
+    // a batch doc is refused iff it has a verified pair to a CORPUS doc
+    val pairs = Dedup.dedupMinhashLsh(spark, d)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val refusedExpected = pairs.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a).collect {
+        case (x, y) if isBatch(x) && !isBatch(y) => x
+      }
+    }.toSet
+    assert(verdict.filter(!_._2._3).keySet === refusedExpected)
+    assert(refusedExpected.nonEmpty) // the fixture must exercise refusal
+    // layout independence: the persisted-index form is the same relation
+    val bucketed = Dedup.dedupIncrementalBucketed(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(bucketed === verdict)
+  }
 }

@@ -16,6 +16,7 @@ object Cleanup {
     Dedup.dropBandTables(s)       // persisted bucketBy(band_key) LSH layout + temp dirs
     Spatial.dropStatsCache(s)     // memoized two-sided box stats
     TextAnalysis.dropModelCaches(s) // memoized vocab gate + surprisal bits map
+    Layout.dropLayouts(s)         // persisted z-ordered events copies
   }
 
   /** Number of live memo entries held for this session across every
@@ -27,7 +28,7 @@ object Cleanup {
       n
     }
     c(Similarity.indexTables) + c(Similarity.centroidCache) + c(Similarity.twoLevelCache) +
-      c(Dedup.bandTables) +
+      c(Dedup.bandTables) + c(Layout.layoutDirs) +
       c(Spatial.statsCache) + c(TextAnalysis.vocabCache) + c(TextAnalysis.bitsCache)
   }
 }

@@ -76,14 +76,14 @@ object PlanAudit {
     Check("dedup_minhash_lsh", "banded candidate equi-join", "band_key",
       "LSH bands join on (band_id, band_key): candidate generation is equi-join shaped, never all-pairs"),
     Check("dedup_minhash_lsh_bucketed", "co-located band self-join, no input shuffle",
-      "ABSENT:REGEX:Exchange hashpartitioning\\([^)]*band_",
+      "ABSENT:REGEX:hashpartitioning\\(band_",
       "the persisted bucketBy(band_key) band table pre-partitions both sides of the candidate join: write-once ETL, every dedup run joins shuffle-free",
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
     Check("dedup_embed_cosine", "cell-blocked candidates", "imi_cell2",
       "IVF cell id is a narrow per-row argmax expression (beam-2 two-level, r9); the pair join is blocked on (label, cell), not label alone"),
     Check("dedup_embed_cosine", "zero-shuffle two-level assignment", "ABSENT:HashAggregate",
       "SemDeDup assignment uses the same beam-2 two-level (IMI) quantizer as sim_ivf_imi: top-2 supers + union-argmax in one narrow projection, O(3*sqrt(k)*d) per row — the corpus never shuffles or aggregates to get assigned"),
-    Check("join_bucketed", "co-located join, no input shuffle", "ABSENT:Exchange hashpartitioning(o_orderkey",
+    Check("join_bucketed", "co-located join, no input shuffle", "ABSENT:REGEX:hashpartitioning\\(o_orderkey",
       "bucketBy layout pre-partitions both fact sides: the FK join reads buckets aligned, zero shuffle on join inputs",
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
     Check("sim_ann_lsh", "narrow bucket computation", "ABSENT:HashAggregate",
@@ -109,7 +109,7 @@ object PlanAudit {
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
     Check("sample_mixture", "pure projection + explode, zero exchange", "ABSENT:Exchange",
       "weighted mixing with fractional epochs is a narrow per-row decision plus a generator: the corpus is scanned once and never shuffled, joined, or aggregated"),
-    Check("text_repetition", "row-local repetition stats", "ABSENT:REGEX:Exchange hashpartitioning",
+    Check("text_repetition", "row-local repetition stats", "ABSENT:REGEX:hashpartitioning\\(",
       "duplicate/top-2-gram fractions are intra-document: one projection over the scan, no hash shuffle, no window, no join (the only exchange is local-mode round-robin spread)"),
     Check("sim_topk_int8", "broadcast quantized queries", "BroadcastNestedLoopJoin",
       "the int8 query codes broadcast; the corpus scan scores integer dot products map-side only"),
@@ -121,10 +121,10 @@ object PlanAudit {
       "quantized queries probe their IMI cell via a broadcast equi-join on cell id; the int8 corpus side never moves for the probe"),
     Check("sim_ivf_int8_bucketed", "serve scan reads materialized codes", "REGEX:ReadSchema: struct<vec_id:bigint,cell:",
       "the persisted index is write-once ETL: the corpus side of the serve plan is a bare bucketed scan of (vec_id, cell, c_scale, cq) — assignment and quantization run only on the query rows at serve time, never over the corpus"),
-    Check("sim_ivf_int8_bucketed", "index-aligned probe: corpus side never exchanges", "ABSENT:REGEX:Exchange hashpartitioning\\(cell",
+    Check("sim_ivf_int8_bucketed", "index-aligned probe: corpus side never exchanges", "ABSENT:REGEX:hashpartitioning\\(cell",
       "with broadcast off, the probe equi-join clusters on cell — which the bucketBy(cell) layout already satisfies, so only the tiny query side shuffles; the index is written once and served forever without moving",
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
-    Check("text_surprisal", "corpus-side scoring is a narrow projection", "ABSENT:REGEX:Exchange hashpartitioning",
+    Check("text_surprisal", "corpus-side scoring is a narrow projection", "ABSENT:REGEX:hashpartitioning\\(",
       "below the approx_count_distinct vocabulary gate the frequency table is collected once and applied as a literal map: the scored corpus never hash-shuffles (the wordcount runs eagerly as its own bounded job)"),
     Check("text_surprisal", "over-threshold vocab downgrades to the join form", "REGEX:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
       "past the vocabulary gate the token bits come from an explode + join on token and a per-document re-aggregation: one extra corpus pass, zero driver-side vocabulary state — a web-scale vocab never visits the driver",
@@ -132,7 +132,15 @@ object PlanAudit {
     Check("text_surprisal_joined", "join form holds no driver state", "REGEX:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
       "the named join-form entry (oracle-shared with text_surprisal, the join_bbox_grid_local pattern): frequency table meets the exploded corpus in a join, never a collected literal"),
     Check("multimodal_audio_windows", "zero-exchange feature extraction", "ABSENT:Exchange",
-      "PCM decode + windowing are row-local over the asset scan: no shuffle anywhere in the feature plan"))
+      "PCM decode + windowing are row-local over the asset scan: no shuffle anywhere in the feature plan"),
+    Check("dedup_incremental_bucketed", "corpus side served from the bucketed index", "Bucketed: true",
+      "incremental admission reads corpus bands from the same persisted bucketBy(band_key) layout the full dedup builds: the corpus-side scan is bucketed, so only the (small) fresh-batch band table shuffles to meet it",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("dedup_incremental_bucketed", "exactly one band exchange: the fresh batch, never the index", "COUNT1:REGEX:hashpartitioning\\(band_",
+      "the candidate join clusters on the band keys; the bucketBy(band_key) layout already satisfies it for the corpus scan, so the plan carries exactly ONE band exchange — the small fresh-batch side moving to the data",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")))
+
+  private var lastPlan: String = ""
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -160,6 +168,7 @@ object PlanAudit {
       Map("dedup_simhash" -> graft.operators.Dedup.dedupSimhashPlan _,
         "dedup_minhash_lsh" -> graft.operators.Dedup.dedupMinhashLshPlan _,
         "dedup_minhash_lsh_bucketed" -> graft.operators.Dedup.dedupMinhashLshBucketedPlan _,
+        "dedup_incremental_bucketed" -> graft.operators.Dedup.dedupIncrementalBucketedPlan _,
         // the equi-join-shape checks are about the DECLARATIVE form;
         // the public operator cost-switches to the local kernel at
         // high density (audited separately as join_bbox_grid_local)
@@ -187,17 +196,21 @@ object PlanAudit {
         }
         else if (c.needle.startsWith("EXECUTED:")) executed(c.query)
         else plans(c.query)
+      lastPlan = plan
       c.needle match {
         case n if n.startsWith("EXECUTED:") => plan.contains(n.stripPrefix("EXECUTED:"))
         case n if n.startsWith("ABSENT:REGEX:") =>
           n.stripPrefix("ABSENT:REGEX:").r.findFirstIn(plan).isEmpty
         case n if n.startsWith("ABSENT:") => !plan.contains(n.stripPrefix("ABSENT:"))
         case n if n.startsWith("REGEX:") => n.stripPrefix("REGEX:").r.findFirstIn(plan).nonEmpty
+        case n if n.startsWith("COUNT1:REGEX:") =>
+          n.stripPrefix("COUNT1:REGEX:").r.findAllIn(plan).size == 1
         case n => plan.contains(n)
       }
     }
 
     var failed = 0
+    var dumpIdx = 0
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit of the headline operators\n\n")
     md.append("Generated by `graft.PlanAudit` (a plan regression test: each\n")
@@ -206,7 +219,16 @@ object PlanAudit {
     md.append("| query | property | status | why it matters at 100 TB |\n|---|---|---|---|\n")
     checks.foreach { c =>
       val ok = planHas(c)
-      if (!ok) { failed += 1; println(s"AUDIT-FAIL ${c.query}: ${c.property} (missing: ${c.needle})") }
+      if (!ok) {
+        failed += 1
+        println(s"AUDIT-FAIL ${c.query}: ${c.property} (missing: ${c.needle})")
+        // dump the exact plan the check evaluated (the conf'd variant
+        // differs from the PLANS.md rendering) for diagnosis
+        val dump = Paths.get(s"target/audit-fail-$dumpIdx-${c.query}.txt")
+        Files.createDirectories(dump.getParent)
+        Files.writeString(dump, lastPlan)
+        dumpIdx += 1
+      }
       md.append(s"| `${c.query}` | ${c.property} | ${if (ok) "OK" else "**MISSING**"} | ${c.rationale} |\n")
     }
     md.append("\n## Formatted plans\n")

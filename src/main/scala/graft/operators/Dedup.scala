@@ -209,11 +209,12 @@ object Dedup {
   }
 
   /** The 100 TB layout of the same operator: the exploded band table
-    * persisted `bucketBy(band_key)` (write-time ETL), so the candidate
-    * self-join reads co-located buckets with NO exchange on either
-    * join input — the signature table is written once and every
-    * dedup run against it joins shuffle-free (HashPartitioning on
-    * band_key satisfies the join's clustering on (band_id, band_key)).
+    * persisted `bucketBy(band_key)` with band_id FOLDED into the key
+    * (write-time ETL), so the candidate self-join is a single-key
+    * equi-join reading co-located buckets with NO exchange on either
+    * input — the signature table is written once and every dedup run
+    * against it joins shuffle-free, and a non-bucketed batch side (the
+    * incremental form) can align to the same layout with one shuffle.
     * Same result and oracle as dedup_minhash_lsh: bucketing is a
     * layout choice, not a semantic one. */
   def dedupMinhashLshBucketed(s: SparkSession, d: String): DataFrame = {
@@ -221,8 +222,7 @@ object Dedup {
     try {
       val bands = bucketedBandTable(s, d, base)
       val cand = bands.as("a").join(bands.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
+          col("a.band_key") === col("b.band_key") && // band_id folded in
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
@@ -253,8 +253,16 @@ object Dedup {
     val (bt, _) = bandTables.computeIfAbsent((s, d), _ => {
       val wh = java.nio.file.Files.createTempDirectory("graft_lshbkt")
       val name = "lsh_bands_" + wh.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "_")
+      // band_id is FOLDED into the stored key (single-key layout): a
+      // one-key equi-join lets a NON-bucketed side align to the
+      // bucketing (the incremental batch join); a (band_id, band_key)
+      // two-key join over a band_key-bucketed table makes the planner
+      // shuffle BOTH sides — co-partition checks need the partitioning
+      // to cover every join key
       val bands = base.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_id", "band_key")))
+        posexplode(col("bands")).as(Seq("band_id", "bk")))
+        .select(col("doc_id"),
+          concat(col("band_id").cast("string"), lit(":"), col("bk")).as("band_key"))
       // bucket count derived from the exploded row count (4 bands/doc),
       // not a demo constant — see Similarity.derivedBuckets
       val nb = Similarity.derivedBuckets(s, bands.count(), "spark.graft.bands.buckets")
@@ -291,8 +299,7 @@ object Dedup {
     val base = minhashBase(s, d)
     val bands = bucketedBandTable(s, d, base)
     bands.as("a").join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_key") === col("b.band_key") &&
+        col("a.band_key") === col("b.band_key") && // band_id folded in
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -556,18 +563,22 @@ object Dedup {
     * bucketed index (see `dedupIncrementalBucketed`), so the candidate
     * join shuffles only the batch. Verification fetches corpus shingle
     * sets only for candidate ids (semi-join–shaped), not the corpus. */
+  /** Explode + fold the band list to the single-key form the persisted
+    * index stores: band_key = "<band_id>:<key>". */
+  private def foldedBands(withBands: DataFrame): DataFrame =
+    withBands.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_id", "bk")))
+      .select(col("doc_id"),
+        concat(col("band_id").cast("string"), lit(":"), col("bk")).as("band_key"))
+
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val base = minhashBaseOf(documents(s, d))
       .withColumn("is_batch", isBatchDoc(col("doc_id"))).cache()
     try {
-      val bands = base.select(col("doc_id"), col("is_batch"),
-        posexplode(col("bands")).as(Seq("band_id", "band_key")))
       incrementalVerdict(
         base.filter(col("is_batch")).select(col("doc_id"), col("shs")),
-        bands.filter(col("is_batch"))
-          .select(col("doc_id"), col("band_id"), col("band_key")),
-        bands.filter(!col("is_batch"))
-          .select(col("doc_id"), col("band_id"), col("band_key")),
+        foldedBands(base.filter(col("is_batch"))),
+        foldedBands(base.filter(!col("is_batch"))),
         base.filter(!col("is_batch")).select(col("doc_id"), col("shs")))
         .localCheckpoint(true)
     } finally base.unpersist()
@@ -590,11 +601,9 @@ object Dedup {
         .filter(!isBatchDoc(col("doc_id")))
       val batch = base.filter(isBatchDoc(col("doc_id"))).cache()
       try {
-        val batchBands = batch.select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band_id", "band_key")))
         incrementalVerdict(
           batch.select(col("doc_id"), col("shs")),
-          batchBands,
+          foldedBands(batch),
           corpusBands,
           base.filter(!isBatchDoc(col("doc_id")))
             .select(col("doc_id"), col("shs")))
@@ -603,14 +612,26 @@ object Dedup {
     } finally base.unpersist()
   }
 
+  /** Lazy-plan variant for PlanAudit: the candidate join of the
+    * persisted-index form (batch bands fresh, corpus bands from the
+    * bucketed table) without the eager verdict materialization. */
+  private[graft] def dedupIncrementalBucketedPlan(s: SparkSession, d: String): DataFrame = {
+    val base = minhashBaseOf(documents(s, d))
+    val corpusBands = bucketedBandTable(s, d, base)
+      .filter(!isBatchDoc(col("doc_id")))
+    foldedBands(base.filter(isBatchDoc(col("doc_id")))).as("a")
+      .join(corpusBands.as("b"), col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+  }
+
   /** Shared verdict kernel: band-collision candidates (batch × corpus
-    * equi-join on (band_id, band_key)), exact-Jaccard verify, then a
-    * left join back to the batch so no-candidate documents still get
-    * an admit row. */
+    * single-key equi-join on the folded band key), exact-Jaccard
+    * verify, then a left join back to the batch so no-candidate
+    * documents still get an admit row. */
   private def incrementalVerdict(batchSets: DataFrame, batchBands: DataFrame,
       corpusBands: DataFrame, corpusSets: DataFrame): DataFrame = {
     val cand = batchBands.as("a").join(corpusBands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")

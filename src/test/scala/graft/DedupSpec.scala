@@ -217,7 +217,7 @@ class DedupSpec extends AnyFunSuite {
     // the candidate join plans with no exchange on its bucketed inputs
     val plan = Dedup.dedupMinhashLshBucketedPlan(spark, tmp.toString)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(!"Exchange hashpartitioning\\([^)]*band_".r.findFirstIn(plan).isDefined,
+    assert(!"hashpartitioning\\(band_".r.findFirstIn(plan).isDefined,
       s"band self-join should read co-located buckets:\n$plan")
   }
 

@@ -138,7 +138,9 @@ object PlanAudit {
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
     Check("dedup_incremental_bucketed", "exactly one band exchange: the fresh batch, never the index", "COUNT1:REGEX:hashpartitioning\\(band_",
       "the candidate join clusters on the band keys; the bucketBy(band_key) layout already satisfies it for the corpus scan, so the plan carries exactly ONE band exchange — the small fresh-batch side moving to the data",
-      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")))
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("dedup_minhash_lsh_capped", "hot-band list broadcasts to flag band rows", "REGEX:BroadcastHashJoin.*LeftOuter|LeftOuter, BuildRight",
+      "the over-cap bucket list is data-derived and tiny (<= 4n/cap keys), so it broadcasts to split the band table into cold (exact all-pairs) and hot (O(b) star-pair) branches — a mass-duplicated template costs linear candidates instead of quadratic"))
 
   private var lastPlan: String = ""
 
@@ -169,6 +171,7 @@ object PlanAudit {
         "dedup_minhash_lsh" -> graft.operators.Dedup.dedupMinhashLshPlan _,
         "dedup_minhash_lsh_bucketed" -> graft.operators.Dedup.dedupMinhashLshBucketedPlan _,
         "dedup_incremental_bucketed" -> graft.operators.Dedup.dedupIncrementalBucketedPlan _,
+        "dedup_minhash_lsh_capped" -> graft.operators.Dedup.dedupMinhashLshCappedPlan _,
         // the equi-join-shape checks are about the DECLARATIVE form;
         // the public operator cost-switches to the local kernel at
         // high density (audited separately as join_bbox_grid_local)

@@ -162,6 +162,12 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    verifyPairs(cand, base)
+  }
+
+  /** Shared exact-Jaccard verification tail: fetch both shingle sets
+    * per candidate pair, keep J >= 0.5 (integer cross-multiply). */
+  private def verifyPairs(cand: DataFrame, base: DataFrame): DataFrame = {
     val sets = base.select(col("doc_id"), col("shs"))
     cand
       .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
@@ -206,6 +212,77 @@ object Dedup {
       s: SparkSession, d: String): (DataFrame, () => Unit) = {
     val base = minhashBase(s, d).cache()
     (minhashPairs(base), () => { base.unpersist(true); () })
+  }
+
+  /** Gate-scale hot-band cap: LOW so the sf0.01 corpus (bucket sizes
+    * 1–3) exercises BOTH branches under the oracle; production sets
+    * `spark.graft.lsh.hotBandCap` to ~1000 (pairs-per-bucket work cap
+    * of ~500k). The oracle mirrors whatever value the query ran with,
+    * so the gate stays value-exact at any setting. */
+  val HotBandCap = 2
+
+  /** Hot-band-capped LSH candidate generation — the all-pairs band
+    * join's 100 TB degenerate case, closed. A corpus with a mass-
+    * duplicated template (boilerplate pages, mirrored docs) puts b
+    * copies in ONE band bucket — identical text collides in every
+    * band — and the uncapped self-join emits b(b-1)/2 candidates from
+    * that single key: quadratic output no physical trick (AQE skew
+    * split, salting) can bound, because the ROWS themselves are the
+    * blowup. The standard mitigation (star-pairing, as in the
+    * SlimPajama/BigQuery dedup recipes): buckets over a size cap emit
+    * only (bucket-min, member) pairs — O(b) — which keeps every
+    * member connected to the bucket representative, exactly what the
+    * downstream component/survivorship pass needs; sub-cap buckets
+    * keep the exact all-pairs relation. The pair RELATION over hot
+    * buckets is deliberately sparser (a member pair (x,y) with
+    * neither = rep is not emitted), so this is its own gate entry
+    * with its own oracle, not a layout alias of `dedup_minhash_lsh`.
+    *
+    * Scale shape: the hot-bucket list is data-derived and TINY
+    * (≤ 4n/cap keys, realistically a handful of templates), so it
+    * BROADCASTS to flag band rows — same pattern as the n-gram df
+    * cap; the cold self-join and the hot star-pairing are then one
+    * union with bounded per-key output everywhere. With cap c, any
+    * bucket's candidate contribution is ≤ max(c², b): linear in the
+    * template's copy count instead of quadratic (spec: 200 identical
+    * docs → 199 star pairs vs 19,900 uncapped). */
+  private[graft] def cappedPairs(base: DataFrame, cap: Int): DataFrame = {
+    val bands = base.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_id", "band_key")))
+    val hot = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
+      .filter(col("bn") > cap)
+    val flagged = bands.join(broadcast(hot.select(col("band_id"),
+      col("band_key"), col("rep"))), Seq("band_id", "band_key"), "left")
+    val cold = flagged.filter(col("rep").isNull)
+      .select(col("doc_id"), col("band_id"), col("band_key"))
+    val coldPairs = cold.as("a").join(cold.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // rep = bucket min, so doc_a < doc_b holds by construction
+    val hotPairs = flagged
+      .filter(col("rep").isNotNull && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    verifyPairs(
+      coldPairs.union(hotPairs).dropDuplicates("doc_a", "doc_b"), base)
+  }
+
+  def dedupMinhashLshCapped(s: SparkSession, d: String): DataFrame = {
+    val base = minhashBase(s, d).cache()
+    try cappedPairs(base, HotBandCap).localCheckpoint(true)
+    finally base.unpersist()
+  }
+
+  /** Lazy-plan variant for PlanAudit (broadcast hot-list assert). */
+  private[graft] def dedupMinhashLshCappedPlan(s: SparkSession, d: String): DataFrame =
+    cappedPairs(minhashBase(s, d), HotBandCap)
+
+  /** Spec entry point: capped pairs over an arbitrary corpus/cap. */
+  private[graft] def dedupMinhashLshCappedOn(docs: DataFrame, cap: Int): DataFrame = {
+    val base = minhashBaseOf(docs).cache()
+    try cappedPairs(base, cap).localCheckpoint(true) finally base.unpersist()
   }
 
   /** The 100 TB layout of the same operator: the exploded band table
@@ -657,6 +734,7 @@ object Dedup {
     "dedup_lines" -> dedupLines _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_minhash_lsh_bucketed" -> dedupMinhashLshBucketed _,
+    "dedup_minhash_lsh_capped" -> dedupMinhashLshCapped _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_embed_cosine" -> dedupEmbedCosine _,
@@ -742,6 +820,33 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLshOracle,
     // identical relation: bucketing the band table is a layout choice
     "dedup_minhash_lsh_bucketed" -> minhashLshOracle,
+    // mirrors the hot-band cap exactly: per-bucket counts, star pairs
+    // (bucket-min rep) over the cap, all-pairs under it
+    "dedup_minhash_lsh_capped" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS shs FROM documents),
+        |sig AS (SELECT doc_id, shs,
+        |  [list_min([substr(md5(s::VARCHAR || ':' || x), 1, 8) FOR x IN shs]) FOR s IN range(0, 16)] AS sigs
+        |  FROM sh),
+        |bands AS (SELECT doc_id, b AS band_id,
+        |  sigs[4*b+1] || sigs[4*b+2] || sigs[4*b+3] || sigs[4*b+4] AS band_key
+        |  FROM sig, unnest(range(0, 4)) t(b)),
+        |bs AS (SELECT band_id, band_key, count(*) AS bn, min(doc_id) AS rep
+        |  FROM bands GROUP BY band_id, band_key),
+        |cold AS (SELECT b.doc_id, b.band_id, b.band_key
+        |  FROM bands b JOIN bs USING (band_id, band_key) WHERE bs.bn <= $HotBandCap),
+        |coldp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM cold a JOIN cold b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |hotp AS (SELECT bs.rep AS doc_a, b.doc_id AS doc_b
+        |  FROM bands b JOIN bs USING (band_id, band_key)
+        |  WHERE bs.bn > $HotBandCap AND b.doc_id <> bs.rep),
+        |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+        |  SELECT * FROM coldp UNION ALL SELECT * FROM hotp))
+        |SELECT doc_a, doc_b,
+        |  len(list_intersect(x.shs, y.shs)) AS inter,
+        |  len(list_distinct(x.shs || y.shs)) AS uni
+        |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+        |WHERE 2 * len(list_intersect(x.shs, y.shs)) >= len(list_distinct(x.shs || y.shs))""".stripMargin,
     "dedup_simhash" ->
       s"""WITH sigs AS (
         |  SELECT doc_id, source, $simhashSqlDuck AS sim

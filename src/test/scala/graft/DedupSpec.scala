@@ -336,4 +336,32 @@ class DedupSpec extends AnyFunSuite {
       .toMap
     assert(bucketed === verdict)
   }
+
+  test("hot-band cap: mass-duplicated template emits O(b) star pairs, not O(b^2)") {
+    // 200 identical docs: every band bucket holds all 200 copies, so
+    // the uncapped join emits 200*199/2 pairs from each of the 4
+    // buckets (19,900 after dedup) — the quadratic blowup. The capped
+    // form star-pairs each hot bucket to its min doc_id: 199 pairs,
+    // every copy still connected to the keeper.
+    val template = (1L to 200L).map(i => (i, base, "s0"))
+    val hotDocs = (template :+ ((300L, unrelated, "s0")))
+      .toDF("doc_id", "text", "source")
+    val uncapped = Dedup.dedupMinhashLshOn(hotDocs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size >= 19900)
+    val capped = Dedup.dedupMinhashLshCappedOn(hotDocs, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.size <= 210) // linear in copies, not quadratic
+    // star connectivity: every copy pairs with the representative
+    (2L to 200L).foreach(x => assert(capped.contains((1L, x))))
+    assert(!capped.exists { case (a, b) => a == 300L || b == 300L })
+    // sub-cap buckets keep the exact all-pairs relation: on a corpus
+    // with no hot bucket the capped operator IS the uncapped one
+    val coldDocs = docs
+    val cold = Dedup.dedupMinhashLshCappedOn(coldDocs, 1000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.dedupMinhashLshOn(coldDocs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cold === full)
+  }
 }

@@ -728,6 +728,111 @@ object Dedup {
         (coalesce(col("n_dup"), lit(0L)) === 0).as("admit"))
   }
 
+  // ---- streaming (continuous) dedup admission ------------------------
+
+  /** Sub-batch id 0/1/2 for a batch doc — pure hash of the key, like
+    * `isBatchDoc` (portable: ascii of the 3rd md5 hex char mod 3). */
+  private def subBatchOf(id: Column): Column =
+    ascii(substring(md5(id.cast("string")), 3, 1)) % 3
+
+  /** CONTINUOUS near-dup admission — `dedup_incremental` run as the
+    * production loop: the batch slice arrives as a STREAM of three
+    * sub-batches (one file per micro-batch, `maxFilesPerTrigger=1`
+    * under `Trigger.AvailableNow` — the bounded-catch-up harness every
+    * §2h query uses), and each sub-batch is admitted against the
+    * corpus PLUS everything admitted before it. The admission index
+    * GROWS as the stream runs — the semantics a daily-ingest pipeline
+    * actually has, which no single batch-vs-corpus join expresses:
+    * a doc in sub-batch 2 that duplicates a sub-batch-0 ADMISSION is
+    * refused, while its twin in sub-batch 0 was admitted.
+    *
+    * Determinism: admission ORDER is data-defined (the sub_batch hash
+    * column), not trigger-defined — inside foreachBatch the present
+    * sub-batches are processed in ascending order, so the result is
+    * identical however the engine groups files into micro-batches.
+    * The oracle replays the same three stages as chained CTEs.
+    *
+    * Scale shape: per micro-batch work is the `dedup_incremental`
+    * kernel (fresh signatures for the small batch, single-key band
+    * equi-join into the corpus index, semi-join-shaped verification);
+    * the admitted-doc bands/shingles APPEND to driver-free state
+    * tables (at cluster scale: appends to the persisted bucketed band
+    * layout — the same bucketBy(band_key) table `bucketedBandTable`
+    * writes; here the in-session analog is a checkpointed union).
+    * State growth is admitted-docs-only, and every join key stays
+    * band-bounded. */
+  def streamDedupAdmission(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val batchDocs = docs.filter(isBatchDoc(col("doc_id")))
+      .withColumn("sub_batch", subBatchOf(col("doc_id")))
+    // stage one parquet file per sub-batch, mtime-ordered so the file
+    // stream delivers them as three ordered micro-batches
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_admit")
+    try {
+      (0 until 3).foreach { k =>
+        val side = streamDir.resolve(s"side$k")
+        batchDocs.filter(col("sub_batch") === k).coalesce(1)
+          .write.mode("overwrite").parquet(side.toString)
+        val part = java.nio.file.Files.list(side).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val dst = streamDir.resolve(f"batch$k%04d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+      }
+      val cbase = minhashBaseOf(docs.filter(!isBatchDoc(col("doc_id"))))
+      var stateBands = foldedBands(cbase).localCheckpoint(true)
+      var stateSets = cbase.select(col("doc_id"), col("shs")).localCheckpoint(true)
+      val results = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val schema = batchDocs.schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString + "/batch*.parquet")
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          val subs = mb.select(col("sub_batch")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          subs.foreach { k =>
+            val base = minhashBaseOf(mb.filter(col("sub_batch") === k))
+              .localCheckpoint(true)
+            val verdict = incrementalVerdict(
+              base.select(col("doc_id"), col("shs")), foldedBands(base),
+              stateBands, stateSets)
+              .withColumn("sub_batch", lit(k))
+              .select(col("batch_id"), col("sub_batch"),
+                col("n_cand"), col("n_dup"), col("admit"))
+              .localCheckpoint(true)
+            results += verdict
+            val admitted = verdict.filter(col("admit"))
+              .select(col("batch_id").as("doc_id"))
+            stateBands = stateBands.union(
+              foldedBands(base).join(admitted, Seq("doc_id"), "left_semi"))
+              .localCheckpoint(true)
+            stateSets = stateSets.union(
+              base.select(col("doc_id"), col("shs"))
+                .join(admitted, Seq("doc_id"), "left_semi"))
+              .localCheckpoint(true)
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (results.isEmpty) // degenerate corpus: no batch docs at all
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("batch_id", LongType),
+            StructField("sub_batch", IntegerType),
+            StructField("n_cand", LongType), StructField("n_dup", LongType),
+            StructField("admit", BooleanType))))
+      else results.reduce(_ union _)
+    } finally {
+      val files = java.nio.file.Files.walk(streamDir)
+      try files.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally files.close()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_minhash_sketch" -> aggMinhashSketch _,
     "dedup_exact" -> dedupExact _,
@@ -740,7 +845,8 @@ object Dedup {
     "dedup_embed_cosine" -> dedupEmbedCosine _,
     "dedup_components" -> dedupComponents _,
     "dedup_incremental" -> dedupIncremental _,
-    "dedup_incremental_bucketed" -> dedupIncrementalBucketed _
+    "dedup_incremental_bucketed" -> dedupIncrementalBucketed _,
+    "stream_dedup_admission" -> streamDedupAdmission _
   )
 
   private val shinglesSqlDuck = // DuckDB k=3 shingle list (distinct)
@@ -918,8 +1024,52 @@ object Dedup {
         |FROM reach GROUP BY v""".stripMargin,
     "dedup_incremental" -> incrementalOracle,
     // identical relation: the bucketed corpus index is a layout choice
-    "dedup_incremental_bucketed" -> incrementalOracle
+    "dedup_incremental_bucketed" -> incrementalOracle,
+    // sequential replay of the three admission stages as chained CTEs:
+    // stage k's corpus = the base corpus plus every EARLIER admission
+    "stream_dedup_admission" -> admissionOracle
   )
+
+  /** The streaming-admission oracle: three chained stages over the
+    * shared shingle/signature/band CTEs. Stage k admits sub-batch k
+    * against the corpus plus stages < k's admissions — the exact
+    * sequential semantics the foreachBatch loop executes. */
+  private lazy val admissionOracle: String = {
+    def stage(k: Int, admittedPred: String): String =
+      s"""cand$k AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |  WHERE a.is_batch AND a.sub = $k AND (NOT b.is_batch$admittedPred)),
+        |ver$k AS (SELECT batch_id,
+        |    2 * len(list_intersect(x.shs, y.shs)) >= len(list_distinct(x.shs || y.shs)) AS dup
+        |  FROM cand$k JOIN sh x ON x.doc_id = batch_id JOIN sh y ON y.doc_id = corpus_id),
+        |agg$k AS (SELECT batch_id, count(*) AS n_cand,
+        |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM ver$k GROUP BY batch_id),
+        |res$k AS (SELECT d.doc_id AS batch_id, CAST($k AS INTEGER) AS sub_batch,
+        |    coalesce(n_cand, 0) AS n_cand, coalesce(n_dup, 0) AS n_dup,
+        |    coalesce(n_dup, 0) = 0 AS admit
+        |  FROM sh d LEFT JOIN agg$k ON agg$k.batch_id = d.doc_id
+        |  WHERE d.is_batch AND d.sub = $k),
+        |adm$k AS (SELECT batch_id FROM res$k WHERE admit)""".stripMargin
+    s"""WITH sh AS (SELECT doc_id,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20' AS is_batch,
+      |    ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) % 3 AS sub,
+      |    $shinglesSqlDuck AS shs FROM documents),
+      |sig AS (SELECT doc_id, is_batch, sub, shs,
+      |  [list_min([substr(md5(s::VARCHAR || ':' || x), 1, 8) FOR x IN shs]) FOR s IN range(0, 16)] AS sigs
+      |  FROM sh),
+      |bands AS (SELECT doc_id, is_batch, sub, b AS band_id,
+      |  sigs[4*b+1] || sigs[4*b+2] || sigs[4*b+3] || sigs[4*b+4] AS band_key
+      |  FROM sig, unnest(range(0, 4)) t(b)),
+      |${stage(0, "")},
+      |${stage(1, " OR b.doc_id IN (SELECT batch_id FROM adm0)")},
+      |${stage(2,
+        " OR b.doc_id IN (SELECT batch_id FROM adm0)" +
+        " OR b.doc_id IN (SELECT batch_id FROM adm1)")}
+      |SELECT * FROM res0 UNION ALL SELECT * FROM res1
+      |UNION ALL SELECT * FROM res2""".stripMargin
+  }
 
   private lazy val incrementalOracle: String =
     s"""WITH sh AS (SELECT doc_id,

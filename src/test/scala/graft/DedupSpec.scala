@@ -337,6 +337,40 @@ class DedupSpec extends AnyFunSuite {
     assert(bucketed === verdict)
   }
 
+  test("streaming admission: an earlier admission refuses its later twin") {
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def isBatch(id: Long) = md5hex(id.toString).substring(0, 2) < "20"
+    def sub(id: Long) = md5hex(id.toString).charAt(2).toInt % 3
+    // hash-mine ids for the roles the fixture needs
+    val ids = (1L to 20000L)
+    val early = ids.find(i => isBatch(i) && sub(i) == 0).get
+    val late = ids.find(i => isBatch(i) && sub(i) == 2 && i != early).get
+    val lone = ids.find(i => isBatch(i) && sub(i) == 1 && i != early && i != late).get
+    val corpusId = ids.find(i => !isBatch(i)).get
+    val docs = Seq(
+      (early, base, "s0"),      // stream sub-batch 0: novel -> admitted
+      (late, base, "s0"),       // sub-batch 2: twin of an ADMISSION -> refused
+      (lone, "columnar engines vectorize scan filters while shuffle exchanges hash partition rows between stages", "s0"), // sub-batch 1: novel -> admitted
+      (corpusId, unrelated, "s0")      // pre-existing corpus
+    ).toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_admit_spec")
+    docs.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val r = Dedup.streamDedupAdmission(spark, tmp.toString).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getLong(2), x.getLong(3), x.getBoolean(4))))
+      .toMap
+    assert(r.keySet === Set(early, late, lone))
+    assert(r(early)._4 === true)          // novel at stage 0
+    assert(r(late) === ((2, 1L, 1L, false))) // collides with the stage-0 ADMISSION
+    assert(r(lone)._4 === true)
+    // the single-shot batch form CANNOT refuse `late`: neither twin
+    // is in the corpus, so batch-vs-corpus admits both
+    val flat = Dedup.dedupIncremental(spark, tmp.toString).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    assert(flat(early) && flat(late))
+  }
+
   test("hot-band cap: mass-duplicated template emits O(b) star pairs, not O(b^2)") {
     // 200 identical docs: every band bucket holds all 200 copies, so
     // the uncapped join emits 200*199/2 pairs from each of the 4

@@ -112,6 +112,43 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     touched
   }
 
+  /** OPTIMIZE: coalesce fragmented buckets into one file each.
+    * `mergeInto` writes a touched bucket from whatever tasks hold its
+    * rows, so a bucket rewritten under `spark.sql.shuffle.partitions`
+    * = P can land as up to P small part-files — and a minutely feed
+    * re-fragments its hot buckets on every merge. At 100 TB that is
+    * the small-files problem that kills scan throughput (per-file
+    * open/footer cost) and pushes the file listing itself into the
+    * driver's time budget. Compaction is the standard lakehouse
+    * answer (Delta/Iceberg OPTIMIZE): rewrite each bucket whose dir
+    * holds more than `maxFilesPerBucket` files into a single file —
+    * one hash repartition on the bucket id puts each bucket's rows in
+    * exactly one task, so `partitionBy` emits exactly one file per
+    * bucket dir — then repoint ONLY those buckets in one atomic
+    * manifest swap. Readers are never blocked (they resolve through
+    * MANIFEST), superseded dirs are dead and `vacuum` sweeps them;
+    * content is untouched — compaction is physical, not semantic.
+    * Runs under the same single-writer lease as the merge loop.
+    * Returns the compacted bucket ids. */
+  def compact(spark: SparkSession, maxFilesPerBucket: Int = 1): Seq[Int] = {
+    val m = manifest
+    val frag = m.toSeq.sortBy(_._1).filter { case (_, rel) =>
+      PartitionedTable.listDir(dir.resolve(rel))
+        .count(_.getFileName.toString.endsWith(".parquet")) > maxFilesPerBucket
+    }.map(_._1)
+    if (frag.isEmpty) return Nil
+    val commit = nextCommit(m)
+    val commitRel = s"commits/c$commit"
+    readBuckets(spark, frag)
+      .withColumn("__b", bucketExpr)
+      .repartition(frag.size, col("__b")) // all of a bucket -> one task
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__b")
+      .parquet(dir.resolve(commitRel).toString)
+    writeManifest(m ++ frag.map(b => b -> s"$commitRel/__b=$b"))
+    frag
+  }
+
   /** GC: delete bucket-version dirs no longer referenced by MANIFEST,
     * then commit dirs left empty. A minutely feed writes one commit
     * per merge; without this, superseded bucket versions accumulate

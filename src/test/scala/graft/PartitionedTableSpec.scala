@@ -96,6 +96,38 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(t.read(spark).count() === 40)
   }
 
+  test("compact coalesces fragmented buckets to one file each; content identical") {
+    val dir = Files.createTempDirectory("graft_pt_compact")
+    val t = new PartitionedTable(dir, "id", nBuckets = 4)
+    // a wide merge: each bucket's rows arrive from many shuffle tasks,
+    // so bucket dirs hold multiple small part-files
+    val base = (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v").repartition(16)
+    t.mergeInto(spark, base)
+    def filesOf(rel: String): Int =
+      java.nio.file.Files.list(dir.resolve(rel)).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).count().toInt
+    val before = t.manifest
+    assert(before.values.exists(filesOf(_) > 1)) // fragmentation exists
+    val contentBefore = t.read(spark).collect().toSet
+
+    val compacted = t.compact(spark)
+    assert(compacted.nonEmpty)
+    val after = t.manifest
+    // every compacted bucket: repointed and now exactly one file
+    compacted.foreach { b =>
+      assert(after(b) !== before(b))
+      assert(filesOf(after(b)) === 1)
+    }
+    // non-fragmented buckets keep their dirs untouched
+    (before.keySet -- compacted).foreach(b => assert(after(b) === before(b)))
+    // physical only: same rows, and a second compact is a no-op
+    assert(t.read(spark).collect().toSet === contentBefore)
+    assert(t.compact(spark) === Nil)
+    // superseded fragmented dirs are dead -> vacuum sweeps them
+    assert(t.vacuum() >= compacted.size)
+    assert(t.read(spark).collect().toSet === contentBefore)
+  }
+
   test("manifest without the format marker is rejected with an explicit layout error") {
     val dir = Files.createTempDirectory("graft_pt_old")
     val t = new PartitionedTable(dir, "id", nBuckets = 2)

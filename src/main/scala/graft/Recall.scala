@@ -79,7 +79,15 @@ object Recall {
   }
 
   private case class MethodRun(name: String, corpus: DataFrame,
-      probes: Map[Long, Seq[Long]], int8: Boolean)
+      probes: Map[Long, Seq[Long]], int8: Boolean, pq: Boolean = false,
+      // residual-PQ constant term per (query, probed cell):
+      // dot(q, cell centroid)
+      qcdot: Map[(Long, Long), Double] = Map.empty,
+      // top-k depth to keep from this run's ranking; > 10 marks an
+      // ADC-shortlist run whose exact re-rank makes recall@k =
+      // |shortlist ∩ exact-top-k| / k (an exact re-ranked member of
+      // the true top-k always survives the shortlist's own top-k)
+      k: Int = 10)
 
   /** Distributed candidate join + top-k for one method: corpus rows
     * meet the tiny broadcast probe table on cell id, scored float
@@ -89,14 +97,21 @@ object Recall {
   private def annTopk(s: SparkSession, m: MethodRun, qfeat: DataFrame,
       k: Int): (Array[(Long, Long, Int)], Long) = {
     import s.implicits._
-    val probeDf = m.probes.toSeq
-      .flatMap { case (qid, cells) => cells.map(c => (qid, c)) }
-      .toDF("query_id", "qcell")
+    val probeDf =
+      if (m.pq) m.probes.toSeq
+        .flatMap { case (qid, cells) => cells.map(c =>
+          (qid, c, m.qcdot((qid, c)))) }
+        .toDF("query_id", "qcell", "qcdot")
+      else m.probes.toSeq
+        .flatMap { case (qid, cells) => cells.map(c => (qid, c)) }
+        .toDF("query_id", "qcell")
     val joined = m.corpus.join(
       broadcast(probeDf.join(qfeat, "query_id")),
       col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
     val score: Column =
-      if (m.int8) Similarity.cosQ(graft.functions.DotI8.dotI8(col("cq"), col("qq")))
+      if (m.pq) round(col("qcdot") +
+        Similarity.adcCol(col("lut"), col("codes")), 4)
+      else if (m.int8) Similarity.cosQ(graft.functions.DotI8.dotI8(col("cq"), col("qq")))
       else round(Similarity.dot(col("qv"), col("embedding")), 4)
     val nCand = joined.count()
     val w = Window.partitionBy(col("query_id"))
@@ -127,12 +142,24 @@ object Recall {
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => (r.getLong(0), Similarity.collectVector(r, 1)))
 
-    // query features once: float vector + int8 codes via the SAME
-    // Spark expressions the operators use
+    // query features once: float vector + int8 codes + PQ ADC lookup
+    // table, via the SAME Spark expressions / driver folds the
+    // operators use
     val (qsc, qq) = Similarity.quantizeCols(col("embedding"))
+    val pqCb = Similarity.pqCodebook(s, d)
+    val lutDf = s.createDataFrame(
+      s.sparkContext.parallelize(queries.toSeq.map { case (qid, qv) =>
+        org.apache.spark.sql.Row(qid, Similarity.pqLut(qv, pqCb)) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lut",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
     val qfeat = e.filter(col("vec_id") < nq)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         qsc.as("q_scale"), qq.as("qq"))
+      .join(lutDf, Seq("query_id"))
       .cache()
 
     // ---- exact ground truth: brute-force float top-10 ----------------
@@ -179,6 +206,29 @@ object Recall {
     val (csc, cq) = Similarity.quantizeCols(col("embedding"))
     val cellsInt8 = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
       csc.as("c_scale"), cq.as("cq"))
+    // residual-PQ corpus: codes over (x - cell centroid), the
+    // centroid table broadcast-joined exactly as in simIvfPq
+    val centMap = cents.toMap
+    val centDf = s.createDataFrame(
+      s.sparkContext.parallelize(cents.toSeq.map { case (id, cv) =>
+        org.apache.spark.sql.Row(id, cv.toSeq) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cent_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val cellsPq = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
+        col("embedding"))
+      .join(broadcast(centDf), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        Similarity.pqCodesCol(pqCb)(
+          Similarity.residCol(col("embedding"), col("cv"))).as("codes"))
+    def pqQcdot(np: Int): Map[(Long, Long), Double] =
+      queries.flatMap { case (qid, qv) =>
+        imiProbes(qv, supers, groups, np).map(cell =>
+          (qid, cell) -> Similarity.dotD(qv, centMap(cell)))
+      }.toMap
     val buckets = e.select(col("vec_id"),
       Similarity.bucketOf(planes)(col("embedding")).as("cell"), col("embedding"))
     val served = Similarity.bucketedIndexTable(s, d) // (vec_id, cell, c_scale, cq)
@@ -201,12 +251,26 @@ object Recall {
       MethodRun("sim_ivf_imi_ma@np2", cellsMa, probesOf(imiProbes(_, supers, groups, 2)), int8 = false),
       MethodRun("sim_ivf_int8@np1", cellsInt8, probesOf(imiProbes(_, supers, groups, 1)), int8 = true),
       MethodRun("sim_ivf_int8@np2", cellsInt8, probesOf(imiProbes(_, supers, groups, 2)), int8 = true),
-      MethodRun("sim_ivf_int8_bucketed@np1", served, probesOf(imiProbes(_, supers, groups, 1)), int8 = true))
+      MethodRun("sim_ivf_int8_bucketed@np1", served, probesOf(imiProbes(_, supers, groups, 1)), int8 = true),
+      // PQ pays 8 bytes/vector (vs 64 int8): same routing, ADC scores —
+      // the @npN rows against sim_ivf_imi@npN / sim_ivf_int8@npN are
+      // the measured quality price of the 8x/16x byte cut
+      MethodRun("sim_ivf_pq@np1", cellsPq, probesOf(imiProbes(_, supers, groups, 1)), int8 = false, pq = true, qcdot = pqQcdot(1)),
+      MethodRun("sim_ivf_pq@np2", cellsPq, probesOf(imiProbes(_, supers, groups, 2)), int8 = false, pq = true, qcdot = pqQcdot(2)),
+      MethodRun("sim_ivf_pq@np4", cellsPq, probesOf(imiProbes(_, supers, groups, 4)), int8 = false, pq = true, qcdot = pqQcdot(4)),
+      // the production two-stage serve: ADC top-R shortlist + exact
+      // re-rank (recall measured as shortlist containment)
+      MethodRun("sim_ivf_pq_rerank@np1", cellsPq, probesOf(imiProbes(_, supers, groups, 1)), int8 = false, pq = true, qcdot = pqQcdot(1), k = Similarity.PqRerankR),
+      MethodRun("sim_ivf_pq_rerank@np2", cellsPq, probesOf(imiProbes(_, supers, groups, 2)), int8 = false, pq = true, qcdot = pqQcdot(2), k = Similarity.PqRerankR))
 
     val results = runs.map { m =>
-      val (top, nCand) = annTopk(s, m, qfeat, 10)
-      val got5 = top.filter(_._3 <= 5).map(t => (t._1, t._2)).toSet
-      val got10 = top.map(t => (t._1, t._2)).toSet
+      val (top, nCand) = annTopk(s, m, qfeat, m.k)
+      val ids = top.map(t => (t._1, t._2)).toSet
+      // shortlist runs (k > 10): recall = containment of the exact
+      // top-k in the shortlist (see MethodRun.k)
+      val got5 =
+        if (m.k > 10) ids else top.filter(_._3 <= 5).map(t => (t._1, t._2)).toSet
+      val got10 = ids
       MethodResult(m.name,
         (exact5 & got5).size.toDouble / exact5.size,
         (exact10 & got10).size.toDouble / exact10.size,

@@ -28,6 +28,7 @@ object Cleanup {
       n
     }
     c(Similarity.indexTables) + c(Similarity.centroidCache) + c(Similarity.twoLevelCache) +
+      c(Similarity.pqCbCache) +
       c(Dedup.bandTables) + c(Layout.layoutDirs) +
       c(Spatial.statsCache) + c(TextAnalysis.vocabCache) + c(TextAnalysis.bitsCache)
   }

@@ -149,7 +149,10 @@ object TextAnalysis {
     // Inner join ≡ the candidate semi-join ((source, tok) is unique on
     // the candidate side) but lets n_total/n_cand ride along; they are
     // functionally dependent on source, so grouping by them is free.
-    val exact = toks.join(cands, Seq("source", "tok"))
+    // cands is provably tiny (<= m rows per source): broadcast it so
+    // the corpus-sized token explode never shuffles on (source, tok) —
+    // explicit rather than left to AQE's runtime size estimate
+    val exact = toks.join(broadcast(cands), Seq("source", "tok"))
       .groupBy(col("source"), col("tok"), col("n_total"), col("n_cand"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("tok").asc)

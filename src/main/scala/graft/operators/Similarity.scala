@@ -789,12 +789,19 @@ object Similarity {
   private[graft] def residCol(v: Column, cv: Column): Column =
     zip_with(v, cv, (x, c) => x.cast(DoubleType) - c.cast(DoubleType))
 
-  /** PQ encode as a NARROW projection over the inlined flat codebook
-    * (the LSH-planes pattern — zero shuffle, no join to any codebook
-    * table): per subspace, the argmin-L2 sub-centroid index with a
-    * first-index tie-break (`array_position` of the min). In-order
-    * double folds keep it bit-equal to the DuckDB mirror. */
-  private[graft] def pqCodesCol(cb: Array[Array[Double]])(v: Column): Column = {
+  /** PQ encode as a NARROW projection — the native `pq_encode`
+    * kernel: per subspace, the argmin-L2 sub-centroid index with a
+    * first-index tie-break, codebook shipped as one reference object
+    * (zero shuffle, no join to any codebook table — the LSH-planes
+    * pattern). Value-equal to `pqCodesHof`, the portable HOF form the
+    * DuckDB oracle mirrors (PqSpec asserts bit-equality). */
+  private[graft] def pqCodesCol(cb: Array[Array[Double]])(v: Column): Column =
+    graft.functions.PqEncode.encode(v, cb.flatten, PqM, PqK, PqSub)
+
+  /** The portable HOF reference form of `pqCodesCol` (interpreted
+    * lambdas over the inlined flat-codebook literal — kept as the
+    * spec's cross-check twin of the oracle SQL). */
+  private[graft] def pqCodesHof(cb: Array[Array[Double]])(v: Column): Column = {
     val cbLit = typedlit(cb.flatten.toSeq)
     transform(sequence(lit(0), lit(PqM - 1)), m => {
       val dists = array((0 until PqK).map { j =>

@@ -143,6 +143,43 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native pq_encode equals the portable HOF form bit-for-bit on real residuals") {
+    import graft.operators.Similarity
+    val d = "/root/testdata/sf0.001"
+    val cb = Similarity.pqCodebook(spark, d)
+    val centDf = {
+      val cents = Similarity.collectCentroids(spark, d)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(cents.toSeq.map { case (id, cv) =>
+          org.apache.spark.sql.Row(id, cv.toSeq) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cent_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+    }
+    val resid = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        Similarity.imiCellOf(spark, d)(col("embedding")).as("cell"),
+        col("embedding"))
+      .join(broadcast(centDf), col("cell") === col("cent_id"))
+      .select(col("vec_id"),
+        Similarity.residCol(col("embedding"), col("cv")).as("rv"))
+    val both = resid.select(col("vec_id"),
+      Similarity.pqCodesCol(cb)(col("rv")).as("native"),
+      Similarity.pqCodesHof(cb)(col("rv")).as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Byte](1) === r.getSeq[Byte](2), s"vec ${r.getLong(0)}")
+    }
+    // null discipline: NULL residual -> NULL codes
+    val nullRow = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS rv")
+      .select(Similarity.pqCodesCol(cb)(col("rv"))).collect()
+    assert(nullRow(0).isNullAt(0))
+    graft.operators.Cleanup.dropAll(spark)
+  }
+
   test("space_saving serde survives control characters in keys") {
     // keys containing the old US/RS sentinels must round-trip
     // the shuffle-serialized buffer intact (length-prefixed binary)

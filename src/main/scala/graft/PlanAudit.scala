@@ -124,6 +124,11 @@ object PlanAudit {
     Check("sim_ivf_int8_bucketed", "index-aligned probe: corpus side never exchanges", "ABSENT:REGEX:hashpartitioning\\(cell",
       "with broadcast off, the probe equi-join clusters on cell — which the bucketBy(cell) layout already satisfies, so only the tiny query side shuffles; the index is written once and served forever without moving",
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("sim_ivf_pq_bucketed", "PQ serve scan reads the 8-byte codes only", "REGEX:ReadSchema: struct<vec_id:bigint,cell:bigint,codes",
+      "the SAME bucketBy(cell) index serves every code family: the PQ path column-prunes to (vec_id, cell, codes) — 8 bytes of payload per vector, no float or int8 column read, no assignment or encoding at serve time"),
+    Check("sim_ivf_pq_bucketed", "PQ probe: corpus side never exchanges", "ABSENT:REGEX:hashpartitioning\\(cell",
+      "the ADC probe join clusters on cell, already satisfied by the index bucketing — only the tiny query LUT table moves",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
     Check("text_surprisal", "corpus-side scoring is a narrow projection", "ABSENT:REGEX:hashpartitioning\\(",
       "below the approx_count_distinct vocabulary gate the frequency table is collected once and applied as a literal map: the scored corpus never hash-shuffles (the wordcount runs eagerly as its own bounded job)"),
     Check("text_surprisal", "over-threshold vocab downgrades to the join form", "REGEX:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",

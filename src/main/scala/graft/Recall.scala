@@ -261,7 +261,10 @@ object Recall {
       // the production two-stage serve: ADC top-R shortlist + exact
       // re-rank (recall measured as shortlist containment)
       MethodRun("sim_ivf_pq_rerank@np1", cellsPq, probesOf(imiProbes(_, supers, groups, 1)), int8 = false, pq = true, qcdot = pqQcdot(1), k = Similarity.PqRerankR),
-      MethodRun("sim_ivf_pq_rerank@np2", cellsPq, probesOf(imiProbes(_, supers, groups, 2)), int8 = false, pq = true, qcdot = pqQcdot(2), k = Similarity.PqRerankR))
+      MethodRun("sim_ivf_pq_rerank@np2", cellsPq, probesOf(imiProbes(_, supers, groups, 2)), int8 = false, pq = true, qcdot = pqQcdot(2), k = Similarity.PqRerankR),
+      MethodRun("sim_ivf_pq_bucketed@np1",
+        served.select(col("vec_id"), col("cell"), col("codes")),
+        probesOf(imiProbes(_, supers, groups, 1)), int8 = false, pq = true, qcdot = pqQcdot(1)))
 
     val results = runs.map { m =>
       val (top, nCand) = annTopk(s, m, qfeat, m.k)
@@ -302,6 +305,8 @@ object Recall {
       val (results, corpusN, imiParity) = run(spark, d, nq)
       val int8Np1 = results.find(_.name == "sim_ivf_int8@np1").get.topk
       val servedEq = results.find(_.name == "sim_ivf_int8_bucketed@np1").get.topk == int8Np1
+      val servedPqEq = results.find(_.name == "sim_ivf_pq_bucketed@np1").get.topk ==
+        results.find(_.name == "sim_ivf_pq@np1").get.topk
       val ms = results.map { r =>
         // probe_fraction = share of the corpus a query actually scores;
         // it is also the EXPECTED recall of probing the same share
@@ -318,7 +323,8 @@ object Recall {
       results.foreach(r => println(
         f"[recall] $tier ${r.name}%-28s r@5=${r.recallAt5}%.3f r@10=${r.recallAt10}%.3f cand/q=${r.avgCandidates}%.1f lift=${r.recallAt10 / (r.avgCandidates / (corpusN - 1).toDouble)}%.1f"))
       s""""$tier":{"corpus_n":$corpusN,"imi_np1_parity":$imiParity,""" +
-        s""""bucketed_matches_int8_np1":$servedEq,"methods":{$ms}}"""
+        s""""bucketed_matches_int8_np1":$servedEq,""" +
+        s""""bucketed_matches_pq_np1":$servedPqEq,"methods":{$ms}}"""
     }.mkString(",")
     val json = s"""{"metric":"ann_recall","n_queries":$nq,"k_exact":10,""" +
       s""""ground_truth":"exact float cosine top-10 (simTopk semantics)","tiers":{$tiers}}"""

@@ -854,46 +854,65 @@ object Similarity {
 
   /** The shared ADC-scored candidate relation (query_id, vec_id,
     * cell, adc_r) both PQ forms rank. */
-  private def simIvfPqAdcScored(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
+  /** Query-side PQ serve table: cell via the shipped expression, LUT
+    * + the query-to-centroid dot (the constant term of the residual
+    * decomposition dot(q,x) = dot(q,c) + dot(q,res)) on the driver —
+    * tiny, broadcast by every PQ serve path. */
+  private def pqQueryTable(s: SparkSession, d: String): DataFrame = {
     val cb = pqCodebook(s, d)
-    val cellOf = imiCellOf(s, d) _
-    val cents = collectCentroids(s, d)
-    val centMap = cents.toMap
-    // index build: cell assignment, then residual codes against the
-    // cell centroid (small centroid table broadcast-joined — at 100 TB
-    // this is write-once ETL like the bucketed int8 index)
-    val centDf = s.createDataFrame(
-      s.sparkContext.parallelize(cents.toSeq.map { case (id, cv) =>
-        org.apache.spark.sql.Row(id, cv.toSeq) }, 1),
-      StructType(Seq(StructField("cent_id", LongType),
-        StructField("cv", ArrayType(FloatType)))))
-    val codes = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
-        col("embedding"))
-      .join(broadcast(centDf), col("cell") === col("cent_id"))
-      .select(col("vec_id"), col("cell"),
-        pqCodesCol(cb)(residCol(col("embedding"), col("cv"))).as("codes"))
-    // query side: cell via the shipped expression, then LUT + the
-    // query-to-centroid dot (the constant term of the residual
-    // decomposition dot(q,x) = dot(q,c) + dot(q,res)) on the driver
-    val qRows = e.filter(col("vec_id") < 3)
+    val centMap = collectCentroids(s, d).toMap
+    val qRows = embeddings(s, d).filter(col("vec_id") < 3)
       .select(col("vec_id"), col("embedding"),
-        cellOf(col("embedding")).as("qcell")).collect()
+        imiCellOf(s, d)(col("embedding")).as("qcell")).collect()
       .map { r =>
         val qv = collectVector(r, 1); val qcell = r.getLong(2)
         org.apache.spark.sql.Row(r.getLong(0), qcell,
           pqLut(qv, cb), dotD(qv, centMap(qcell)))
       }
-    val qcells = s.createDataFrame(
+    s.createDataFrame(
       s.sparkContext.parallelize(qRows.toSeq, 1),
       StructType(Seq(StructField("query_id", LongType),
         StructField("qcell", LongType),
         StructField("lut", ArrayType(DoubleType)),
         StructField("qcdot", DoubleType))))
+  }
+
+  private def pqAdcScoredOver(codes: DataFrame, qcells: DataFrame): DataFrame =
     codes.join(broadcast(qcells),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cell"),
         round(col("qcdot") + adcCol(col("lut"), col("codes")), 4).as("adc_r"))
+
+  private def simIvfPqAdcScored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cb = pqCodebook(s, d)
+    val cellOf = imiCellOf(s, d) _
+    // recompute-everything form: cell assignment, then residual codes
+    // against the cell centroid (small centroid table broadcast-
+    // joined); the persisted form reads the same codes from the
+    // bucketed index instead
+    val codes = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
+        col("embedding"))
+      .join(broadcast(centroidDf(s, d)), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        pqCodesCol(cb)(residCol(col("embedding"), col("cv"))).as("codes"))
+    pqAdcScoredOver(codes, pqQueryTable(s, d))
+  }
+
+  /** The persisted-index PQ serve: codes come from the SAME
+    * bucketBy(cell) index table the int8 path reads (each family
+    * column-prunes to its own codes), so the corpus side of the probe
+    * join is materialized, clustered by cell, and exchange-free — no
+    * assignment, no residual, no encoding at serve time. Same
+    * relation and oracle as `sim_ivf_pq`: the index is a layout
+    * choice, not a semantic one. */
+  def simIvfPqBucketed(s: SparkSession, d: String): DataFrame = {
+    val idx = bucketedIndexTable(s, d).select(col("vec_id"), col("cell"), col("codes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_r").desc, col("vec_id").asc)
+    pqAdcScoredOver(idx, pqQueryTable(s, d))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
   }
 
   /** ADC shortlist size before the exact re-rank (10× the served k —
@@ -960,16 +979,33 @@ object Similarity {
     * at write time; every serve run reads materialized codes already
     * clustered by cell, so the corpus side of the probe join never
     * exchanges and never re-runs assignment or quantization. */
+  /** The small centroid table (cent_id, cv) as a broadcastable DF —
+    * the join side of residual computation at index-build time. */
+  private[graft] def centroidDf(s: SparkSession, d: String): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.parallelize(collectCentroids(s, d).toSeq.map {
+        case (id, cv) => org.apache.spark.sql.Row(id, cv.toSeq) }, 1),
+      StructType(Seq(StructField("cent_id", LongType),
+        StructField("cv", ArrayType(FloatType)))))
+
   private[graft] def bucketedIndexTable(s: SparkSession, d: String): DataFrame = {
     val (bt, _) = indexTables.computeIfAbsent((s, d), _ => {
       val wh = java.nio.file.Files.createTempDirectory("graft_ivfidx")
       val name = "ivf_index_" + wh.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "_")
       val cellOf = imiCellOf(s, d) _
       val (csc, cq) = quantizeCols(col("embedding"))
+      val cb = pqCodebook(s, d)
       val e = embeddings(s, d)
       val nb = derivedBuckets(s, e.count(), "spark.graft.index.buckets")
+      // ONE index layout serves every code family: int8 codes for
+      // exact-integer scoring AND the 8-byte PQ codes (residuals
+      // against the broadcast centroid table) — each serve path
+      // column-prunes to the codes it reads
       e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
-          csc.as("c_scale"), cq.as("cq"))
+          csc.as("c_scale"), cq.as("cq"), col("embedding"))
+        .join(broadcast(centroidDf(s, d)), col("cell") === col("cent_id"))
+        .select(col("vec_id"), col("cell"), col("c_scale"), col("cq"),
+          pqCodesCol(cb)(residCol(col("embedding"), col("cv"))).as("codes"))
         .write.mode("overwrite")
         .bucketBy(nb, "cell").sortBy("cell")
         .option("path", wh.resolve("index").toString).saveAsTable(name)
@@ -1093,6 +1129,7 @@ object Similarity {
     "sim_ivf_imi" -> simIvfImi _,
     "sim_ivf_imi_ma" -> simIvfImiMa _,
     "sim_ivf_pq" -> simIvfPq _,
+    "sim_ivf_pq_bucketed" -> simIvfPqBucketed _,
     "sim_ivf_pq_rerank" -> simIvfPqRerank _,
     "sim_ivf_nprobe" -> ((s: SparkSession, d: String) => simIvfNprobe(s, d))
   )
@@ -1266,6 +1303,16 @@ object Similarity {
     // add order, so the rounded score round(qcdot + adc, 4) is
     // bit-equal
     "sim_ivf_pq" ->
+      s"""WITH $pqScoredCteSql
+        |SELECT query_id, vec_id, cell, adc_r, rnk FROM (
+        |  SELECT query_id, vec_id, cell, adc_r,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_r DESC, vec_id ASC) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 5""".stripMargin,
+    // identical semantics — the bucketed index is a physical layout,
+    // so the persisted-PQ serve must hash-match the same oracle
+    "sim_ivf_pq_bucketed" ->
       s"""WITH $pqScoredCteSql
         |SELECT query_id, vec_id, cell, adc_r, rnk FROM (
         |  SELECT query_id, vec_id, cell, adc_r,

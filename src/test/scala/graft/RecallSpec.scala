@@ -78,8 +78,9 @@ class RecallSpec extends AnyFunSuite {
     assert(m("sim_ivf_imi_ma@np2").recallAt10 >= m("sim_ivf_imi_ma@np1").recallAt10)
     // int8 scoring costs little recall on top of the routing
     assert(m("sim_ivf_int8@np1").recallAt10 >= m("sim_ivf_imi@np1").recallAt10 - 0.07)
-    // the persisted serve layout is the same index, bit-identically
+    // the persisted serve layouts are the same index, bit-identically
     assert(m("sim_ivf_int8_bucketed@np1").topk === m("sim_ivf_int8@np1").topk)
+    assert(m("sim_ivf_pq_bucketed@np1").topk === m("sim_ivf_pq@np1").topk)
     // multiprobe LSH dominates single-bucket LSH
     assert(m("sim_ann_lsh_multiprobe@p9").recallAt10 >= m("sim_ann_lsh@p1").recallAt10)
     // IVF-PQ: pure ADC at 0.5 bits/dim CANNOT order near-equidistant

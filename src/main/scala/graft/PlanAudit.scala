@@ -145,7 +145,31 @@ object PlanAudit {
       "the candidate join clusters on the band keys; the bucketBy(band_key) layout already satisfies it for the corpus scan, so the plan carries exactly ONE band exchange — the small fresh-batch side moving to the data",
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
     Check("dedup_minhash_lsh_capped", "hot-band list broadcasts to flag band rows", "REGEX:BroadcastHashJoin.*LeftOuter|LeftOuter, BuildRight",
-      "the over-cap bucket list is data-derived and tiny (<= 4n/cap keys), so it broadcasts to split the band table into cold (exact all-pairs) and hot (O(b) star-pair) branches — a mass-duplicated template costs linear candidates instead of quadratic"))
+      "the over-cap bucket list is data-derived and tiny (<= 4n/cap keys), so it broadcasts to split the band table into cold (exact all-pairs) and hot (O(b) star-pair) branches — a mass-duplicated template costs linear candidates instead of quadratic"),
+    Check("join_bbox_auto", "optimizer rewrites the naive theta join to grid cells", "graft_cx",
+      "users write the declarative overlap join; GridBboxJoinRule plans it — the exploded cell columns in the optimized plan are the rewrite's signature",
+      conf = Map(graft.plans.GridBboxJoinRule.SkipBytesKey -> "0")),
+    Check("join_bbox_auto", "no nested loop after rewrite", "ABSENT:REGEX:BroadcastNestedLoopJoin|CartesianProduct",
+      "the naive form would plan as an O(n*m) nested loop over two fact tables; after the rewrite no nested-loop node survives at any broadcast setting",
+      conf = Map(graft.plans.GridBboxJoinRule.SkipBytesKey -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("join_bbox_auto", "rewritten join shuffles on cells", "REGEX:SortMergeJoin|ShuffledHashJoin",
+      "with broadcast off the rewritten candidates meet in a cell-keyed shuffle equi-join — identical physical shape to the hand-built join_bbox_grid",
+      conf = Map(graft.plans.GridBboxJoinRule.SkipBytesKey -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("join_band_auto", "optimizer blocks the BETWEEN join on cells", "graft_pcell",
+      "the point-in-interval (IP-range / price-band lookup) shape: BandJoinRule adds floor(p/w) to the point side and explodes intervals to covered cells — the cell columns are the rewrite's signature",
+      conf = Map(graft.plans.BandJoinRule.SkipBytesKey -> "0",
+        graft.plans.BandJoinRule.CellWidthKey -> "256")),
+    Check("join_band_auto", "no nested loop after rewrite", "ABSENT:REGEX:BroadcastNestedLoopJoin|CartesianProduct",
+      "two fact tables meet on the cell equi-join with the original predicate as verify, never an O(n*m) loop",
+      conf = Map(graft.plans.BandJoinRule.SkipBytesKey -> "0",
+        graft.plans.BandJoinRule.CellWidthKey -> "256",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("join_band_auto", "point side never explodes", "ABSENT:REGEX:Generate.*graft_pcell",
+      "the point side gains its cell as a narrow projection (one row in, one row out) — only the band side explodes, and a point's unique cell makes the rewrite duplicate-free with no reference-cell test",
+      conf = Map(graft.plans.BandJoinRule.SkipBytesKey -> "0",
+        graft.plans.BandJoinRule.CellWidthKey -> "256")))
 
   private var lastPlan: String = ""
 
@@ -182,7 +206,9 @@ object PlanAudit {
         // high density (audited separately as join_bbox_grid_local)
         "join_bbox_grid" ->
           ((s: SparkSession, d: String) =>
-            graft.operators.Spatial.joinBboxGridG(s, d, graft.operators.Spatial.GridDeg)))
+            graft.operators.Spatial.joinBboxGridG(s, d, graft.operators.Spatial.GridDeg)),
+        "join_bbox_auto" -> graft.operators.Spatial.joinBboxAutoPlan _,
+        "join_band_auto" -> graft.operators.Spatial.joinBandAutoPlan _)
     def build(name: String) =
       planOnly.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
     val audited = checks.map(_.query).distinct

@@ -16,8 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * adds the same functions to an existing session's registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(e.injectFunction)
+    e.injectOptimizerRule(s => new graft.plans.GridBboxJoinRule(s))
+    e.injectOptimizerRule(s => new graft.plans.BandJoinRule(s))
+  }
 }
 
 object GraftExtensions {

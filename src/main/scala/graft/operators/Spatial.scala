@@ -596,6 +596,87 @@ object Spatial {
     joinBboxGridLocalG(s, d, chooseGrid(sa, sb))
   }
 
+  /** The OPTIMIZER-planned form of the box×box join: the query is the
+    * NAIVE declarative overlap join — exactly what a reference user
+    * writes and what vanilla Spark plans as a BroadcastNestedLoopJoin —
+    * and [[graft.plans.GridBboxJoinRule]] rewrites it into the grid
+    * equi-join at optimization time (same rewrite `joinBboxGridG`
+    * hand-codes; same oracle as `join_bbox_grid`). The broadcast-skip
+    * guard is lowered to 0 for the demonstration (the test tables fit
+    * under the default 10 MB threshold, where skipping IS the right
+    * call) and eagerly materialized under that setting; GridRuleSpec
+    * asserts the plan shape (no nested-loop node, cells present). */
+  /** Lazy form for the plan audit: rule installed, no conf toggling
+    * (the audit supplies `broadcastSkipBytes=0` per check), no eager
+    * checkpoint — the audited plan is the one the rewrite produces. */
+  def joinBboxAutoPlan(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GridBboxJoinRule.install(s)
+    ordersBbox(s, d).join(customerBbox(s, d),
+        col("min_lon") <= col("c_max_lon") && col("max_lon") >= col("c_min_lon") &&
+        col("min_lat") <= col("c_max_lat") && col("max_lat") >= col("c_min_lat"))
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(lit(1)).as("n_overlaps"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  def joinBboxAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GridBboxJoinRule.install(s)
+    val prev = s.conf.getOption(graft.plans.GridBboxJoinRule.SkipBytesKey)
+    s.conf.set(graft.plans.GridBboxJoinRule.SkipBytesKey, "0")
+    try {
+      joinBboxAutoPlan(s, d).localCheckpoint(true)
+    } finally prev match {
+      case Some(v) => s.conf.set(graft.plans.GridBboxJoinRule.SkipBytesKey, v)
+      case None    => s.conf.unset(graft.plans.GridBboxJoinRule.SkipBytesKey)
+    }
+  }
+
+  /** Deterministic price band per customer (doubles on both engines —
+    * identical IEEE arithmetic, so the theta predicate is bit-equal). */
+  def priceBands(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      (col("c_acctbal") * 40).as("band_lo"),
+      (col("c_acctbal") * 40 + lit(1.0) +
+        (col("c_custkey") % 500).cast(DoubleType)).as("band_hi"))
+
+  /** Lazy form for the plan audit (the audit supplies the cell-width
+    * and broadcast-skip confs per check). */
+  def joinBandAutoPlan(s: SparkSession, d: String): DataFrame = {
+    graft.plans.BandJoinRule.install(s)
+    orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .join(priceBands(s, d),
+        col("o_totalprice") >= col("band_lo") && col("o_totalprice") <= col("band_hi"))
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  /** The optimizer-planned point-in-interval join: the query is the
+    * naive `p BETWEEN lo AND hi` theta join (the IP-range / price-band
+    * lookup shape); [[graft.plans.BandJoinRule]] blocks it on
+    * fixed-width cells at optimization time. Width 256 ≈ the median
+    * band length (the classic blocking optimum); broadcast-skip
+    * lowered to 0 for the demonstration as in [[joinBboxAuto]]. */
+  def joinBandAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.BandJoinRule.install(s)
+    val keys = Seq(graft.plans.BandJoinRule.SkipBytesKey,
+      graft.plans.BandJoinRule.CellWidthKey)
+    val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
+    s.conf.set(graft.plans.BandJoinRule.SkipBytesKey, "0")
+    s.conf.set(graft.plans.BandJoinRule.CellWidthKey, "256")
+    try {
+      joinBandAutoPlan(s, d).localCheckpoint(true)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "filter_clamp_latlon" -> filterClampLatlon _,
     "filter_area" -> filterArea _,
@@ -603,6 +684,8 @@ object Spatial {
     "join_bbox_grid" -> joinBboxGrid _,
     "join_bbox_grid_local" -> joinBboxGridLocal _,
     "join_bbox_top_overlap" -> joinBboxTopOverlap _,
+    "join_bbox_auto" -> joinBboxAuto _,
+    "join_band_auto" -> joinBandAuto _,
     "geom_envelope" -> geomEnvelopeQuery _
   )
 
@@ -658,6 +741,34 @@ object Spatial {
         |FROM b, cb
         |WHERE min_lon <= c_max_lon AND max_lon >= c_min_lon
         |  AND min_lat <= c_max_lat AND max_lat >= c_min_lat
+        |GROUP BY c_custkey""".stripMargin,
+    // the optimizer-rewritten naive join answers the SAME question:
+    // identical theta-join ground truth as the hand-built grid form
+    "join_bbox_auto" ->
+      s"""WITH b AS ($bboxSql),
+        |cb AS (SELECT c_custkey,
+        |  CAST(c_custkey % 340 - 170 AS DOUBLE) AS c_min_lon,
+        |  CAST(c_custkey * 3 % 160 - 80 AS DOUBLE) AS c_min_lat,
+        |  CAST(c_custkey % 340 - 170 + 1 + c_custkey % 9 AS DOUBLE) AS c_max_lon,
+        |  CAST(c_custkey * 3 % 160 - 80 + 1 + c_custkey % 7 AS DOUBLE) AS c_max_lat
+        |FROM customer)
+        |SELECT c_custkey, count(*) AS n_overlaps,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM b, cb
+        |WHERE min_lon <= c_max_lon AND max_lon >= c_min_lon
+        |  AND min_lat <= c_max_lat AND max_lat >= c_min_lat
+        |GROUP BY c_custkey""".stripMargin,
+    // naive point-in-interval theta join; the oracle is the direct
+    // predicate — the cell blocking must be invisible in the result
+    "join_band_auto" ->
+      """WITH pb AS (SELECT c_custkey,
+        |  c_acctbal * 40 AS band_lo,
+        |  c_acctbal * 40 + 1.0 + CAST(c_custkey % 500 AS DOUBLE) AS band_hi
+        |FROM customer)
+        |SELECT c_custkey, count(*) AS n_hits,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders, pb
+        |WHERE o_totalprice >= band_lo AND o_totalprice <= band_hi
         |GROUP BY c_custkey""".stripMargin,
     // the kernel path answers the SAME question: identical theta-join
     // ground truth, so any divergence between the two physical forms

@@ -1047,11 +1047,25 @@ object Similarity {
     * query batch. Same result and oracle as sim_ivf_int8 — the index
     * is a layout choice, not a semantic one; only the QUERY side
     * (3 vectors here) runs the quantizer expressions at serve time. */
-  def simIvfInt8Bucketed(s: SparkSession, d: String): DataFrame = {
+  def simIvfInt8Bucketed(s: SparkSession, d: String): DataFrame =
+    simIvfInt8BucketedFor(s, d, 3)
+
+  private[graft] def simIvfInt8BucketedFor(s: SparkSession, d: String,
+      qBound: Int): DataFrame =
+    int8BucketedProbe(s, d, embeddings(s, d).filter(col("vec_id") < qBound)
+      .select(col("vec_id").as("query_id"), col("embedding")))
+
+  /** One serve probe of a query set against the persisted index: the
+    * QUERY side runs the quantizer expressions, broadcasts into the
+    * bucketed code scan, integer-dot scores, and window-top-5s. Shared
+    * by the batch entry and the streaming serve loop — the loop is
+    * semantically this probe applied per micro-batch. */
+  private def int8BucketedProbe(s: SparkSession, d: String,
+      qset: DataFrame): DataFrame = {
     val idx = bucketedIndexTable(s, d)
     val cellOf = imiCellOf(s, d) _
-    val qcells = embeddings(s, d).filter(col("vec_id") < 3)
-      .select(col("vec_id").as("query_id"), cellOf(col("embedding")).as("qcell"),
+    val qcells = qset
+      .select(col("query_id"), cellOf(col("embedding")).as("qcell"),
         quantizeCols(col("embedding"))._1.as("q_scale"),
         quantizeCols(col("embedding"))._2.as("qq"))
     val qdot = graft.functions.DotI8.dotI8(col("cq"), col("qq"))
@@ -1063,6 +1077,72 @@ object Similarity {
         cosQ(qdot).as("cos_q"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
+  }
+
+  /** ONLINE retrieval — the batch ANN serve run as the production
+    * CONTINUOUS loop: query vectors ARRIVE as a stream (three
+    * hash-defined sub-batches through a file stream,
+    * `maxFilesPerTrigger=1` under `Trigger.AvailableNow` — the §2h
+    * bounded-catch-up harness) and each micro-batch probes the SAME
+    * write-once bucketBy(cell) index the batch path serves from.
+    * Unlike the admission loop there is no growing state: retrieval
+    * is stateless per query, so per-trigger work is exactly one
+    * broadcast probe into the persisted code scan (quantizer runs on
+    * the arriving queries only), and the stream's union equals the
+    * one-shot batch probe over all 12 queries — which is the oracle:
+    * the same SQL as `sim_ivf_int8` widened to the query set, plus
+    * the data-derived sub_batch tag. */
+  def streamAnnServe(s: SparkSession, d: String): DataFrame = {
+    val qs = embeddings(s, d).filter(col("vec_id") < 12)
+      .select(col("vec_id"), col("embedding"),
+        (col("vec_id") % 3).cast(IntegerType).as("sub_batch"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_annserve")
+    try {
+      (0 until 3).foreach { k =>
+        val side = streamDir.resolve(s"side$k")
+        qs.filter(col("sub_batch") === k).coalesce(1)
+          .write.mode("overwrite").parquet(side.toString)
+        val part = java.nio.file.Files.list(side).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val dst = streamDir.resolve(f"queries$k%04d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+      }
+      bucketedIndexTable(s, d) // index is write-once ETL, built before the stream
+      val results = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val stream = s.readStream.schema(qs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString + "/queries*.parquet")
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          val subs = mb.select(col("sub_batch")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          subs.foreach { k =>
+            val qset = mb.filter(col("sub_batch") === k)
+              .select(col("vec_id").as("query_id"), col("embedding"))
+            results += int8BucketedProbe(s, d, qset)
+              .withColumn("sub_batch", lit(k))
+              .localCheckpoint(true)
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (results.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("query_id", LongType),
+            StructField("vec_id", LongType), StructField("cell", LongType),
+            StructField("cos_q", DoubleType), StructField("rnk", IntegerType),
+            StructField("sub_batch", IntegerType))))
+      else results.reduce(_ union _)
+    } finally {
+      val files = java.nio.file.Files.walk(streamDir)
+      try files.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally files.close()
+    }
   }
 
   /** Oracle-checked retrieval-quality gate (r8 VERDICT item 1): the
@@ -1123,6 +1203,7 @@ object Similarity {
     "sim_topk_int8" -> simTopkInt8 _,
     "sim_ivf_int8" -> simIvfInt8 _,
     "sim_ivf_int8_bucketed" -> simIvfInt8Bucketed _,
+    "stream_ann_serve" -> streamAnnServe _,
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_lsh_multiprobe" -> simAnnLshMultiprobe _,
     "sim_ivf" -> simIvf _,
@@ -1153,12 +1234,18 @@ object Similarity {
     * (IMI) assignment via the shared CTE chain, int8 scoring via the
     * shared quantizer CTEs. The bucketed index serve path must
     * hash-match the identical relation — the layout is physical. */
-  private lazy val simIvfInt8OracleSql =
+  private lazy val simIvfInt8OracleSql = int8ServeOracleSql(3, "")
+
+  /** The int8 serve oracle, parameterized over the query-set bound and
+    * optional extra output columns — shared by the batch entries and
+    * the streaming serve loop (whose union over micro-batches equals
+    * the one-shot probe, queries being stateless). */
+  private def int8ServeOracleSql(qBound: Int, extraSelect: String) =
     s"""WITH $imiCellsCteSql,
       |$quantCteSql,
       |qcells AS (SELECT vec_id AS query_id, cell AS qcell
-      |  FROM cells WHERE vec_id < 3)
-      |SELECT query_id, vec_id, cell, cos_q, rnk FROM (
+      |  FROM cells WHERE vec_id < $qBound)
+      |SELECT query_id, vec_id, cell, cos_q, rnk$extraSelect FROM (
       |  SELECT qc.query_id, cells.vec_id, cells.cell,
       |    CASE WHEN cv2.sc = 0 OR qv2.sc = 0 THEN 0.0
       |      ELSE round(CAST(CAST(list_sum(list_transform(range(1, 65),
@@ -1293,6 +1380,11 @@ object Similarity {
     // identical semantics — the bucketed index is a physical layout,
     // so the serve path must hash-match the same oracle
     "sim_ivf_int8_bucketed" -> simIvfInt8OracleSql,
+    // the streaming serve loop's union over micro-batches equals the
+    // one-shot probe over the 12-query set (retrieval is stateless),
+    // plus the data-derived sub_batch tag
+    "stream_ann_serve" -> int8ServeOracleSql(12,
+      ", CAST(query_id % 3 AS INTEGER) AS sub_batch"),
     // IVF-PQ: cells + centroids from the shared IMI CTEs; RESIDUALS
     // against each row's own cell centroid (DOUBLE, element order
     // preserved); sub-codebooks = the PqK md5-smallest vectors'

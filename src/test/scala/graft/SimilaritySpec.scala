@@ -536,4 +536,18 @@ class SimilaritySpec extends AnyFunSuite {
       col("embedding"), lit(supers.length.toLong), groups).as("c")).collect()
     assert(nulls.forall(_.isNullAt(0)))
   }
+
+  test("stream_ann_serve: micro-batch union equals the one-shot probe") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = Similarity.streamAnnServe(spark, d)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(streamed.nonEmpty && streamed.map(_.getInt(5)).distinct.sorted == Seq(0, 1, 2))
+    // retrieval is stateless: the loop's union must equal the batch
+    // probe over the same 12 queries, modulo the sub_batch tag
+    val batch = Similarity.simIvfInt8BucketedFor(spark, d, 12)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4))) ==
+      batch.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4))))
+    streamed.foreach(r => assert(r.getInt(5) == (r.getLong(0) % 3).toInt))
+  }
 }

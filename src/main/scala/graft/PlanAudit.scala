@@ -166,6 +166,15 @@ object PlanAudit {
       conf = Map(graft.plans.BandJoinRule.SkipBytesKey -> "0",
         graft.plans.BandJoinRule.CellWidthKey -> "256",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("join_interval_auto", "optimizer rewrites the 1-D overlap join on one cell axis", "graft_cx",
+      "the temporal/session interval-overlap shape: a single cell dimension blocks both interval sides — one Generate per side, no second axis",
+      conf = Map(graft.plans.GridBboxJoinRule.SkipBytesKey -> "0",
+        graft.plans.GridBboxJoinRule.CellDegKey -> "256")),
+    Check("join_interval_auto", "exactly one cell axis, no nested loop", "ABSENT:REGEX:graft_cy|BroadcastNestedLoopJoin|CartesianProduct",
+      "the 1-D form must not pay a second explode, and the two fact interval tables never meet in an O(n*m) loop",
+      conf = Map(graft.plans.GridBboxJoinRule.SkipBytesKey -> "0",
+        graft.plans.GridBboxJoinRule.CellDegKey -> "256",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")),
     Check("join_band_auto", "point side never explodes", "ABSENT:REGEX:Generate.*graft_pcell",
       "the point side gains its cell as a narrow projection (one row in, one row out) — only the band side explodes, and a point's unique cell makes the rewrite duplicate-free with no reference-cell test",
       conf = Map(graft.plans.BandJoinRule.SkipBytesKey -> "0",
@@ -208,7 +217,8 @@ object PlanAudit {
           ((s: SparkSession, d: String) =>
             graft.operators.Spatial.joinBboxGridG(s, d, graft.operators.Spatial.GridDeg)),
         "join_bbox_auto" -> graft.operators.Spatial.joinBboxAutoPlan _,
-        "join_band_auto" -> graft.operators.Spatial.joinBandAutoPlan _)
+        "join_band_auto" -> graft.operators.Spatial.joinBandAutoPlan _,
+        "join_interval_auto" -> graft.operators.Spatial.joinIntervalAutoPlan _)
     def build(name: String) =
       planOnly.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
     val audited = checks.map(_.query).distinct
@@ -216,8 +226,13 @@ object PlanAudit {
       name -> build(name).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
     }.toMap
-    // post-execution final plans (AQE reveals codegen only after run)
-    val executed: Map[String, String] = audited.map { name =>
+    // post-execution final plans (AQE reveals codegen only after run) —
+    // only for queries an EXECUTED: check actually reads; the rest of
+    // the audit is explain-only (the default-conf form of the
+    // rule-demonstration queries would otherwise RUN as a nested loop)
+    val executedNeeded =
+      checks.filter(_.needle.startsWith("EXECUTED:")).map(_.query).distinct
+    val executed: Map[String, String] = executedNeeded.map { name =>
       val df = build(name)
       df.collect() // finalize this queryExecution's adaptive plan
       name -> df.queryExecution.executedPlan.toString

@@ -633,6 +633,47 @@ object Spatial {
     }
   }
 
+  /** Deterministic price interval per order (doubles on both engines). */
+  def priceIntervals(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      (col("o_totalprice") - lit(1.0) -
+        (col("o_orderkey") % 300).cast(DoubleType)).as("iv_lo"),
+      col("o_totalprice").as("iv_hi"))
+
+  /** Lazy form for the plan audit: the naive 1-D interval-overlap
+    * theta join (`iv_lo <= band_hi && band_lo <= iv_hi`) —
+    * [[graft.plans.GridBboxJoinRule]]'s single-axis shape. */
+  def joinIntervalAutoPlan(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GridBboxJoinRule.install(s)
+    priceIntervals(s, d).join(priceBands(s, d),
+        col("iv_lo") <= col("band_hi") && col("band_lo") <= col("iv_hi"))
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(lit(1)).as("n_overlaps"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  /** The optimizer-planned interval-overlap join (the temporal /
+    * session-overlap shape on a price axis). Cell size 256 ≈ the
+    * median interval length (and a power of two, as the rule
+    * requires); broadcast-skip lowered to 0 as in [[joinBboxAuto]]. */
+  def joinIntervalAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GridBboxJoinRule.install(s)
+    val keys = Seq(graft.plans.GridBboxJoinRule.SkipBytesKey,
+      graft.plans.GridBboxJoinRule.CellDegKey)
+    val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
+    s.conf.set(graft.plans.GridBboxJoinRule.SkipBytesKey, "0")
+    s.conf.set(graft.plans.GridBboxJoinRule.CellDegKey, "256")
+    try {
+      joinIntervalAutoPlan(s, d).localCheckpoint(true)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   /** Deterministic price band per customer (doubles on both engines —
     * identical IEEE arithmetic, so the theta predicate is bit-equal). */
   def priceBands(s: SparkSession, d: String): DataFrame =
@@ -686,6 +727,7 @@ object Spatial {
     "join_bbox_top_overlap" -> joinBboxTopOverlap _,
     "join_bbox_auto" -> joinBboxAuto _,
     "join_band_auto" -> joinBandAuto _,
+    "join_interval_auto" -> joinIntervalAuto _,
     "geom_envelope" -> geomEnvelopeQuery _
   )
 
@@ -769,6 +811,21 @@ object Spatial {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders, pb
         |WHERE o_totalprice >= band_lo AND o_totalprice <= band_hi
+        |GROUP BY c_custkey""".stripMargin,
+    // naive 1-D interval-overlap theta join; direct-predicate oracle
+    "join_interval_auto" ->
+      """WITH iv AS (SELECT o_orderkey,
+        |  o_totalprice - 1.0 - CAST(o_orderkey % 300 AS DOUBLE) AS iv_lo,
+        |  o_totalprice AS iv_hi
+        |FROM orders),
+        |pb AS (SELECT c_custkey,
+        |  c_acctbal * 40 AS band_lo,
+        |  c_acctbal * 40 + 1.0 + CAST(c_custkey % 500 AS DOUBLE) AS band_hi
+        |FROM customer)
+        |SELECT c_custkey, count(*) AS n_overlaps,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM iv, pb
+        |WHERE iv_lo <= band_hi AND band_lo <= iv_hi
         |GROUP BY c_custkey""".stripMargin,
     // the kernel path answers the SAME question: identical theta-join
     // ground truth, so any divergence between the two physical forms

@@ -27,11 +27,13 @@ import org.apache.spark.sql.types._
   * min corner — Patel & DeWitt's PBSM duplicate-avoidance test).
   *
   * Shape matched: an inner join whose condition contains (possibly
-  * among extra conjuncts) four comparisons forming interval overlap
-  * on two axes:
+  * among extra conjuncts) comparisons forming interval overlap on two
+  * axes (box×box) or ONE axis (interval×interval — the temporal /
+  * session-overlap join, with a single cell dimension and no second
+  * Generate):
   *
   *   l_min1 <= r_max1 && r_min1 <= l_max1 &&     -- axis 1
-  *   l_min2 <= r_max2 && r_min2 <= l_max2        -- axis 2
+  *   l_min2 <= r_max2 && r_min2 <= l_max2        -- axis 2 (optional)
   *
   * where every endpoint is a bare numeric column ( `<`/`<=`/`>`/`>=`
   * all accepted; extra conjuncts ride along in the verify). The two
@@ -116,7 +118,9 @@ class GridBboxJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
   private case class Axis(lLo: Attribute, lHi: Attribute,
       rLo: Attribute, rHi: Attribute)
 
-  /** Find the two-axis overlap shape in the condition, or None. */
+  /** Find the overlap shape in the condition: two axes (box×box) or
+    * one axis (interval×interval — the temporal/session overlap join
+    * `l_start <= r_end && r_start <= l_end`). None if ambiguous. */
   private def matchOverlap(left: LogicalPlan, right: LogicalPlan,
       cond: Expression): Option[Seq[Axis]] = {
     // Normalize each range conjunct to (lo, hi) meaning lo ≤/< hi.
@@ -146,8 +150,17 @@ class GridBboxJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
         case _                                  => None // >1 candidate: ambiguous
       }
     }
-    val distinct = axes.flatMap(a => Seq(a.lLo, a.lHi, a.rLo, a.rHi)).distinct
-    if (axes.length == 2 && distinct.length == 8) Some(axes) else None
+    def allDistinct(as: Seq[Axis]) = {
+      val flat = as.flatMap(a => Seq(a.lLo, a.lHi, a.rLo, a.rHi))
+      flat.distinct.length == flat.length
+    }
+    axes match {
+      case Seq(a, b) if allDistinct(Seq(a, b)) => Some(Seq(a, b))
+      // one clean axis with 4 distinct endpoints: the 1-D interval
+      // overlap (a 3-endpoint BETWEEN shape is BandJoinRule's)
+      case Seq(a) if allDistinct(Seq(a))       => Some(Seq(a))
+      case _                                   => None
+    }
   }
 
   private def numeric(a: Attribute): Boolean = a.dataType match {
@@ -157,38 +170,37 @@ class GridBboxJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       cond: Expression, axes: Seq[Axis], g: Double): LogicalPlan = {
-    val Seq(ax1, ax2) = axes
-    val (leftGen, lc1, lc2) = withCells(left, ax1.lLo, ax1.lHi, ax2.lLo, ax2.lHi, g)
-    val (rightGen, rc1, rc2) = withCells(right, ax1.rLo, ax1.rHi, ax2.rLo, ax2.rHi, g)
-    val newCond = And(And(EqualTo(lc1, rc1), EqualTo(lc2, rc2)),
-      And(And(dedup(lc1, ax1.lLo, ax1.rLo, g), dedup(lc2, ax2.lLo, ax2.rLo, g)), cond))
-    Project(j.output, Join(leftGen, rightGen, Inner, Some(newCond), j.hint))
+    val names = Seq("graft_cx", "graft_cy")
+    val (leftGen, lCells) = withCells(left, axes.map(a => (a.lLo, a.lHi)), names, g)
+    val (rightGen, rCells) = withCells(right, axes.map(a => (a.rLo, a.rHi)), names, g)
+    val cellEq = lCells.zip(rCells)
+      .map { case (lc, rc) => EqualTo(lc, rc): Expression }.reduce(And(_, _))
+    val dedups = axes.zip(lCells)
+      .map { case (ax, lc) => dedup(lc, ax.lLo, ax.rLo, g) }.reduce(And(_, _))
+    Project(j.output,
+      Join(leftGen, rightGen, Inner, Some(And(cellEq, And(dedups, cond))), j.hint))
   }
 
-  /** Stack two Generate(Explode(sequence(floor(lo/g), floor(hi/g))))
-    * nodes over the child — one cell row per (axis1, axis2) cell the
-    * box covers. `sequence` walks descending bounds too, so a
-    * degenerate `min > max` box still covers its hull. */
-  private def withCells(child: LogicalPlan, lo1: Attribute, hi1: Attribute,
-      lo2: Attribute, hi2: Attribute, g: Double):
-      (LogicalPlan, Attribute, Attribute) = {
+  /** Stack one Generate(Explode(sequence(floor(lo/g), floor(hi/g))))
+    * node per axis over the child — one cell row per cell tuple the
+    * box/interval covers. `sequence` walks descending bounds too, so
+    * a degenerate `min > max` box still covers its hull. */
+  private def withCells(child: LogicalPlan, bounds: Seq[(Attribute, Attribute)],
+      names: Seq[String], g: Double): (LogicalPlan, Seq[Attribute]) = {
     def cellIdx(a: Attribute): Expression =
       Cast(Floor(Divide(Cast(a, DoubleType), Literal(g))), IntegerType)
-    def gen(c: LogicalPlan, lo: Attribute, hi: Attribute, name: String):
-        (LogicalPlan, Attribute) = {
-      val out = AttributeReference(name, IntegerType, nullable = false)()
-      // Sequence is TimeZoneAwareExpression: it only reports resolved
-      // once a zone is pinned (irrelevant for integer bounds, but the
-      // optimizer's plan-validation checks resolution, not relevance).
-      val seq = Sequence(cellIdx(lo), cellIdx(hi), None,
-        Some(session.sessionState.conf.sessionLocalTimeZone))
-      (Generate(Explode(seq),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(out), c), out)
+    bounds.zip(names).foldLeft((child, Seq.empty[Attribute])) {
+      case ((c, outs), ((lo, hi), name)) =>
+        val out = AttributeReference(name, IntegerType, nullable = false)()
+        // Sequence is TimeZoneAwareExpression: it only reports resolved
+        // once a zone is pinned (irrelevant for integer bounds, but the
+        // optimizer's plan-validation checks resolution, not relevance).
+        val seq = Sequence(cellIdx(lo), cellIdx(hi), None,
+          Some(session.sessionState.conf.sessionLocalTimeZone))
+        (Generate(Explode(seq),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(out), c), outs :+ out)
     }
-    val (g1, c1) = gen(child, lo1, hi1, "graft_cx")
-    val (g2, c2) = gen(g1, lo2, hi2, "graft_cy")
-    (g2, c1, c2)
   }
 
   /** Reference-cell test on one axis: this cell contains
@@ -223,8 +235,18 @@ object GridBboxJoinRule {
       s.experimental.extraOptimizations = cur :+ new GridBboxJoinRule(s)
   }
 
-  /** Axis-pairing stem: `min`/`max` tokens stripped, separators
-    * collapsed — `min_lon` / `max_lon` → `_lon`. */
+  /** Endpoint-role tokens: the vocabulary a bound column's name uses
+    * to say which end of the interval it is. */
+  private val RoleTokens = Set("min", "max", "lo", "hi", "low", "high",
+    "start", "end", "begin", "stop", "from", "to", "first", "last")
+
+  /** Axis-pairing stem: lowercase, split on `_`, drop endpoint-role
+    * TOKENS — `min_lon`/`max_lon` → `lon`, `session_start`/
+    * `session_end` → `session`, `band_lo`/`band_hi` → `band`. Tokens
+    * only, never substrings (stripping `lo` from `lon` would cross
+    * axes). Two columns naming the same axis must collapse to the
+    * same stem; columns that cannot be paired this way make the rule
+    * back off, never guess. */
   private[plans] def stem(name: String): String =
-    name.toLowerCase.replaceAll("min|max", "").replaceAll("_+", "_")
+    name.toLowerCase.split('_').filterNot(RoleTokens.contains).mkString("_")
 }

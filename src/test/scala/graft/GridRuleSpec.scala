@@ -100,18 +100,37 @@ class GridRuleSpec extends AnyFunSuite {
 
   test("backs off: ambiguous axis pairing is never guessed") {
     import s.implicits._
-    // `x_min` and `xmin_` both stem to `x_` (likewise the right side),
-    // so both axes collapse to ONE stem key: two A and two B conjunct
-    // candidates with no safe pairing -> the rule must not rewrite.
-    val l = Seq((1L, 1.0, 5.0, 1.0, 5.0)).toDF("lid", "x_min", "x_max", "xmin_", "xmax_")
-    val r = Seq((2L, 0.0, 9.0, 0.0, 9.0)).toDF("rid", "c_x_min", "c_x_max", "c_xmin_", "c_xmax_")
+    // `u_min`/`u_lo` and `u_max`/`u_hi` all stem to `u` (likewise the
+    // right side), so both axes collapse to ONE stem key: two A and
+    // two B conjunct candidates with no safe pairing -> no rewrite.
+    val l = Seq((1L, 1.0, 5.0, 1.0, 5.0)).toDF("lid", "u_min", "u_max", "u_lo", "u_hi")
+    val r = Seq((2L, 0.0, 9.0, 0.0, 9.0)).toDF("rid", "c_u_min", "c_u_max", "c_u_lo", "c_u_hi")
     withRule() {
       val df = l.join(r,
-        col("x_min") <= col("c_x_max") && col("c_x_min") <= col("x_max") &&
-        col("xmin_") <= col("c_xmax_") && col("c_xmin_") <= col("xmax_"))
+        col("u_min") <= col("c_u_max") && col("c_u_min") <= col("u_max") &&
+        col("u_lo") <= col("c_u_hi") && col("c_u_lo") <= col("u_hi"))
       assert(!physical(df).contains("graft_cx"))
       assert(df.count() == 1)
     }
+  }
+
+  test("1-D interval overlap joins rewrite too") {
+    import s.implicits._
+    val l = Seq((1L, 0.0, 10.0), (2L, 50.0, 55.0), (3L, 9.0, 3.0))
+      .toDF("lid", "session_start", "session_end") // (3) is degenerate
+    val r = Seq((20L, 8.0, 12.0), (21L, 60.0, 70.0), (22L, 2.5, 9.5))
+      .toDF("rid", "w_start", "w_end")
+    def joined = l.join(r,
+      col("session_start") <= col("w_end") && col("w_start") <= col("session_end"))
+      .select("lid", "rid")
+    val vanilla = joined.collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    val rewritten = withRule() {
+      val p = physical(joined)
+      assert(p.contains("graft_cx") && !p.contains("graft_cy"), p)
+      joined.collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    }
+    assert(vanilla.toSeq == Seq((1L, 20L), (1L, 22L), (3L, 22L)) &&
+      (rewritten sameElements vanilla))
   }
 
   test("backs off: disabled by conf") {

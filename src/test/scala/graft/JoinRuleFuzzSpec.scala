@@ -73,6 +73,31 @@ class JoinRuleFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("GridBboxJoinRule 1-D: interval-overlap pair set equals vanilla") {
+    val s = spark; import s.implicits._
+    GridBboxJoinRule.install(spark)
+    (1 to 3).foreach { round =>
+      val l = boxes(160, 5000L * round)
+        .map { case (i, x1, _, x2, _) => (i, x1, x2) } // may be inverted
+        .toDF("lid", "session_start", "session_end")
+      val r = boxes(160, 6000L * round)
+        .map { case (i, x1, _, x2, _) => (i, x1, x2) }
+        .toDF("rid", "w_start", "w_end")
+      def joined = l.join(r,
+        col("session_start") <= col("w_end") && col("w_start") <= col("session_end"))
+        .select("lid", "rid")
+      val vanilla = joined.collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+      val rewritten = withConfs(Map(GridBboxJoinRule.SkipBytesKey -> "0")) {
+        val p = joined.queryExecution.executedPlan.toString
+        assert(p.contains("graft_cx") && !p.contains("graft_cy"), p)
+        joined.collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+      }
+      assert(rewritten sameElements vanilla,
+        s"round $round: ${vanilla.length} vanilla vs ${rewritten.length} rewritten pairs")
+      assert(vanilla.nonEmpty, s"round $round produced no pairs - weak fixture")
+    }
+  }
+
   test("BandJoinRule: rewritten pair set equals vanilla on adversarial intervals") {
     val s = spark; import s.implicits._
     BandJoinRule.install(spark)

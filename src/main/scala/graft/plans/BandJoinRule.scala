@@ -123,9 +123,13 @@ class BandJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
     bands.headOption // any single band rewrite is lossless; extras verify
   }
 
+  // Timestamps qualify (CAST(ts AS DOUBLE) = epoch seconds, monotone):
+  // `event_ts BETWEEN session_start AND session_end` is the classic
+  // event-in-session lookup; cellWidth is then in seconds.
   private def numeric(a: Attribute): Boolean = a.dataType match {
-    case _: NumericType => true
-    case _              => false
+    case _: NumericType  => true
+    case _: TimestampType => true
+    case _               => false
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,

@@ -163,9 +163,15 @@ class GridBboxJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  // Timestamps qualify too: CAST(ts AS DOUBLE) is epoch seconds —
+  // monotone, and exact under a power-of-two cell size like any other
+  // double. The session-overlap join is this rule's 1-D shape on a
+  // time axis. (Mixed-type axes never reach here: coercion wraps one
+  // side in a Cast, which the bare-attribute matcher rejects.)
   private def numeric(a: Attribute): Boolean = a.dataType match {
-    case _: NumericType => true
-    case _              => false
+    case _: NumericType  => true
+    case _: TimestampType => true
+    case _               => false
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,

@@ -148,4 +148,45 @@ class JoinRuleFuzzSpec extends AnyFunSuite {
       spark.catalog.dropTempView("fuzz_r")
     }
   }
+
+  test("timestamp axes: session-overlap and event-in-session rewrite and match vanilla") {
+    val s = spark; import s.implicits._
+    GridBboxJoinRule.install(spark)
+    BandJoinRule.install(spark)
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // sessions: [start, start+len); windows shifted/overlapping
+    val sessions = (0L until 200L)
+      .map(i => (i, ts(1700000000L + i * 37), ts(1700000000L + i * 37 + 25 + (i % 90))))
+      .toDF("sid", "session_start", "session_end")
+    val windows = (0L until 200L)
+      .map(i => (i + 1000, ts(1700000000L + i * 41 + 5), ts(1700000000L + i * 41 + 40)))
+      .toDF("wid", "w_start", "w_end")
+    val events = (0L until 400L)
+      .map(i => (i + 5000, ts(1700000000L + i * 19 + 3)))
+      .toDF("eid", "ev_ts")
+
+    def overlap = sessions.join(windows,
+      col("session_start") <= col("w_end") && col("w_start") <= col("session_end"))
+      .select("sid", "wid")
+    val ovVanilla = overlap.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val ovRewritten = withConfs(Map(GridBboxJoinRule.SkipBytesKey -> "0",
+        GridBboxJoinRule.CellDegKey -> "64")) {
+      val p = overlap.queryExecution.executedPlan.toString
+      assert(p.contains("graft_cx") && !p.contains("graft_cy"), p)
+      overlap.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    assert(ovVanilla.nonEmpty && (ovRewritten sameElements ovVanilla))
+
+    def inSession = events.join(sessions,
+      col("ev_ts") >= col("session_start") && col("ev_ts") <= col("session_end"))
+      .select("eid", "sid")
+    val inVanilla = inSession.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val inRewritten = withConfs(Map(BandJoinRule.SkipBytesKey -> "0",
+        BandJoinRule.CellWidthKey -> "64")) {
+      val p = inSession.queryExecution.executedPlan.toString
+      assert(p.contains("graft_pcell"), p)
+      inSession.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    assert(inVanilla.nonEmpty && (inRewritten sameElements inVanilla))
+  }
 }

@@ -178,7 +178,13 @@ object PlanAudit {
     Check("join_band_auto", "point side never explodes", "ABSENT:REGEX:Generate.*graft_pcell",
       "the point side gains its cell as a narrow projection (one row in, one row out) — only the band side explodes, and a point's unique cell makes the rewrite duplicate-free with no reference-cell test",
       conf = Map(graft.plans.BandJoinRule.SkipBytesKey -> "0",
-        graft.plans.BandJoinRule.CellWidthKey -> "256")))
+        graft.plans.BandJoinRule.CellWidthKey -> "256")),
+    Check("join_bloom_prefilter", "bloom probe compiled into the probe scan stage", "bloom_might_contain",
+      "the serialized filter rides the plan as a literal; the probe is one codegen mightContainLong per row in the scan's Filter — rows the build side can't match die before the wire",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("join_bloom_prefilter", "exact semi-join stays downstream of the prefilter", "REGEX:SortMergeJoin.*LeftSemi|ShuffledHashJoin.*LeftSemi",
+      "false positives (1% budget) are dropped by the real join, so the answer is bit-identical to the plain semi-join — the bloom changes where rows die, never the result",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")))
 
   private var lastPlan: String = ""
 

@@ -37,7 +37,8 @@ object SparkEntry {
       Upsert.queries ++ Ingest.queries ++ graft.streaming.Replication.queries ++
       graft.streaming.EventStreams.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Pipeline.queries ++ Sampling.queries ++ Layout.queries ++ Main.queries
+      Pipeline.queries ++ Sampling.queries ++ Layout.queries ++ BloomJoin.queries ++
+      Main.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       Upsert.oracles ++ Ingest.oracles ++ graft.streaming.Replication.oracles ++
       graft.streaming.EventStreams.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      Pipeline.oracles ++ Sampling.oracles ++ Layout.oracles ++ Main.oracles
+      Pipeline.oracles ++ Sampling.oracles ++ Layout.oracles ++ BloomJoin.oracles ++
+      Main.oracles
 }

@@ -132,10 +132,20 @@ object GraftExtensions {
           intArg("space_saving", exprs(1))).toAggregateExpression()
       })
 
+  val bloomMightContainDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(filter_bits, key) - probe a serialized Bloom filter (BINARY literal) with a BIGINT key"),
+      exprs => {
+        require(exprs.length == 2,
+          s"bloom_might_contain requires exactly 2 arguments, got ${exprs.length}")
+        BloomMightContain(exprs(0), exprs(1))
+      })
+
   private[functions] val all = Seq(
     bboxAreaDesc, minhashSketchDesc, dotF32Desc, dotI8Desc, quantizeI8Desc,
     gramStatsDesc, wordShinglesDesc, minhashSigDesc, simhash32Desc,
-    spaceSavingDesc)
+    spaceSavingDesc, bloomMightContainDesc)
 
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -106,12 +106,14 @@ object LayoutProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val (uBand, tBand) = bands(spark, d)
-    val zDir = graft.operators.Layout.zorderedEventsDir(spark, d)
+    val zDir = graft.operators.Layout.curveEventsDir(spark, d, "zorder")
+      .resolve("events").toString
+    val hDir = graft.operators.Layout.curveEventsDir(spark, d, "hilbert")
       .resolve("events").toString
     val linRoot = linearEventsDir(spark, d, 64)
     val linDir = linRoot.resolve("events").toString
 
-    val layouts = Seq("linear_ts" -> linDir, "zorder" -> zDir)
+    val layouts = Seq("linear_ts" -> linDir, "zorder" -> zDir, "hilbert" -> hDir)
     val queries = Seq(
       ("time_slice", None, Some(tBand)),
       ("user_slice", Some(uBand), None),
@@ -134,7 +136,7 @@ object LayoutProbe {
     }
     val lines = results.map(m => m.map { case (k, v) => s"${j(k)}:${j(v)}" }
       .mkString("{", ",", "}"))
-    val doc = s"""{"metric":"zorder_skipping","sf_dir":"$d","probes":[${lines.mkString(",")}]}"""
+    val doc = s"""{"metric":"layout_skipping","sf_dir":"$d","probes":[${lines.mkString(",")}]}"""
     println(doc)
     args.lift(1).foreach(f =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(f), doc + "\n"))

@@ -142,10 +142,20 @@ object GraftExtensions {
         BloomMightContain(exprs(0), exprs(1))
       })
 
+  val hilbert32Desc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hilbert32"),
+      info("hilbert32",
+        "hilbert32(x, y) - 32-bit Hilbert-curve index of two 16-bit BIGINT bucket ids"),
+      exprs => {
+        require(exprs.length == 2,
+          s"hilbert32 requires exactly 2 arguments, got ${exprs.length}")
+        HilbertIndex32(exprs(0), exprs(1))
+      })
+
   private[functions] val all = Seq(
     bboxAreaDesc, minhashSketchDesc, dotF32Desc, dotI8Desc, quantizeI8Desc,
     gramStatsDesc, wordShinglesDesc, minhashSigDesc, simhash32Desc,
-    spaceSavingDesc, bloomMightContainDesc)
+    spaceSavingDesc, bloomMightContainDesc, hilbert32Desc)
 
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -73,6 +73,63 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbert32 matches the reference xy2d and is a bijection with d2xy") {
+    val rnd = new scala.util.Random(11)
+    val cases = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L),
+      (1L, 2L), (32768L, 32767L)) ++
+      Seq.fill(50)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.HilbertIndex32.hilbert32(col("x"), col("y")).as("h"))
+      .collect()
+    got.foreach { r =>
+      val (x, y, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(h === graft.functions.HilbertIndex32.xy2d(x, y), s"($x, $y)")
+      assert(graft.functions.HilbertIndex32.d2xy(h) === ((x, y)), s"inverse of $h")
+      assert(h >= 0L && h < (1L << 32), s"range of ($x, $y)")
+    }
+  }
+
+  test("hilbert continuity: consecutive indexes are grid neighbors (z-order is not)") {
+    // the locality property the curve is chosen for — checked exactly
+    // over a full 256-step window plus random windows
+    val rnd = new scala.util.Random(13)
+    val starts = Seq(0L, 65536L, (1L << 32) - 257L) ++
+      Seq.fill(20)(math.abs(rnd.nextLong()) % ((1L << 32) - 1))
+    starts.foreach { s0 =>
+      var d = s0
+      while (d < s0 + 255 && d + 1 < (1L << 32)) {
+        val (x1, y1) = graft.functions.HilbertIndex32.d2xy(d)
+        val (x2, y2) = graft.functions.HilbertIndex32.d2xy(d + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+          s"jump between d=$d and ${d + 1}")
+        d += 1
+      }
+    }
+  }
+
+  test("hilbert copy preserves content; 2-D box prunes at least as well as z-order") {
+    val d = "/root/testdata/sf0.001"
+    val hDir = Layout.curveEventsDir(spark, d, "hilbert").resolve("events").toString
+    val orig = Tables.events(spark, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val copy = spark.read.parquet(hDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    assert(copy.count() === orig.count())
+    assert(copy.exceptAll(orig).isEmpty && orig.exceptAll(copy).isEmpty)
+
+    val (uBand, tBand) = LayoutProbe.bands(spark, d)
+    val zed = LayoutProbe.rowGroupStats(
+      Layout.curveEventsDir(spark, d, "zorder").resolve("events").toString,
+      "user_id", "ts")
+    val hil = LayoutProbe.rowGroupStats(hDir, "user_id", "ts")
+    assert(zed.map(_._3).sum === hil.map(_._3).sum)
+    val (zBox, _) = LayoutProbe.matching(zed, Some(uBand), Some(tBand))
+    val (hBox, _) = LayoutProbe.matching(hil, Some(uBand), Some(tBand))
+    assert(hBox <= zBox, s"hilbert box scan $hBox vs zorder $zBox row groups")
+    assert(hBox < hil.size)
+  }
+
   test("gate query over the z copy equals the same aggregate over the original table") {
     val d = "/root/testdata/sf0.001"
     val got = Layout.layoutZorder(spark, d)

@@ -71,9 +71,38 @@ object Upsert {
         col("value").cast(DecimalType(12, 2)).cast(DoubleType).as("value"))
   }
 
+  /** Time-travel demo over the snapshotted merge table
+    * (PartitionedTable.readAt): commit the even-parity state, merge
+    * the odd-parity updates, then join snapshot s0 against current —
+    * per user, the event that WAS current vs the one that IS. The
+    * oracle reconstructs both states from `events` directly (s0 =
+    * even last-wins, s1 = the parity-dominant last-wins sink_upsert
+    * proves), so the gate checks that snapshots are frozen states of
+    * the merge sequence, not copies of current. */
+  def sinkTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val ord = Seq(col("ts"), col("event_id"))
+    val base = lastWins(ev.filter(col("event_id") % 2 === 0), Seq("user_id"), ord)
+      .select(col("user_id"), col("event_id"))
+    val updates = lastWins(ev.filter(col("event_id") % 2 === 1), Seq("user_id"), ord)
+      .select(col("user_id"), col("event_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt")
+    val t = new graft.streaming.PartitionedTable(dir, "user_id", nBuckets = 8)
+    t.mergeInto(s, base)
+    t.mergeInto(s, updates)
+    val snaps = t.snapshots
+    val old = t.readAt(s, snaps.head)
+      .select(col("user_id"), col("event_id").as("old_event_id"))
+    val cur = t.readAt(s, snaps.last)
+      .select(col("user_id"), col("event_id").as("new_event_id"))
+    old.join(cur, Seq("user_id"), "full_outer")
+      .select(col("user_id"), col("old_event_id"), col("new_event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_insert" -> sinkInsert _,
-    "sink_upsert" -> sinkUpsert _
+    "sink_upsert" -> sinkUpsert _,
+    "sink_time_travel" -> sinkTimeTravel _
   )
 
   val oracles: Map[String, String] = Map(
@@ -89,6 +118,23 @@ object Upsert {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY event_id % 2 DESC, ts DESC, event_id DESC) AS rn
         |      FROM events) t
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    // s0 = even-only last-wins; current = parity-dominant last-wins
+    // (the sink_upsert oracle); full outer on user_id
+    "sink_time_travel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, event_id FROM (
+        |    SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_id % 2 = 0) t WHERE rn = 1),
+        |cur AS (
+        |  SELECT user_id, event_id FROM (
+        |    SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id % 2 DESC, ts DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1)
+        |SELECT coalesce(s0.user_id, cur.user_id) AS user_id,
+        |  s0.event_id AS old_event_id,
+        |  cur.event_id AS new_event_id
+        |FROM s0 FULL OUTER JOIN cur ON s0.user_id = cur.user_id""".stripMargin
   )
 }

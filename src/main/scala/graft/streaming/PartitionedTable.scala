@@ -53,14 +53,49 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
         .map(_.split("=", 2)).collect { case Array(b, v) => b.toInt -> v }.toMap
     }
 
-  private def writeManifest(m: Map[Int, String]): Unit = {
+  /** Swap MANIFEST atomically and record the same mapping as the
+    * immutable snapshot `MANIFEST.s<commit>` — the Delta/Iceberg
+    * version-log analog. Snapshots are what make a training run
+    * REPRODUCIBLE against a continuously-merged table: pin the
+    * snapshot id at run start, `readAt` it forever after (until
+    * `vacuum`'s retention horizon sweeps it). The snapshot is written
+    * before the swap: a crash between the two leaves a snapshot no
+    * MANIFEST points at — dead weight for the next vacuum, never a
+    * torn current state. */
+  private def writeManifest(m: Map[Int, String], commit: Long): Unit = {
     Files.createDirectories(dir)
+    val body = (PartitionedTable.FormatMarker +:
+      m.toSeq.sortBy(_._1).map { case (b, v) => s"$b=$v" }).mkString("", "\n", "\n")
+    Files.writeString(dir.resolve(s"MANIFEST.s$commit"), body)
     val tmp = dir.resolve("MANIFEST.tmp")
-    Files.writeString(tmp,
-      (PartitionedTable.FormatMarker +:
-        m.toSeq.sortBy(_._1).map { case (b, v) => s"$b=$v" }).mkString("", "\n", "\n"))
+    Files.writeString(tmp, body)
     Files.move(tmp, manifestFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def parseManifest(p: Path): Map[Int, String] =
+    Files.readAllLines(p).asScala.toSeq.drop(1)
+      .map(_.split("=", 2)).collect { case Array(b, v) => b.toInt -> v }.toMap
+
+  /** Committed snapshot ids, oldest first. */
+  def snapshots: Seq[Long] =
+    if (!Files.isDirectory(dir)) Nil
+    else PartitionedTable.listDir(dir)
+      .map(_.getFileName.toString)
+      .collect { case PartitionedTable.SnapFile(n) => n.toLong }
+      .sorted
+
+  /** Time-travel read: the table exactly as of snapshot `snap`.
+    * Fails loudly if the snapshot was vacuumed past — a pinned
+    * training run must error, not silently read newer data. */
+  def readAt(spark: SparkSession, snap: Long): DataFrame = {
+    val f = dir.resolve(s"MANIFEST.s$snap")
+    require(Files.exists(f),
+      s"snapshot s$snap not found under $dir (vacuumed? available: ${snapshots.mkString(",")})")
+    val m = parseManifest(f)
+    val paths = m.toSeq.sortBy(_._1).map { case (_, v) => dir.resolve(v).toString }
+    require(paths.nonEmpty, s"snapshot s$snap is empty")
+    spark.read.parquet(paths: _*)
   }
 
   def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame = {
@@ -108,7 +143,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     withBucket.unpersist()
     // partitionBy writes one __b=<n> dir per touched bucket under the
     // commit dir; repoint only those buckets, one atomic manifest swap
-    writeManifest(m ++ touched.map(b => b -> s"$commitRel/__b=$b"))
+    writeManifest(m ++ touched.map(b => b -> s"$commitRel/__b=$b"), commit)
     touched
   }
 
@@ -145,20 +180,30 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__b")
       .parquet(dir.resolve(commitRel).toString)
-    writeManifest(m ++ frag.map(b => b -> s"$commitRel/__b=$b"))
+    writeManifest(m ++ frag.map(b => b -> s"$commitRel/__b=$b"), commit)
     frag
   }
 
-  /** GC: delete bucket-version dirs no longer referenced by MANIFEST,
-    * then commit dirs left empty. A minutely feed writes one commit
-    * per merge; without this, superseded bucket versions accumulate
-    * forever (1,440/day). Safe at any point AFTER a manifest swap:
-    * readers resolve paths through MANIFEST only, so every
-    * unreferenced dir is dead, and a crash mid-sweep just leaves
-    * garbage for the next sweep (referenced paths are never touched).
-    * Returns the number of bucket-version dirs deleted. */
-  def vacuum(): Int = {
-    val live = manifest.values.toSet
+  /** GC: delete bucket-version dirs referenced by neither MANIFEST
+    * nor the `retainSnapshots` most recent snapshots, then commit
+    * dirs left empty, then the swept snapshots' manifest files. A
+    * minutely feed writes one commit per merge; without this,
+    * superseded bucket versions accumulate forever (1,440/day). The
+    * retention horizon is the time-travel contract: snapshots inside
+    * it stay `readAt`-able, older ones die with their files (a pinned
+    * reader past the horizon gets a loud error, never silent newer
+    * data). Safe at any point AFTER a manifest swap: readers resolve
+    * paths through MANIFEST/snapshots only, so every unreferenced dir
+    * is dead, and a crash mid-sweep just leaves garbage for the next
+    * sweep (referenced paths are never touched). Returns the number
+    * of bucket-version dirs deleted. */
+  def vacuum(retainSnapshots: Int = 1): Int = {
+    val snaps = snapshots
+    val kept = snaps.takeRight(math.max(retainSnapshots, 1)).toSet
+    val live = manifest.values.toSet ++
+      kept.flatMap(s => parseManifest(dir.resolve(s"MANIFEST.s$s")).values)
+    snaps.filterNot(kept).foreach(s =>
+      Files.deleteIfExists(dir.resolve(s"MANIFEST.s$s")))
     val commitsDir = dir.resolve("commits")
     if (!Files.exists(commitsDir)) return 0
     var deleted = 0
@@ -184,6 +229,8 @@ object PartitionedTable {
   val FormatMarker = "graft.partitioned.v1"
 
   private val CommitDir = "commits/c(\\d+)/.*".r
+
+  private[streaming] val SnapFile = "MANIFEST\\.s(\\d+)".r
 
   private[graft] def listDir(p: Path): Seq[Path] = {
     val s = Files.list(p)

@@ -96,6 +96,50 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(t.read(spark).count() === 40)
   }
 
+  test("time travel: readAt pins each snapshot; retention sweeps past the horizon loudly") {
+    val dir = Files.createTempDirectory("graft_pt_tt")
+    val t = new PartitionedTable(dir, "id", nBuckets = 4)
+    t.mergeInto(spark, (1L to 30L).map(k => (k, s"gen0-$k")).toDF("id", "v"))
+    t.mergeInto(spark, (11L to 20L).map(k => (k, s"gen1-$k")).toDF("id", "v"))
+    t.mergeInto(spark, (21L to 40L).map(k => (k, s"gen2-$k")).toDF("id", "v"))
+    assert(t.snapshots === Seq(0L, 1L, 2L))
+
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").as[(Long, String)].collect().toSeq
+    // s0: all gen0; s1: 11-20 replaced; s2 == current
+    assert(state(t.readAt(spark, 0)) ===
+      (1L to 30L).map(k => (k, s"gen0-$k")))
+    assert(state(t.readAt(spark, 1)) ===
+      (1L to 30L).map(k => (k, if (k >= 11 && k <= 20) s"gen1-$k" else s"gen0-$k")))
+    assert(state(t.readAt(spark, 2)) === state(t.read(spark)))
+
+    // retention: keep the last 2 snapshots; s0 must die, s1/s2 survive
+    t.vacuum(retainSnapshots = 2)
+    assert(t.snapshots === Seq(1L, 2L))
+    intercept[IllegalArgumentException] { t.readAt(spark, 0) }
+    assert(state(t.readAt(spark, 1)) ===
+      (1L to 30L).map(k => (k, if (k >= 11 && k <= 20) s"gen1-$k" else s"gen0-$k")))
+    assert(state(t.readAt(spark, 2)) === state(t.read(spark)))
+
+    // default vacuum: only the current snapshot remains readable
+    t.vacuum()
+    assert(t.snapshots === Seq(2L))
+    assert(state(t.readAt(spark, 2)) === state(t.read(spark)))
+  }
+
+  test("retained snapshots protect their bucket dirs from vacuum") {
+    val dir = Files.createTempDirectory("graft_pt_tt2")
+    val t = new PartitionedTable(dir, "id", nBuckets = 2)
+    t.mergeInto(spark, (1L to 20L).map(k => (k, s"a$k")).toDF("id", "v"))
+    t.mergeInto(spark, (1L to 20L).map(k => (k, s"b$k")).toDF("id", "v"))
+    // retain both: commit-0 dirs are dead for MANIFEST but live for s0
+    assert(t.vacuum(retainSnapshots = 2) === 0)
+    assert(t.readAt(spark, 0).filter($"id" === 1L).select("v").head().getString(0) === "a1")
+    // drop the horizon: commit-0 dirs now sweep
+    assert(t.vacuum() > 0)
+    assert(t.read(spark).filter($"id" === 1L).select("v").head().getString(0) === "b1")
+  }
+
   test("compact coalesces fragmented buckets to one file each; content identical") {
     val dir = Files.createTempDirectory("graft_pt_compact")
     val t = new PartitionedTable(dir, "id", nBuckets = 4)

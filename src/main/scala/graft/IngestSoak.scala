@@ -12,7 +12,8 @@ import java.nio.file.{Files, Path}
   * i.e. the exact composition `cli_entry` gate-checks, at three
   * decimal orders of magnitude more data than the gate fixture.
   *
-  * Prints one JSON line and writes `BENCH_r09_ingest.json`:
+  * Prints one JSON line and writes `BENCH_r10_ingest.json` (override
+  * with SPARK_GRAFT_INGEST_OUT):
   * sustained bulk rows/s, per-phase wall times, dump sizes, and the
   * JVM's peak heap across all pools (the single-JVM local-mode analog
   * of executor peak memory).
@@ -177,7 +178,8 @@ object IngestSoak {
       s""""replicate_sec":${fmt(replSec)},"replicate_diffs":32,""" +
       s""""peak_heap_mb":${peakHeapMb()},""" +
       s""""baseline_rows_per_sec":"3000-4600 (README.md:74, single thread)"}"""
-    Files.writeString(java.nio.file.Paths.get("BENCH_r09_ingest.json"), json + "\n")
+    Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_INGEST_OUT", "BENCH_r10_ingest.json")), json + "\n")
     println(json)
 
     // scratch cleanup: the dump + warehouse are multi-GB

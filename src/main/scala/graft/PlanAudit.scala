@@ -26,7 +26,9 @@ object PlanAudit {
   val checks: Seq[Check] = Seq(
     Check("scan_parquet", "filter pushdown", "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate",
       "range predicate reaches the parquet reader -> row-group min/max pruning (the B-tree-index analog)"),
-    Check("scan_parquet", "column pruning", "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_shipdate:timestamp_ntz>",
+    // timestamp type differs by tier (driver testdata writes NTZ,
+    // ScaleGen tiers session-UTC micros) — accept either encoding
+    Check("scan_parquet", "column pruning", "REGEX:ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_shipdate:timestamp(_ntz)?>",
       "3-column projection + filter column scans 4 of 11 columns"),
     Check("join_broadcast", "broadcast join", "BroadcastHashJoin",
       "dimension tables broadcast: the fact side never shuffles"),

@@ -99,10 +99,37 @@ object Upsert {
       .select(col("user_id"), col("old_event_id"), col("new_event_id"))
   }
 
+  /** Change feed between the two snapshots of the sinkTimeTravel
+    * merge sequence (PartitionedTable.changesBetween): rows the merge
+    * actually CHANGED — an insert for a user the base state never
+    * had, an update where the odd winner displaced the even one, and
+    * nothing for untouched users even when they share a rewritten
+    * bucket (the value comparison drops copied rows). The oracle
+    * reconstructs the same feed from `events` alone, so the gate pins
+    * the manifest-diff + value-diff semantics, not just row counts. */
+  def sinkChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val ord = Seq(col("ts"), col("event_id"))
+    val base = lastWins(ev.filter(col("event_id") % 2 === 0), Seq("user_id"), ord)
+      .select(col("user_id"), col("event_id"))
+    val updates = lastWins(ev.filter(col("event_id") % 2 === 1), Seq("user_id"), ord)
+      .select(col("user_id"), col("event_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf")
+    val t = new graft.streaming.PartitionedTable(dir, "user_id", nBuckets = 8)
+    t.mergeInto(s, base)
+    t.mergeInto(s, updates)
+    val snaps = t.snapshots
+    t.changesBetween(s, snaps.head, snaps.last)
+      .select(col("op"), col("user_id"),
+        col("before.event_id").as("old_event_id"),
+        col("after.event_id").as("new_event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_insert" -> sinkInsert _,
     "sink_upsert" -> sinkUpsert _,
-    "sink_time_travel" -> sinkTimeTravel _
+    "sink_time_travel" -> sinkTimeTravel _,
+    "sink_change_feed" -> sinkChangeFeed _
   )
 
   val oracles: Map[String, String] = Map(
@@ -135,6 +162,25 @@ object Upsert {
         |SELECT coalesce(s0.user_id, cur.user_id) AS user_id,
         |  s0.event_id AS old_event_id,
         |  cur.event_id AS new_event_id
-        |FROM s0 FULL OUTER JOIN cur ON s0.user_id = cur.user_id""".stripMargin
+        |FROM s0 FULL OUTER JOIN cur ON s0.user_id = cur.user_id""".stripMargin,
+    // the feed is exactly the users holding >=1 odd event (those are
+    // the only winners the odd-parity merge can displace); op splits
+    // on whether an even-parity state existed to displace
+    "sink_change_feed" ->
+      """WITH s0 AS (
+        |  SELECT user_id, event_id FROM (
+        |    SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_id % 2 = 0) t WHERE rn = 1),
+        |cur AS (
+        |  SELECT user_id, event_id FROM (
+        |    SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id % 2 DESC, ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_id % 2 = 1) t WHERE rn = 1)
+        |SELECT CASE WHEN s0.user_id IS NULL THEN 'insert' ELSE 'update' END AS op,
+        |  cur.user_id,
+        |  s0.event_id AS old_event_id,
+        |  cur.event_id AS new_event_id
+        |FROM cur LEFT JOIN s0 ON s0.user_id = cur.user_id""".stripMargin
   )
 }

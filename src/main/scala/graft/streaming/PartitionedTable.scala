@@ -184,6 +184,46 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     frag
   }
 
+  /** Change feed between two snapshots — the Delta CDF analog,
+    * priced by the MANIFEST DIFF, not the table: a bucket whose dir
+    * pointer is identical in both snapshots provably holds identical
+    * rows (dirs are immutable), so only pointer-changed buckets are
+    * read on either side. Within those, rows are compared by value
+    * (a merge copies a touched bucket's unchanged co-bucketed rows
+    * into the new dir — file identity is not row identity), so a
+    * pure compaction between the snapshots yields an EMPTY feed.
+    * Returns (op ∈ insert|update|delete, <key>, before, after) with
+    * before/after structs of the non-key columns. */
+  def changesBetween(spark: SparkSession, s0: Long, s1: Long): DataFrame = {
+    def manifestAt(s: Long): Map[Int, String] = {
+      val f = dir.resolve(s"MANIFEST.s$s")
+      require(Files.exists(f),
+        s"snapshot s$s not found under $dir (vacuumed? available: ${snapshots.mkString(",")})")
+      parseManifest(f)
+    }
+    val m0 = manifestAt(s0)
+    val m1 = manifestAt(s1)
+    val changed = (m0.keySet ++ m1.keySet).toSeq.sorted
+      .filter(b => m0.get(b) != m1.get(b))
+    val schema = readAt(spark, s1).schema
+    val dataCols = schema.fieldNames.filterNot(_ == keyCol)
+    def side(m: Map[Int, String], name: String): DataFrame = {
+      val paths = changed.flatMap(m.get).map(v => dir.resolve(v).toString)
+      val df =
+        if (paths.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else spark.read.parquet(paths: _*)
+      df.select(col(keyCol), struct(dataCols.map(col).toSeq: _*).as(name))
+    }
+    side(m0, "before").join(side(m1, "after"), Seq(keyCol), "full_outer")
+      .withColumn("op",
+        when(col("before").isNull, lit("insert"))
+          .when(col("after").isNull, lit("delete"))
+          .when(col("before") =!= col("after"), lit("update")))
+      .filter(col("op").isNotNull) // co-bucketed untouched rows are not changes
+      .select(col("op"), col(keyCol), col("before"), col("after"))
+  }
+
   /** GC: delete bucket-version dirs referenced by neither MANIFEST
     * nor the `retainSnapshots` most recent snapshots, then commit
     * dirs left empty, then the swept snapshots' manifest files. A

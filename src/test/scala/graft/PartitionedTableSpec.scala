@@ -140,6 +140,39 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(t.read(spark).filter($"id" === 1L).select("v").head().getString(0) === "b1")
   }
 
+  test("changesBetween: manifest-diff pruning, value-level diff, compaction yields empty feed") {
+    val dir = Files.createTempDirectory("graft_pt_cdf")
+    val t = new PartitionedTable(dir, "id", nBuckets = 8)
+    t.mergeInto(spark, (1L to 80L).map(k => (k, s"a$k")).toDF("id", "v"))
+    // touch a few keys: updates (changed value), inserts (new keys),
+    // plus one key rewritten with the SAME value (a copied row)
+    t.mergeInto(spark, (Seq((5L, "B5"), (13L, "B13"), (90L, "B90"), (1L, "a1")))
+      .toDF("id", "v"))
+    val feed = t.changesBetween(spark, 0L, 1L)
+    val rows = feed.select($"op", $"id", $"before.v", $"after.v")
+      .as[(String, Long, Option[String], Option[String])].collect().toSet
+    assert(rows === Set(
+      ("update", 5L, Some("a5"), Some("B5")),
+      ("update", 13L, Some("a13"), Some("B13")),
+      ("insert", 90L, None, Some("B90"))))
+    // (1L, "a1") was rewritten into a fresh bucket dir but its VALUE
+    // is unchanged — asserted absent above (file identity != row identity)
+
+    // pruning: the feed reads only pointer-changed buckets' dirs, not
+    // the table — strictly fewer input files than a full-table read
+    val feedFiles = feed.inputFiles.toSet
+    val allFiles = t.read(spark).inputFiles.toSet
+    assert(feedFiles.nonEmpty && feedFiles.size < allFiles.size,
+      s"feed read ${feedFiles.size} files vs table ${allFiles.size}")
+
+    // a pure compaction changes pointers but not content: empty feed
+    val fragged = t.compact(spark)
+    if (fragged.nonEmpty) {
+      val s = t.snapshots
+      assert(t.changesBetween(spark, s(s.length - 2), s.last).isEmpty)
+    }
+  }
+
   test("compact coalesces fragmented buckets to one file each; content identical") {
     val dir = Files.createTempDirectory("graft_pt_compact")
     val t = new PartitionedTable(dir, "id", nBuckets = 4)

@@ -235,6 +235,70 @@ object EventStreams {
       c("value").cast(DoubleType).as("value"))
   }
 
+  /** Streaming change feed — the CDC composition a downstream consumer
+    * (cache invalidation, index refresh, incremental training-set
+    * delta) actually subscribes to: the event stream merges into the
+    * snapshotted PartitionedTable (one sub-batch per micro-batch, the
+    * §2h bounded-catch-up harness; sub-batch = event_id % 3, processed
+    * ascending inside foreachBatch so the result is trigger-grouping-
+    * independent, the stream_dedup_admission discipline), and after
+    * each merge `changesBetween(prev, cur)` emits exactly the rows
+    * that merge changed — priced by the manifest diff, with copied
+    * co-bucketed rows excluded by the value compare. The oracle
+    * replays the per-(user, sub-batch) winners and derives each
+    * step's old/new via one lag window — the telescoped history the
+    * union of feeds must equal. */
+  def streamChangeFeed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val ev = graft.Tables.events(s, d)
+      .withColumn("sub_batch", (c("event_id") % 3).cast("int"))
+      .select(c("sub_batch"), c("user_id"), c("event_id"), c("ts"))
+    // stage one parquet file per sub-batch, mtime-ordered, so the
+    // file stream delivers three ordered micro-batches
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_cdfstream")
+    (0 until 3).foreach { k =>
+      val side = streamDir.resolve(s"side$k")
+      ev.filter(c("sub_batch") === k).coalesce(1)
+        .write.mode("overwrite").parquet(side.toString)
+      val part = java.nio.file.Files.list(side).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val dst = streamDir.resolve(f"batch$k%04d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+    }
+    val table = new PartitionedTable(
+      java.nio.file.Files.createTempDirectory("graft_cdfsink").resolve("users"),
+      "user_id", nBuckets = 8)
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString + "/batch*.parquet")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        val subs = mb.select(c("sub_batch")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        subs.foreach { k =>
+          val compacted = graft.operators.Upsert.lastWins(
+            mb.filter(c("sub_batch") === k),
+            Seq("user_id"), Seq(c("ts"), c("event_id")))
+            .select(c("user_id"), c("event_id"))
+          table.mergeInto(mb.sparkSession, compacted)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val snaps = table.snapshots
+    (1 until snaps.length).map { i =>
+      table.changesBetween(s, snaps(i - 1), snaps(i))
+        .select(lit(snaps(i)).cast("int").as("step"), c("op"), c("user_id"),
+          c("before.event_id").as("old_event_id"),
+          c("after.event_id").as("new_event_id"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Stream-stream interval join: purchases joined to the same user's
     * clicks within the preceding 30 minutes. Both sides carry
     * watermarks and the join predicate bounds event time, so the state
@@ -278,6 +342,7 @@ object EventStreams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_stream_join" -> streamStreamJoin _,
     "stream_dedup" -> streamDedup _,
+    "stream_change_feed" -> streamChangeFeed _,
     "stream_upsert_sink" -> streamUpsertSink _,
     "stream_window_agg" -> streamWindowAgg _,
     "stream_sliding_agg" -> streamSlidingAgg _,
@@ -307,6 +372,26 @@ object EventStreams {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn = 1""".stripMargin,
+    // per-(user, sub-batch) winners, then each step's old/new via one
+    // lag over the user's batch history (skipped batches fall through
+    // to the last batch that held the user); step-0 rows seed the lag
+    // but are not feed rows (the first merge has no predecessor)
+    "stream_change_feed" ->
+      """WITH w AS (
+        |  SELECT user_id, b, event_id FROM (
+        |    SELECT user_id, event_id % 3 AS b, event_id,
+        |      row_number() OVER (PARTITION BY user_id, event_id % 3
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1),
+        |f AS (
+        |  SELECT user_id, b,
+        |    lag(event_id) OVER (PARTITION BY user_id ORDER BY b) AS old_event_id,
+        |    event_id AS new_event_id
+        |  FROM w)
+        |SELECT CAST(b AS INT) AS step,
+        |  CASE WHEN old_event_id IS NULL THEN 'insert' ELSE 'update' END AS op,
+        |  user_id, old_event_id, new_event_id
+        |FROM f WHERE b >= 1""".stripMargin,
     // Spark tumbling windows align to the 1970 epoch: bucket = µs - µs mod 6h.
     "stream_window_agg" ->
       """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS win_start,

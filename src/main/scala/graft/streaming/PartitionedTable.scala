@@ -184,6 +184,47 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     frag
   }
 
+  /** Targeted deletion — the right-to-be-forgotten path on immutable
+    * storage (no row can be updated in place; the bucket holding it
+    * is rewritten WITHOUT it). Same pricing as the merge: buckets
+    * holding delete keys are found from the keys themselves (hash-
+    * stable), rewritten minus the keys in one Spark job, repointed in
+    * one atomic manifest swap + snapshot — O(touched buckets), never
+    * O(table); `changesBetween` across the swap emits the removed
+    * rows as `delete` ops. Deleted bytes leave DISK when the last
+    * retaining snapshot leaves the vacuum horizon — retention policy
+    * and deletion-latency contract are the same dial at 100 TB.
+    * Returns the touched bucket ids. */
+  def deleteKeys(spark: SparkSession, keys: DataFrame): Seq[Int] = {
+    val withBucket = keys.select(col(keyCol)).distinct()
+      .withColumn("__b", bucketExpr).cache()
+    val touched = withBucket.select("__b").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val m = manifest
+    val existing = touched.flatMap(b => m.get(b).map(v => dir.resolve(v).toString))
+    if (touched.isEmpty || existing.isEmpty) { withBucket.unpersist(); return Nil }
+    val kept = spark.read.parquet(existing: _*)
+      .join(withBucket.drop("__b"), Seq(keyCol), "left_anti")
+    val commit = nextCommit(m)
+    val commitRel = s"commits/c$commit"
+    kept.withColumn("__b", bucketExpr)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__b")
+      .parquet(dir.resolve(commitRel).toString)
+    withBucket.unpersist()
+    // a bucket emptied entirely still gets repointed: partitionBy
+    // writes no dir for it, so point it at nothing by dropping it
+    // from the manifest rather than at a missing path
+    val writtenBuckets = PartitionedTable.listDir(dir.resolve(commitRel))
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("__b=") => s.stripPrefix("__b=").toInt }
+      .toSet
+    val updated = m ++ touched.filter(writtenBuckets).map(b => b -> s"$commitRel/__b=$b") --
+      touched.filterNot(writtenBuckets)
+    writeManifest(updated, commit)
+    touched
+  }
+
   /** Change feed between two snapshots — the Delta CDF analog,
     * priced by the MANIFEST DIFF, not the table: a bucket whose dir
     * pointer is identical in both snapshots provably holds identical

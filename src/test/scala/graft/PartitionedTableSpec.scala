@@ -173,6 +173,41 @@ class PartitionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteKeys rewrites only touched buckets; feed emits delete ops; emptied bucket drops") {
+    val dir = Files.createTempDirectory("graft_pt_del")
+    val t = new PartitionedTable(dir, "id", nBuckets = 4)
+    t.mergeInto(spark, (1L to 200L).map(k => (k, s"v$k")).toDF("id", "v"))
+
+    // partial-bucket delete: two keys
+    val touched = t.deleteKeys(spark, Seq(7L, 8L).toDF("id"))
+    assert(touched.nonEmpty && touched.size <= 2)
+    assert(t.read(spark).count() === 198)
+    assert(t.read(spark).filter($"id".isin(7L, 8L)).isEmpty)
+    val feed = t.changesBetween(spark, 0L, 1L)
+    val dels = feed.filter($"op" === "delete")
+      .select($"id", $"before.v").as[(Long, String)].collect().toSet
+    assert(dels === Set((7L, "v7"), (8L, "v8")))
+    // co-bucketed survivors were copied, not changed
+    assert(feed.filter($"op" =!= "delete").isEmpty)
+
+    // full-bucket delete: every key hashing to one bucket
+    val bucketOf = t.read(spark)
+      .withColumn("__b", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"id"), org.apache.spark.sql.functions.lit(4)))
+    val b0keys = bucketOf.filter($"__b" === 0).select("id")
+    val n0 = b0keys.count()
+    assert(n0 > 0)
+    t.deleteKeys(spark, b0keys)
+    assert(!t.manifest.contains(0), "emptied bucket must leave the manifest")
+    assert(t.read(spark).count() === 198 - n0)
+    assert(t.changesBetween(spark, 1L, 2L).filter($"op" === "delete").count() === n0)
+
+    // deleting absent keys is a no-op beyond the bucket probe
+    val before = t.read(spark).count()
+    t.deleteKeys(spark, Seq(9999L).toDF("id"))
+    assert(t.read(spark).count() === before)
+  }
+
   test("compact coalesces fragmented buckets to one file each; content identical") {
     val dir = Files.createTempDirectory("graft_pt_compact")
     val t = new PartitionedTable(dir, "id", nBuckets = 4)

@@ -95,18 +95,44 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     val m = parseManifest(f)
     val paths = m.toSeq.sortBy(_._1).map { case (_, v) => dir.resolve(v).toString }
     require(paths.nonEmpty, s"snapshot s$snap is empty")
-    spark.read.parquet(paths: _*)
+    readPaths(spark, paths)
   }
+
+  /** All reads set mergeSchema: buckets written before an additive
+    * schema evolution (see mergeInto) coexist with widened ones; a
+    * reader sees the union schema with NULL for pre-evolution rows.
+    * The footer cost is per-file-ONCE at planning, bounded by the
+    * bucket count — at 100 TB this is why the manifest holds one dir
+    * per bucket, not per merge. */
+  private def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
   def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame = {
     val m = manifest
     val paths = buckets.flatMap(b => m.get(b).map(v => dir.resolve(v).toString))
     require(paths.nonEmpty, s"no committed buckets under $dir")
-    spark.read.parquet(paths: _*)
+    readPaths(spark, paths)
   }
 
   def read(spark: SparkSession): DataFrame =
     readBuckets(spark, manifest.keys.toSeq.sorted)
+
+  /** Point lookup — the PK-index analog: the key's bucket id is
+    * recomputed from the key itself (hash-stable, one 1-row driver
+    * job), so the read opens exactly ONE bucket's files and the
+    * filter prunes inside them via footer stats. O(1 bucket) however
+    * large the table. A key whose bucket was never written (or was
+    * emptied by deleteKeys) answers with zero rows, not an error. */
+  def lookup(spark: SparkSession, key: Any): DataFrame = {
+    val b = spark.range(1)
+      .select(pmod(hash(lit(key)), lit(nBuckets)).cast("int"))
+      .head().getInt(0)
+    manifest.get(b) match {
+      case Some(v) =>
+        readPaths(spark, Seq(dir.resolve(v).toString)).filter(col(keyCol) === lit(key))
+      case None => read(spark).limit(0)
+    }
+  }
 
   /** next commit id: one more than the largest already on disk. */
   private def nextCommit(m: Map[Int, String]): Long =
@@ -128,10 +154,31 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     // recomputed from the key (hash-stable), so no per-bucket reads
     val existing =
       if (existingPaths.isEmpty) None
-      else Some(spark.read.parquet(existingPaths: _*))
+      else Some(readPaths(spark, existingPaths))
     val updFlat = withBucket.drop("__b")
     val merged = existing match {
-      case Some(ex) => Upsert.merge(ex, updFlat, Seq(keyCol))
+      case Some(ex) =>
+        // additive schema evolution: a batch may carry NEW columns
+        // (old rows read as NULL) or OMIT recent ones (its rows get
+        // NULL) — both sides widen to the union schema before the
+        // merge; a same-name type conflict is refused loudly
+        val target = org.apache.spark.sql.types.StructType(
+          ex.schema.fields ++
+            updFlat.schema.fields.filterNot(f => ex.schema.fieldNames.contains(f.name)))
+        updFlat.schema.fields.foreach { f =>
+          ex.schema.fields.find(_.name == f.name).foreach { g =>
+            require(g.dataType == f.dataType,
+              s"schema evolution on $keyCol-table ${dir.getFileName}: column ${f.name} " +
+                s"is ${g.dataType.simpleString} on disk but ${f.dataType.simpleString} " +
+                "in the batch — additive columns only, type changes need a rewrite")
+          }
+        }
+        def widen(df: DataFrame): DataFrame =
+          target.fields.foldLeft(df)((d, f) =>
+            if (d.columns.contains(f.name)) d
+            else d.withColumn(f.name, lit(null).cast(f.dataType)))
+            .select(target.fieldNames.map(col).toSeq: _*)
+        Upsert.merge(widen(ex), widen(updFlat), Seq(keyCol))
       case None => updFlat
     }
     val commit = nextCommit(m)
@@ -203,7 +250,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     val m = manifest
     val existing = touched.flatMap(b => m.get(b).map(v => dir.resolve(v).toString))
     if (touched.isEmpty || existing.isEmpty) { withBucket.unpersist(); return Nil }
-    val kept = spark.read.parquet(existing: _*)
+    val kept = readPaths(spark, existing)
       .join(withBucket.drop("__b"), Seq(keyCol), "left_anti")
     val commit = nextCommit(m)
     val commitRel = s"commits/c$commit"
@@ -250,10 +297,16 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     val dataCols = schema.fieldNames.filterNot(_ == keyCol)
     def side(m: Map[Int, String], name: String): DataFrame = {
       val paths = changed.flatMap(m.get).map(v => dir.resolve(v).toString)
-      val df =
+      val df0 =
         if (paths.isEmpty)
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else spark.read.parquet(paths: _*)
+        else readPaths(spark, paths)
+      // a side written before an additive evolution lacks the new
+      // columns entirely — null-fill to s1's schema so the structs
+      // compare field-by-field (a NULL-vs-value difference IS a change)
+      val df = dataCols.foldLeft(df0)((d, c0) =>
+        if (d.columns.contains(c0)) d
+        else d.withColumn(c0, lit(null).cast(schema(c0).dataType)))
       df.select(col(keyCol), struct(dataCols.map(col).toSeq: _*).as(name))
     }
     side(m0, "before").join(side(m1, "after"), Seq(keyCol), "full_outer")

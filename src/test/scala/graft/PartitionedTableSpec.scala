@@ -208,6 +208,92 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(t.read(spark).count() === before)
   }
 
+  test("additive schema evolution: new batch columns null-fill old rows; type change refused") {
+    val dir = Files.createTempDirectory("graft_pt_evo")
+    val t = new PartitionedTable(dir, "id", nBuckets = 4)
+    t.mergeInto(spark, (1L to 20L).map(k => (k, s"v$k")).toDF("id", "v"))
+    // widened batch: adds a 'score' column
+    t.mergeInto(spark, Seq((5L, "V5", 0.9), (21L, "V21", 0.7)).toDF("id", "v", "score"))
+    val cur = t.read(spark)
+    assert(cur.columns.sorted.toSeq === Seq("id", "score", "v"))
+    assert(cur.count() === 21)
+    assert(cur.filter($"id" === 5L).select("score").head().getDouble(0) === 0.9)
+    assert(cur.filter($"id" === 1L).select("score").head().isNullAt(0)) // pre-evolution row is NULL
+    // a narrower batch (omits score) still merges; its rows get NULL
+    t.mergeInto(spark, Seq((6L, "W6")).toDF("id", "v"))
+    assert(t.read(spark).filter($"id" === 6L).select("score").head().isNullAt(0))
+    assert(t.read(spark).filter($"id" === 5L).select("score").head().getDouble(0) === 0.9)
+    // feed across the evolution: NULL-vs-value IS a change
+    val feed = t.changesBetween(spark, 0L, 1L)
+    assert(feed.filter($"id" === 5L).select("op").head().getString(0) === "update")
+    // type conflict is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      t.mergeInto(spark, Seq((7L, 123)).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("additive columns only"))
+  }
+
+  test("lookup reads exactly one bucket's files") {
+    val dir = Files.createTempDirectory("graft_pt_lu")
+    val t = new PartitionedTable(dir, "id", nBuckets = 8)
+    t.mergeInto(spark, (1L to 400L).map(k => (k, s"v$k")).toDF("id", "v"))
+    val hit = t.lookup(spark, 123L)
+    assert(hit.select("v").head().getString(0) === "v123")
+    assert(hit.inputFiles.toSet.size < t.read(spark).inputFiles.toSet.size,
+      "lookup must open fewer files than a table scan")
+    // absent key in an existing bucket: zero rows, no error
+    assert(t.lookup(spark, 999999L).isEmpty)
+  }
+
+  test("property: random merge/delete sequence — state equals naive replay, feeds telescope") {
+    val rnd = new scala.util.Random(31)
+    val dir = Files.createTempDirectory("graft_pt_prop")
+    val t = new PartitionedTable(dir, "id", nBuckets = 4)
+    var naive = Map.empty[Long, String]
+    (0 until 8).foreach { i =>
+      if (i % 3 == 2 && naive.nonEmpty) {
+        val dels = naive.keys.toSeq.sorted.filter(_ => rnd.nextBoolean()).take(10)
+        if (dels.nonEmpty) {
+          t.deleteKeys(spark, dels.toDF("id"))
+          naive = naive -- dels
+        } else {
+          t.mergeInto(spark, Seq((1000L + i, s"x$i")).toDF("id", "v"))
+          naive += (1000L + i) -> s"x$i"
+        }
+      } else {
+        val batch = (1 to 15).map(_ => (rnd.nextInt(40).toLong, s"r$i-${rnd.nextInt(99)}"))
+          .groupBy(_._1).map { case (k, vs) => (k, vs.last._2) }.toSeq
+        t.mergeInto(spark, batch.toDF("id", "v"))
+        naive = naive ++ batch
+      }
+    }
+    val got = t.read(spark).as[(Long, String)].collect().toMap
+    assert(got === naive)
+    // telescoping: key-reduced union of consecutive feeds == end-to-end diff
+    val snaps = t.snapshots
+    val perStep = (1 until snaps.length).map(i =>
+      t.changesBetween(spark, snaps(i - 1), snaps(i))
+        .select($"id", $"before", $"after", lit(i).as("step")))
+      .reduce(_ unionByName _)
+    val reduced = perStep
+      .withColumn("rn_first", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"id").orderBy($"step")))
+      .withColumn("rn_last", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"id").orderBy($"step".desc)))
+    val firstBefore = reduced.filter($"rn_first" === 1).select($"id", $"before")
+    val lastAfter = reduced.filter($"rn_last" === 1).select($"id", $"after")
+    val telescoped = firstBefore.join(lastAfter, Seq("id"))
+      .filter(!($"before" <=> $"after")) // keys that net out to no change drop
+      .select($"id", $"before.v".as("b"), $"after.v".as("a"))
+      .as[(Long, Option[String], Option[String])].collect()
+      .map { case (k, b, a) => k -> ((b, a)) }.toMap
+    val direct = t.changesBetween(spark, snaps.head, snaps.last)
+      .select($"id", $"before.v".as("b"), $"after.v".as("a"))
+      .as[(Long, Option[String], Option[String])].collect()
+      .map { case (k, b, a) => k -> ((b, a)) }.toMap
+    assert(telescoped === direct)
+  }
+
   test("compact coalesces fragmented buckets to one file each; content identical") {
     val dir = Files.createTempDirectory("graft_pt_compact")
     val t = new PartitionedTable(dir, "id", nBuckets = 4)

@@ -235,6 +235,38 @@ object EventStreams {
       c("value").cast(DoubleType).as("value"))
   }
 
+  /** Exactly-once APPEND sink — the non-idempotent half of the sink
+    * story. The upsert sink above is replay-safe by semantics (last
+    * wins); an insert-only fact stream is NOT: checkpoint recovery
+    * re-delivers the in-flight micro-batch and a naive sink doubles
+    * its rows. Here every batch is deliberately applied TWICE with
+    * the same (appId, batchId) transaction — the Delta txnAppId/
+    * txnVersion pattern, recorded inside the same atomic manifest
+    * swap as the data — and the replays no-op, so the table holds
+    * each event exactly once. The oracle is the plain events
+    * projection: any double-apply fails the row-count, any lost
+    * batch fails the hash. */
+  def streamTableTxn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = java.nio.file.Files.createTempDirectory("graft_txnsink")
+    val table = new PartitionedTable(dir.resolve("facts"), "event_id", nBuckets = 8)
+    val q = eventsStream(s, d)
+      .select(c("event_id"), c("user_id"), c("event_type"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sess = batch.sparkSession
+        table.appendInto(sess, batch, txn = Some("events_sink" -> id))
+        // simulated at-least-once redelivery of the same micro-batch
+        table.appendInto(sess, batch, txn = Some("events_sink" -> id))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read(s).select(c("event_id"), c("user_id"), c("event_type"))
+  }
+
   /** Streaming change feed — the CDC composition a downstream consumer
     * (cache invalidation, index refresh, incremental training-set
     * delta) actually subscribes to: the event stream merges into the
@@ -344,6 +376,7 @@ object EventStreams {
     "stream_dedup" -> streamDedup _,
     "stream_change_feed" -> streamChangeFeed _,
     "stream_upsert_sink" -> streamUpsertSink _,
+    "stream_table_txn" -> streamTableTxn _,
     "stream_window_agg" -> streamWindowAgg _,
     "stream_sliding_agg" -> streamSlidingAgg _,
     "stream_session_window" -> streamSessionWindow _,
@@ -366,6 +399,9 @@ object EventStreams {
       """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS win_start,
         |  count(DISTINCT event_id) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    // every event exactly once despite each micro-batch being applied twice
+    "stream_table_txn" ->
+      "SELECT event_id, user_id, event_type FROM events",
     "stream_upsert_sink" ->
       """SELECT user_id, event_id, event_type,
         |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value

@@ -48,25 +48,77 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
         throw new IllegalStateException(
           s"incompatible table layout at $dir: manifest lacks format marker " +
             s"'${PartitionedTable.FormatMarker}' (found '${lines.headOption.getOrElse("<empty>")}'); " +
-            "this table was written by an older layout — re-create it from source data")
-      lines.drop(1)
-        .map(_.split("=", 2)).collect { case Array(b, v) => b.toInt -> v }.toMap
+          "this table was written by an older layout — re-create it from source data")
+      parseBuckets(lines)
     }
 
-  /** Swap MANIFEST atomically and record the same mapping as the
-    * immutable snapshot `MANIFEST.s<commit>` — the Delta/Iceberg
-    * version-log analog. Snapshots are what make a training run
-    * REPRODUCIBLE against a continuously-merged table: pin the
-    * snapshot id at run start, `readAt` it forever after (until
-    * `vacuum`'s retention horizon sweeps it). The snapshot is written
-    * before the swap: a crash between the two leaves a snapshot no
-    * MANIFEST points at — dead weight for the next vacuum, never a
-    * torn current state. */
-  private def writeManifest(m: Map[Int, String], commit: Long): Unit = {
+  /** Last recorded transaction version per writer application — the
+    * Delta `txnAppId`/`txnVersion` analog. Carried inside the manifest
+    * (same atomic swap as the bucket pointers) so "data applied" and
+    * "txn recorded" can never be observed apart, whatever the crash
+    * point. A streaming sink passes its (appId, batchId); a replayed
+    * micro-batch after checkpoint recovery sees its id already
+    * recorded and no-ops — exactly-once on top of at-least-once
+    * delivery. */
+  def txns: Map[String, Long] =
+    if (!exists) Map.empty
+    else parseTxns(Files.readAllLines(manifestFile).asScala.toSeq)
+
+  def lastTxn(appId: String): Option[Long] = txns.get(appId)
+
+  private def parseBuckets(lines: Seq[String]): Map[Int, String] =
+    lines.drop(1).filterNot(_.startsWith("!"))
+      .map(_.split("=", 2)).collect { case Array(b, v) => b.toInt -> v }.toMap
+
+  private def parseTxns(lines: Seq[String]): Map[String, Long] =
+    lines.drop(1).filter(_.startsWith(PartitionedTable.TxnPrefix))
+      .map(_.stripPrefix(PartitionedTable.TxnPrefix).split("=", 2))
+      .collect { case Array(a, v) => a -> v.toLong }.toMap
+
+  /** Commit: record the mapping as the immutable snapshot
+    * `MANIFEST.s<commit>` — the Delta/Iceberg version-log analog —
+    * then swap MANIFEST atomically. Snapshots are what make a
+    * training run REPRODUCIBLE against a continuously-merged table:
+    * pin the snapshot id at run start, `readAt` it forever after
+    * (until `vacuum`'s retention horizon sweeps it).
+    *
+    * The snapshot is created with CREATE_NEW and doubles as the
+    * OPTIMISTIC-CONCURRENCY arbiter: commit ids are a deterministic
+    * function of the base state (max existing id + 1), so two writers
+    * that based on the same state race for the same snapshot file and
+    * exactly one CREATE_NEW wins. The loser's data dir (unique per
+    * attempt — see nonce in the mutators) is unreferenced garbage for
+    * `vacuum`; the loser re-reads and retries
+    * (`PartitionedTable.retryingCommit`). A crash between snapshot
+    * and swap leaves a snapshot no MANIFEST points at — never a torn
+    * current state; the next writer skips past its id (nextCommit
+    * counts snapshots) and vacuum sweeps the orphan. */
+  /** Test seam: runs after the commit id is fixed and the data dir is
+    * written, before the CREATE_NEW arbitration — the window a
+    * concurrent winner lands in. */
+  protected[graft] def onBeforeCommit(commit: Long): Unit = ()
+
+  private def writeManifest(m: Map[Int, String], commit: Long,
+                            txn: Map[String, Long], attemptRel: Option[String]): Unit = {
+    onBeforeCommit(commit)
     Files.createDirectories(dir)
     val body = (PartitionedTable.FormatMarker +:
-      m.toSeq.sortBy(_._1).map { case (b, v) => s"$b=$v" }).mkString("", "\n", "\n")
-    Files.writeString(dir.resolve(s"MANIFEST.s$commit"), body)
+      (txn.toSeq.sortBy(_._1).map { case (a, v) => s"${PartitionedTable.TxnPrefix}$a=$v" } ++
+        m.toSeq.sortBy(_._1).map { case (b, v) => s"$b=$v" })).mkString("", "\n", "\n")
+    try
+      Files.writeString(dir.resolve(s"MANIFEST.s$commit"), body,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // another writer committed `commit` first: this attempt's data
+        // dir is dead — drop it now rather than waiting for vacuum
+        attemptRel.foreach { rel =>
+          val d = dir.resolve(rel)
+          if (Files.exists(d)) PartitionedTable.deleteRecursively(d)
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"commit s$commit at $dir lost to a concurrent writer; re-read and retry")
+    }
     val tmp = dir.resolve("MANIFEST.tmp")
     Files.writeString(tmp, body)
     Files.move(tmp, manifestFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -74,8 +126,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
   }
 
   private def parseManifest(p: Path): Map[Int, String] =
-    Files.readAllLines(p).asScala.toSeq.drop(1)
-      .map(_.split("=", 2)).collect { case Array(b, v) => b.toInt -> v }.toMap
+    parseBuckets(Files.readAllLines(p).asScala.toSeq)
 
   /** Committed snapshot ids, oldest first. */
   def snapshots: Seq[Long] =
@@ -134,16 +185,41 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     }
   }
 
-  /** next commit id: one more than the largest already on disk. */
-  private def nextCommit(m: Map[Int, String]): Long =
-    m.values.collect { case PartitionedTable.CommitDir(n) => n.toLong }
-      .maxOption.map(_ + 1).getOrElse(0L)
+  /** next commit id: one more than the largest already on disk.
+    * Derived from the SNAPSHOT ids as well as the manifest's dir
+    * names: the manifest alone can understate history — a deleteKeys
+    * that empties buckets DROPS them, so a table whose newest commits
+    * only deleted would hand out an id already spent and overwrite
+    * that snapshot (silent time-travel corruption). Snapshot files
+    * outlive their manifest pointers until vacuum, and vacuum always
+    * keeps the most recent one, so their max is the true high-water
+    * mark. */
+  private def nextCommit(m: Map[Int, String]): Long = {
+    val fromDirs =
+      m.values.collect { case PartitionedTable.CommitDir(n) => n.toLong }.maxOption
+    (fromDirs.toSeq ++ snapshots.maxOption).maxOption.map(_ + 1).getOrElse(0L)
+  }
+
+  /** Per-attempt commit dir: the id makes it sortable/debuggable, the
+    * nonce makes it UNIQUE — two optimistic writers racing for commit
+    * N must not overwrite each other's files BEFORE the snapshot
+    * CREATE_NEW arbitrates, so each attempt writes its own dir and
+    * only the winner's becomes referenced. */
+  private def attemptDir(commit: Long): String =
+    s"commits/c$commit-${java.util.UUID.randomUUID.toString.take(8)}"
 
   /** Merge `updates` (last-wins-compacted by caller) into the table,
     * rewriting only the buckets that hold update keys — in a single
     * Spark write job. Returns the touched bucket ids (empty input →
-    * no-op, no jobs beyond the bucket probe). */
-  def mergeInto(spark: SparkSession, updates: DataFrame): Seq[Int] = {
+    * no-op, no jobs beyond the bucket probe).
+    *
+    * `txn = Some(appId -> version)` makes the write IDEMPOTENT per
+    * writer: a version ≤ the recorded one for `appId` is a replay
+    * (checkpoint recovery re-delivering a micro-batch) and no-ops;
+    * otherwise the version commits atomically WITH the data. */
+  def mergeInto(spark: SparkSession, updates: DataFrame,
+                txn: Option[(String, Long)] = None): Seq[Int] = {
+    if (txn.exists { case (a, v) => lastTxn(a).exists(_ >= v) }) return Nil
     val withBucket = updates.withColumn("__b", bucketExpr).cache()
     val touched = withBucket.select("__b").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
@@ -182,7 +258,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       case None => updFlat
     }
     val commit = nextCommit(m)
-    val commitRel = s"commits/c$commit"
+    val commitRel = attemptDir(commit)
     merged.withColumn("__b", bucketExpr)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__b")
@@ -190,7 +266,40 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     withBucket.unpersist()
     // partitionBy writes one __b=<n> dir per touched bucket under the
     // commit dir; repoint only those buckets, one atomic manifest swap
-    writeManifest(m ++ touched.map(b => b -> s"$commitRel/__b=$b"), commit)
+    writeManifest(m ++ touched.map(b => b -> s"$commitRel/__b=$b"), commit,
+      txns ++ txn, Some(commitRel))
+    touched
+  }
+
+  /** Append `rows` WITHOUT key dedup — the insert-only fact-stream
+    * path (events, logs): unlike the upsert merge, a replayed batch
+    * here DUPLICATES rows, which is exactly what the `txn` id guards
+    * against (see mergeInto). Touched buckets are unioned with the new
+    * rows (additive columns null-fill both ways) and rewritten in one
+    * job; same commit protocol. */
+  def appendInto(spark: SparkSession, rows: DataFrame,
+                 txn: Option[(String, Long)] = None): Seq[Int] = {
+    if (txn.exists { case (a, v) => lastTxn(a).exists(_ >= v) }) return Nil
+    val withBucket = rows.withColumn("__b", bucketExpr).cache()
+    val touched = withBucket.select("__b").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) { withBucket.unpersist(); return Nil }
+    val m = manifest
+    val existingPaths = touched.flatMap(b => m.get(b).map(v => dir.resolve(v).toString))
+    val appended = withBucket.drop("__b")
+    val merged =
+      if (existingPaths.isEmpty) appended
+      else readPaths(spark, existingPaths)
+        .unionByName(appended, allowMissingColumns = true)
+    val commit = nextCommit(m)
+    val commitRel = attemptDir(commit)
+    merged.withColumn("__b", bucketExpr)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__b")
+      .parquet(dir.resolve(commitRel).toString)
+    withBucket.unpersist()
+    writeManifest(m ++ touched.map(b => b -> s"$commitRel/__b=$b"), commit,
+      txns ++ txn, Some(commitRel))
     touched
   }
 
@@ -220,14 +329,15 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     }.map(_._1)
     if (frag.isEmpty) return Nil
     val commit = nextCommit(m)
-    val commitRel = s"commits/c$commit"
+    val commitRel = attemptDir(commit)
     readBuckets(spark, frag)
       .withColumn("__b", bucketExpr)
       .repartition(frag.size, col("__b")) // all of a bucket -> one task
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__b")
       .parquet(dir.resolve(commitRel).toString)
-    writeManifest(m ++ frag.map(b => b -> s"$commitRel/__b=$b"), commit)
+    writeManifest(m ++ frag.map(b => b -> s"$commitRel/__b=$b"), commit,
+      txns, Some(commitRel))
     frag
   }
 
@@ -253,7 +363,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     val kept = readPaths(spark, existing)
       .join(withBucket.drop("__b"), Seq(keyCol), "left_anti")
     val commit = nextCommit(m)
-    val commitRel = s"commits/c$commit"
+    val commitRel = attemptDir(commit)
     kept.withColumn("__b", bucketExpr)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__b")
@@ -268,7 +378,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       .toSet
     val updated = m ++ touched.filter(writtenBuckets).map(b => b -> s"$commitRel/__b=$b") --
       touched.filterNot(writtenBuckets)
-    writeManifest(updated, commit)
+    writeManifest(updated, commit, txns, Some(commitRel))
     touched
   }
 
@@ -359,10 +469,34 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
 }
 
 object PartitionedTable {
-  /** Manifest format id — bump when bucket-path semantics change. */
+  /** Manifest format id — bump when bucket-path semantics change.
+    * (v1 still parses: the nonce suffix and !txn lines are additive.) */
   val FormatMarker = "graft.partitioned.v1"
 
-  private val CommitDir = "commits/c(\\d+)/.*".r
+  /** Manifest line prefix for writer-transaction records; `!` keeps
+    * them out of the bucket parser (and out of v1 readers, which never
+    * wrote them). */
+  val TxnPrefix = "!txn "
+
+  private val CommitDir = "commits/c(\\d+)(?:-[0-9a-f]+)?/.*".r
+
+  /** Run an optimistic mutation (mergeInto/appendInto/deleteKeys/
+    * compact) with bounded retries on commit conflicts. Each retry
+    * re-enters the mutator, which re-reads the manifest — so the
+    * rebase is automatic; with every round exactly one contender
+    * wins, so `attempts` bounds the CONTENDER count, not luck. */
+  def retryingCommit[T](attempts: Int = 8)(body: => T): T = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
 
   private[streaming] val SnapFile = "MANIFEST\\.s(\\d+)".r
 

@@ -349,4 +349,111 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(once === twice)
     assert(once === Seq((1L, "a"), (2L, "b2"), (999L, "new")))
   }
+
+  test("optimistic concurrency: a lost commit race throws, leaves state intact, cleans its attempt dir") {
+    val dir = Files.createTempDirectory("graft_pt_occ")
+    // a concurrent writer lands commit 1 INSIDE our race window (after
+    // our id pick + data write, before our CREATE_NEW) — the seam
+    // injects its snapshot exactly there, once
+    var inject = true
+    val t = new PartitionedTable(dir, "id", nBuckets = 4) {
+      override protected[graft] def onBeforeCommit(commit: Long): Unit =
+        if (commit == 1L && inject) {
+          inject = false
+          Files.writeString(dir.resolve("MANIFEST.s1"),
+            Files.readString(dir.resolve("MANIFEST.s0")))
+        }
+    }
+    t.mergeInto(spark, Seq((1L, "a")).toDF("id", "v"))
+    val stateBefore = t.read(spark).collect().toSet
+    val manifestBefore = t.manifest
+    val err = intercept[java.util.ConcurrentModificationException] {
+      t.mergeInto(spark, Seq((2L, "b")).toDF("id", "v"))
+    }
+    assert(err.getMessage.contains("lost to a concurrent writer"))
+    assert(t.manifest === manifestBefore) // MANIFEST not swapped
+    assert(t.read(spark).collect().toSet === stateBefore)
+    // the loser's attempt dir (commits/c1-<nonce>) was deleted on abort
+    val attemptDirs = PartitionedTable.listDir(dir.resolve("commits"))
+      .map(_.getFileName.toString).filter(_.startsWith("c1-"))
+    assert(attemptDirs.isEmpty)
+    // a retry re-reads, sees commit 1 spent (its snapshot is on disk),
+    // commits as 2, and lands
+    PartitionedTable.retryingCommit() {
+      t.mergeInto(spark, Seq((2L, "b")).toDF("id", "v"))
+    }
+    assert(t.snapshots.max === 2L)
+    assert(t.read(spark).count() === 2)
+  }
+
+  test("two concurrent writers with retryingCommit both land; disjoint keys all present") {
+    val dir = Files.createTempDirectory("graft_pt_race")
+    val t = new PartitionedTable(dir, "id", nBuckets = 4)
+    t.mergeInto(spark, (1L to 40L).map(i => (i, "base")).toDF("id", "v"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 2).map { w =>
+      Future {
+        (0 until 3).foreach { k =>
+          PartitionedTable.retryingCommit() {
+            val lo = 1000L * (w + 1) + 10 * k
+            t.mergeInto(spark, (lo until lo + 5).map(i => (i, s"w$w-$k")).toDF("id", "v"))
+          }
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val got = t.read(spark)
+    assert(got.count() === 40 + 2 * 3 * 5) // every writer's every batch landed exactly once
+    assert(got.filter($"id" >= 1000L).count() === 30)
+    // commit history is a clean sequence: snapshot ids are distinct and gap-free
+    // modulo aborted attempts, and the current manifest parses
+    assert(t.snapshots.distinct.size === t.snapshots.size)
+    assert(t.manifest.nonEmpty)
+  }
+
+  test("regression: commit ids never reuse a snapshot after deleteKeys empties the manifest") {
+    val dir = Files.createTempDirectory("graft_pt_idreuse")
+    val t = new PartitionedTable(dir, "id", nBuckets = 2)
+    t.mergeInto(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val s0 = t.snapshots.head
+    val s0Content = t.readAt(spark, s0).collect().toSet
+    // empty the table: every bucket drops from the manifest, so the
+    // manifest alone no longer witnesses commits 0 and 1
+    t.deleteKeys(spark, Seq(Tuple1(1L), Tuple1(2L)).toDF("id"))
+    assert(t.manifest.isEmpty)
+    // next commit must be 2, NOT 0 — a reused id would overwrite
+    // MANIFEST.s0 and clobber its data (silent time-travel corruption)
+    t.mergeInto(spark, Seq((3L, "c")).toDF("id", "v"))
+    assert(t.snapshots === Seq(0L, 1L, 2L))
+    assert(t.readAt(spark, s0).collect().toSet === s0Content)
+    assert(t.read(spark).as[(Long, String)].collect().toSeq === Seq((3L, "c")))
+  }
+
+  test("txn ids make appendInto/mergeInto exactly-once under at-least-once replay") {
+    val dir = Files.createTempDirectory("graft_pt_txn")
+    val t = new PartitionedTable(dir, "id", nBuckets = 4)
+    val b0 = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    // append WITHOUT txn: a replay duplicates (the hazard)
+    t.appendInto(spark, b0)
+    t.appendInto(spark, b0)
+    assert(t.read(spark).count() === 4)
+    // fresh table, appends guarded by (appId, batchId)
+    val dir2 = Files.createTempDirectory("graft_pt_txn2")
+    val g = new PartitionedTable(dir2, "id", nBuckets = 4)
+    assert(g.appendInto(spark, b0, txn = Some("sinkA" -> 0L)).nonEmpty)
+    assert(g.appendInto(spark, b0, txn = Some("sinkA" -> 0L)) === Nil) // replay no-ops
+    assert(g.lastTxn("sinkA") === Some(0L))
+    assert(g.appendInto(spark, b0, txn = Some("sinkA" -> 1L)).nonEmpty) // next batch lands
+    // a different appId is an independent sequence
+    assert(g.appendInto(spark, b0, txn = Some("sinkB" -> 0L)).nonEmpty)
+    assert(g.read(spark).count() === 6)
+    assert(g.txns === Map("sinkA" -> 1L, "sinkB" -> 0L))
+    // txn state survives unrelated commits (merge/compact keep the map)
+    g.mergeInto(spark, Seq((99L, "z")).toDF("id", "v"), txn = Some("merger" -> 7L))
+    g.compact(spark, maxFilesPerBucket = 1)
+    assert(g.lastTxn("sinkA") === Some(1L) && g.lastTxn("merger") === Some(7L))
+    assert(g.mergeInto(spark, b0, txn = Some("merger" -> 7L)) === Nil)
+  }
 }

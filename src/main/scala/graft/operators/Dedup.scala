@@ -557,6 +557,35 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("label"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Semantic-dedup KEEP SET (the pruning half of SemDeDup — Abbas et
+    * al. 2023): where dedupEmbedCosine emits the near-dup PAIRS, this
+    * emits the curated corpus after cluster-wise pruning. Every vector
+    * joins its (label, IMI cell) cluster; within a cluster a vector is
+    * PRUNED iff some lower-vec_id member sits within cosine ≥ 0.35 of
+    * it — dominated pruning, a deterministic join-expressible
+    * over-approximation of the paper's greedy sweep (an item may be
+    * dominated by an item that was itself dominated; the paper keeps
+    * exactly one per ε-group, we keep at most that — both shrink the
+    * semantic ball to one representative, and determinism is what
+    * makes the DuckDB oracle exact).
+    *
+    * Scale: identical candidate pricing to dedupEmbedCosine — the
+    * dominance join touches only co-(label, cell) pairs, O(n ·
+    * TargetCellSize); the keep set falls out of one left_anti on
+    * vec_id. No driver state beyond the memoized centroids. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cells = e.select(col("vec_id"), col("label"), col("embedding"),
+      Similarity.imiCellOf(s, d)(col("embedding")).as("cell"))
+    val pruned = cells.as("a").join(cells.as("b"),
+        col("a.label") === col("b.label") && col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id") &&
+        Similarity.dot(col("a.embedding"), col("b.embedding")) >= 0.35)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    cells.join(pruned, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   /** Near-dup transitive closure: connected components of the verified
     * LSH pair graph by iterative hash-min label propagation (the
     * Pregel/GraphX pattern as plain DataFrame joins): every vertex
@@ -843,6 +872,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_embed_cosine" -> dedupEmbedCosine _,
+    "dedup_semantic" -> dedupSemantic _,
     "dedup_components" -> dedupComponents _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_incremental_bucketed" -> dedupIncrementalBucketed _,
@@ -998,6 +1028,17 @@ object Dedup {
         |  ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(range(1, 65),
         |  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) >= 0.35""".stripMargin,
+    // same shared IMI-cell CTE, then dominated pruning: a vector is
+    // dropped iff a lower-vec_id co-(label, cell) member has cos >= 0.35
+    "dedup_semantic" ->
+      s"""WITH ${Similarity.imiCellsCteSql},
+        |pr AS (SELECT DISTINCT b.vec_id
+        |  FROM cells a JOIN cells b
+        |    ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ${Similarity.dotSql.format("a.embedding", "b.embedding")} >= 0.35)
+        |SELECT c.vec_id, c.label FROM cells c
+        |LEFT JOIN pr ON pr.vec_id = c.vec_id
+        |WHERE pr.vec_id IS NULL""".stripMargin,
     // connected components = min doc_id reachable in the undirected
     // verified-pair graph (recursive reachability closure)
     "dedup_components" ->

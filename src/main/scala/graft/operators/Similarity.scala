@@ -160,7 +160,7 @@ object Similarity {
   def collectCentroids(s: SparkSession, d: String): Array[(Long, Array[Float])] =
     centroidCache.computeIfAbsent((s, d), _ => collectCentroidsOf(embeddings(s, d)))
 
-  private val dotSql =
+  private[graft] val dotSql =
     "list_sum(list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"
 
   /** One Lloyd round as DuckDB CTEs: assignment rank vs `prev`, ordered

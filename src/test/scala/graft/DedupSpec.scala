@@ -205,6 +205,30 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked.subsetOf(exhaustive)) // cluster-then-verify never invents pairs
   }
 
+  test("semantic dedup keep set: partition of corpus, dominators are earlier, cluster minima kept") {
+    val d = "/root/testdata/sf0.01" // sf0.001 holds no within-cell pair at cos >= 0.35
+    val kept = Dedup.dedupSemantic(spark, d)
+      .select("vec_id").as[Long].collect().toSet
+    val e = graft.Tables.embeddings(spark, d)
+    val cells = e.select(col("vec_id"), col("label"), col("embedding"),
+      graft.operators.Similarity.imiCellOf(spark, d)(col("embedding")).as("cell"))
+    val all = cells.select("vec_id").as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.subsetOf(all))
+    val prunedSet = all -- kept
+    assert(prunedSet.nonEmpty) // the corpus does contain semantic redundancy
+    // every pruned vector has a lower-id co-cluster dominator at cos >= 0.35
+    val dominated = cells.as("a").join(cells.as("b"),
+        col("a.label") === col("b.label") && col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id") &&
+        graft.operators.Similarity.dot(col("a.embedding"), col("b.embedding")) >= 0.35)
+      .select(col("b.vec_id")).as[Long].collect().toSet
+    assert(prunedSet === dominated)
+    // the lowest vec_id of every (label, cell) cluster can never be dominated
+    val minima = cells.groupBy(col("label"), col("cell"))
+      .agg(min(col("vec_id")).as("m")).select("m").as[Long].collect().toSet
+    assert(minima.subsetOf(kept))
+  }
+
   test("bucketed LSH layout: same pairs as the shuffle form, no exchange on the band join") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lshbkt_spec")
     docs.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)

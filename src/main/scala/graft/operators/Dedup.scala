@@ -142,6 +142,92 @@ object Dedup {
         md5(coalesce(col("txt"), lit(""))).as("dedup_md5"))
   }
 
+  /** Duplicated-run window length in words for the substring-level
+    * family (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", 2022 — ExactSubstr; their production threshold
+    * is 50 BPE tokens, scaled to this corpus's 10-99-word documents).
+    * Any exact K-word run occurring ≥ 2 times ANYWHERE in the corpus
+    * (across documents or self-repetition within one) is duplicated
+    * text; a token is covered iff some duplicated run spans it. */
+  val SubstrK = 8
+
+  /** K-gram starts of `text` as (position, 64-bit-md5-prefix) structs
+    * — positional, NON-distinct (unlike WordShingles: coverage needs
+    * every start). The 16-hex prefix bounds shuffle-key width; both
+    * engines hash identically so collisions (≈2⁻⁶⁴) cannot split the
+    * gate. */
+  private def posGrams(k: Int): Column = {
+    val words = split(col("text"), " ")
+    when(size(words) >= k,
+      transform(sequence(lit(0), size(words) - k),
+        i => struct(i.as("p"),
+          substring(md5(concat_ws(" ", slice(words, i + 1, lit(k)))), 1, 16).as("g"))))
+      .otherwise(array().cast(ArrayType(StructType(Seq(
+        StructField("p", IntegerType, nullable = false),
+        StructField("g", StringType))), containsNull = false)))
+  }
+
+  /** Positional K-grams exploded to (doc_id, p, g) plus the corpus-
+    * global duplicated-gram semi-join — the shared front half of the
+    * substring family. 100 TB shape: occurrence counting is one
+    * partial-aggregable groupBy on the 64-bit gram hash (boilerplate
+    * grams combine map-side); the flag-back is a left-semi equi-join
+    * on the same key, never a per-pair comparison, and AQE's skew
+    * split handles web-boilerplate hot grams. */
+  private def dupGramHits(docs: DataFrame): DataFrame = {
+    val g = graft.Tables.spread(docs)
+      .select(col("doc_id"), explode(posGrams(SubstrK)).as("pg"))
+      .select(col("doc_id"), col("pg.p").as("p"), col("pg.g").as("g"))
+    val dup = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    g.join(dup, Seq("g"), "left_semi")
+  }
+
+  /** Substring-level (span) dedup STATS — per document, how many of
+    * its tokens sit under some duplicated K-run. Coverage is the
+    * union of [p, p+K) intervals, counted as distinct exploded
+    * positions (group size bounded by document length, never by
+    * corpus hotness). drop_flag marks majority-duplicated documents —
+    * the ExactSubstr removal decision as a verdict column. */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cov = dupGramHits(docs)
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (SubstrK - 1))).as("cp"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("cp")).as("dup_tokens"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).cast(IntegerType).as("dup_tokens"),
+        when(coalesce(col("dup_tokens"), lit(0L)) * 2 >= col("n_tokens"), 1)
+          .otherwise(0).as("drop_flag"))
+  }
+
+  /** Substring-level dedup REMOVAL — the cleaned corpus: every token
+    * under a duplicated K-run is cut and the document reassembled in
+    * original order (fully-duplicated documents come back empty, not
+    * missing, so downstream row counts are stable). Reassembly is one
+    * doc_id shuffle with sort_array over (pos, token) structs —
+    * identical shape to dedupLines, bounded by document length. */
+  def dedupSubstringClean(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val covered = dupGramHits(docs)
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (SubstrK - 1))).as("p"))
+      .distinct()
+    val toks = graft.Tables.spread(docs)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("kept_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("txt"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0)).as("kept_tokens"),
+        coalesce(col("txt"), lit("")).as("clean_text"))
+  }
+
   /** MinHash(16) + LSH(4 bands × 4 rows) near-dup candidate pairs,
     * verified by exact shingle Jaccard ≥ 0.5. */
   private def minhashBase(s: SparkSession, d: String): DataFrame =
@@ -866,6 +952,8 @@ object Dedup {
     "agg_minhash_sketch" -> aggMinhashSketch _,
     "dedup_exact" -> dedupExact _,
     "dedup_lines" -> dedupLines _,
+    "dedup_substring" -> dedupSubstring _,
+    "dedup_substring_clean" -> dedupSubstringClean _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_minhash_lsh_bucketed" -> dedupMinhashLshBucketed _,
     "dedup_minhash_lsh_capped" -> dedupMinhashLshCapped _,
@@ -878,6 +966,18 @@ object Dedup {
     "dedup_incremental_bucketed" -> dedupIncrementalBucketed _,
     "stream_dedup_admission" -> streamDedupAdmission _
   )
+
+  // Shared front half of the substring-family oracles: positional
+  // K-grams (same md5-prefix hash as posGrams) and their duplicated-
+  // gram hits. Yields CTEs `w` (doc_id, ws) and `hits` (doc_id, p, g).
+  private lazy val substrCovCteSql: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, i - 1 AS p,
+      |    substr(md5(array_to_string(ws[i:i+${SubstrK - 1}], ' ')), 1, 16) AS g
+      |  FROM w, unnest(range(1, len(ws) - $SubstrK + 2)) t(i)
+      |  WHERE len(ws) >= $SubstrK),
+      |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+      |hits AS (SELECT h.doc_id, h.p FROM g h JOIN dup USING (g))""".stripMargin
 
   private val shinglesSqlDuck = // DuckDB k=3 shingle list (distinct)
     """list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
@@ -949,6 +1049,35 @@ object Dedup {
         |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
         |  coalesce(reb.m, md5('')) AS dedup_md5
         |FROM stats s LEFT JOIN reb USING (doc_id)""".stripMargin,
+    // mirrors dedupSubstring exactly: positional K-grams hashed to the
+    // same 16-hex md5 prefix, duplicated = total occurrences >= 2
+    // (self-repetition counts, as in ExactSubstr), coverage = distinct
+    // positions under the union of [p, p+K) windows.
+    "dedup_substring" ->
+      s"""WITH $substrCovCteSql,
+        |cv AS (SELECT h.doc_id, CAST(count(DISTINCT h.p + o) AS INTEGER) AS dup_tokens
+        |  FROM hits h, unnest(range(0, $SubstrK)) u(o) GROUP BY h.doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS INTEGER) AS n_tokens,
+        |  coalesce(cv.dup_tokens, 0) AS dup_tokens,
+        |  CASE WHEN 2 * coalesce(cv.dup_tokens, 0) >= len(w.ws)
+        |    THEN 1 ELSE 0 END AS drop_flag
+        |FROM w LEFT JOIN cv ON cv.doc_id = w.doc_id""".stripMargin,
+    // same duplicated-gram front half, then token-level removal and
+    // ordered reassembly; fully-covered documents yield '' not NULL.
+    "dedup_substring_clean" ->
+      s"""WITH $substrCovCteSql,
+        |cov AS (SELECT DISTINCT h.doc_id, h.p + o AS p
+        |  FROM hits h, unnest(range(0, $SubstrK)) u(o)),
+        |tok AS (SELECT doc_id, i - 1 AS p, ws[i] AS tok
+        |  FROM w, unnest(range(1, len(ws) + 1)) t(i)),
+        |ka AS (SELECT t.doc_id, CAST(count(*) AS INTEGER) AS kept_tokens,
+        |    string_agg(t.tok, ' ' ORDER BY t.p) AS txt
+        |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+        |  WHERE c.p IS NULL GROUP BY t.doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS INTEGER) AS n_tokens,
+        |  coalesce(ka.kept_tokens, 0) AS kept_tokens,
+        |  coalesce(ka.txt, '') AS clean_text
+        |FROM w LEFT JOIN ka ON ka.doc_id = w.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
         |  count(*) AS n_copies

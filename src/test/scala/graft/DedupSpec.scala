@@ -422,4 +422,40 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(cold === full)
   }
+
+  // ---- substring-level (ExactSubstr) dedup ----------------------------
+
+  private def substrCorpus = Seq(
+    (1L, base, "s0"), (2L, base, "s0"),            // exact dup pair: fully covered
+    (3L, nearDup, "s0"),                           // shares only the p=0 8-run with base
+    (10L, "a b c d e f g h a b c d e f g h", "s1"), // self-repetition duplicates too
+    (11L, "tiny doc", "s1"),                       // < K words: no grams, no coverage
+    (12L, "completely fresh words nobody else ever wrote anywhere once more", "s1")
+  ).toDF("doc_id", "text", "source")
+
+  test("substring dedup: coverage is the union of duplicated 8-word runs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr")
+    substrCorpus.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val r = Dedup.dedupSubstring(spark, tmp.toString).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getInt(3)))).toMap
+    assert(r(1L) === ((15, 15, 1)) && r(2L) === ((15, 15, 1))) // exact dup: everything covered
+    // base vs nearDup differ at index 8 ("dog"/"cat"): the only shared
+    // 8-run starts at p=0, so exactly tokens [0,8) are covered
+    assert(r(3L) === ((15, 8, 1)))
+    assert(r(10L) === ((16, 16, 1))) // within-doc repeat counts as duplication
+    assert(r(11L) === ((2, 0, 0)))   // too short to carry an 8-run
+    assert(r(12L)._2 === 0)          // genuinely fresh text untouched
+  }
+
+  test("substring removal: covered tokens cut, order kept, empty not missing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr2")
+    substrCorpus.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val c = Dedup.dedupSubstringClean(spark, tmp.toString).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getString(3)))).toMap
+    assert(c.size === 6)                       // fully-covered docs still present
+    assert(c(1L) === ((15, 0, "")))            // ...as empty documents
+    assert(c(3L) === ((15, 7, "cat near the old river bank today")))
+    assert(c(11L) === ((2, 2, "tiny doc")))    // untouched text reassembles verbatim
+    assert(c(12L)._3 === "completely fresh words nobody else ever wrote anywhere once more")
+  }
 }

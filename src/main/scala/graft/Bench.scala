@@ -43,6 +43,7 @@ object Bench {
     // headline entry: it would double-count the heaviest query in
     // `total` — the auto form already takes the kernel path at sf>=1)
     "dedup_minhash_lsh",   // MinHash+LSH near-dup
+    "dedup_substring",     // span-level ExactSubstr coverage (r10 — grows `total` by one entry)
     "dedup_embed_cosine",  // SemDeDup cell-blocked embedding near-dup
     "sim_topk",            // brute-force cosine top-k
     "sim_topk_int8",       // quantized top-k (integer dot products)

@@ -148,6 +148,20 @@ object PlanAudit {
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
     Check("dedup_minhash_lsh_capped", "hot-band list broadcasts to flag band rows", "REGEX:BroadcastHashJoin.*LeftOuter|LeftOuter, BuildRight",
       "the over-cap bucket list is data-derived and tiny (<= 4n/cap keys), so it broadcasts to split the band table into cold (exact all-pairs) and hot (O(b) star-pair) branches — a mass-duplicated template costs linear candidates instead of quadratic"),
+    Check("dedup_substring", "duplicated-gram count combines map-side", "REGEX:HashAggregate.*partial_count|partial_count",
+      "the per-gram occurrence count is partial-aggregable: a boilerplate K-run duplicated across the whole corpus combines inside each map task before the gram-key shuffle — the suffix-array original has no sharded analog of this at all"),
+    Check("dedup_substring", "hit flag-back is a semi-join on the gram key", "REGEX:SortMergeJoin.*LeftSemi|ShuffledHashJoin.*LeftSemi",
+      "positions meet their duplicated grams in a left-semi equi-join on the 64-bit md5 prefix (with broadcast off it shuffles on that fixed-width key); AQE's skew split handles web-hot grams",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("dedup_substring", "no all-pairs operator anywhere", "ABSENT:REGEX:BroadcastNestedLoopJoin|CartesianProduct",
+      "span-level exact dedup never compares documents pairwise: duplication is a property of a gram's corpus-wide count, so the whole query is scans, one count, one semi-join, and per-document aggregates",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("dedup_substring_bucketed", "corpus gram index served bucketed", "Bucketed: true",
+      "substring admission probes the persisted bucketBy(g) corpus gram index: the corpus side of the semi-join scans in place",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("dedup_substring_bucketed", "exactly one gram exchange: the batch, never the index", "COUNT1:REGEX:hashpartitioning\\(g#",
+      "the flag-back semi-join clusters on the gram key; the bucketed layout already satisfies it for the corpus scan, so only the small fresh-batch gram table moves to the data",
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
     Check("join_bbox_auto", "optimizer rewrites the naive theta join to grid cells", "graft_cx",
       "users write the declarative overlap join; GridBboxJoinRule plans it — the exploded cell columns in the optimized plan are the rewrite's signature",
       conf = Map(graft.plans.GridBboxJoinRule.SkipBytesKey -> "0")),
@@ -218,6 +232,7 @@ object PlanAudit {
         "dedup_minhash_lsh_bucketed" -> graft.operators.Dedup.dedupMinhashLshBucketedPlan _,
         "dedup_incremental_bucketed" -> graft.operators.Dedup.dedupIncrementalBucketedPlan _,
         "dedup_minhash_lsh_capped" -> graft.operators.Dedup.dedupMinhashLshCappedPlan _,
+        "dedup_substring_bucketed" -> graft.operators.Dedup.dedupSubstringBucketedPlan _,
         // the equi-join-shape checks are about the DECLARATIVE form;
         // the public operator cost-switches to the local kernel at
         // high density (audited separately as join_bbox_grid_local)

@@ -14,6 +14,7 @@ object Cleanup {
     Similarity.dropIndexTables(s) // persisted bucketBy(cell) ANN index + temp dirs
     Similarity.dropCentroidCaches(s) // memoized refined centroids + two-level IMI
     Dedup.dropBandTables(s)       // persisted bucketBy(band_key) LSH layout + temp dirs
+    Dedup.dropGramTables(s)       // persisted bucketBy(g) substring gram index + temp dirs
     Spatial.dropStatsCache(s)     // memoized two-sided box stats
     TextAnalysis.dropModelCaches(s) // memoized vocab gate + surprisal bits map
     Layout.dropLayouts(s)         // persisted z-ordered events copies
@@ -29,7 +30,7 @@ object Cleanup {
     }
     c(Similarity.indexTables) + c(Similarity.centroidCache) + c(Similarity.twoLevelCache) +
       c(Similarity.pqCbCache) +
-      c(Dedup.bandTables) + c(Layout.layoutDirs) +
+      c(Dedup.bandTables) + c(Dedup.gramTables) + c(Layout.layoutDirs) +
       c(Spatial.statsCache) + c(TextAnalysis.vocabCache) + c(TextAnalysis.bitsCache)
   }
 }

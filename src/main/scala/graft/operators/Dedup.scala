@@ -228,6 +228,105 @@ object Dedup {
         coalesce(col("txt"), lit("")).as("clean_text"))
   }
 
+  /** Positional K-grams tagged with the deterministic batch/corpus
+    * split (same hash-split contract as the LSH admission family). */
+  private def substrPosGramsTagged(docs: DataFrame): DataFrame =
+    graft.Tables.spread(docs)
+      .withColumn("is_batch", isBatchDoc(col("doc_id")))
+      .select(col("doc_id"), col("is_batch"), explode(posGrams(SubstrK)).as("pg"))
+      .select(col("doc_id"), col("is_batch"), col("pg.p").as("p"), col("pg.g").as("g"))
+
+  /** Shared admission back half: batch positions flagged against a
+    * corpus gram set (left-semi on the 64-bit gram key), coverage per
+    * batch document, verdict row for every batch doc (no-hit docs
+    * admit with zero coverage). */
+  private def substrAdmission(docs: DataFrame, batchGrams: DataFrame,
+      corpusGrams: DataFrame): DataFrame = {
+    val cov = batchGrams.join(corpusGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (SubstrK - 1))).as("cp"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("cp")).as("dup_tokens"))
+    docs.filter(isBatchDoc(col("doc_id")))
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).cast(IntegerType).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)) * 2 < col("n_tokens")).as("admit"))
+  }
+
+  /** Substring-level batch-vs-corpus ADMISSION — the ingest-path form
+    * of `dedupSubstring`: the corpus is the admitted reference, so a
+    * batch token is duplicated if ANY K-run through it already exists
+    * there (membership, df ≥ 1 — unlike the full form's corpus-wide
+    * count ≥ 2). Grams never meet batch×batch or corpus×corpus; the
+    * verdict mirrors `dedup_incremental`'s shape (n_tokens coverage +
+    * admit = less than half covered). */
+  def dedupSubstringIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val g = substrPosGramsTagged(docs).cache()
+    try {
+      val corpusGrams = g.filter(!col("is_batch")).select(col("g")).distinct()
+      substrAdmission(docs, g.filter(col("is_batch")), corpusGrams)
+        .localCheckpoint(true)
+    } finally g.unpersist()
+  }
+
+  /** Memoized corpus gram index: the distinct corpus-side K-gram
+    * hashes written once as a bucketBy(g) table — what the corpus
+    * snapshot ETL would maintain so daily admission never re-shuffles
+    * the corpus. Bucket count derived from the gram row count. */
+  private[graft] val gramTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, java.nio.file.Path)]()
+
+  private[graft] def bucketedGramTable(s: SparkSession, d: String): DataFrame = {
+    val (gt, _) = gramTables.computeIfAbsent((s, d), _ => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_substrbkt")
+      val name = "substr_grams_" + wh.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "_")
+      val grams = substrPosGramsTagged(documents(s, d))
+        .filter(!col("is_batch")).select(col("g")).distinct()
+      val nb = Similarity.derivedBuckets(s, grams.count(), "spark.graft.substr.buckets")
+      grams.write.mode("overwrite").bucketBy(nb, "g").sortBy("g")
+        .option("path", wh.resolve("grams").toString).saveAsTable(name)
+      (name, wh)
+    })
+    s.table(gt)
+  }
+
+  /** Drop this session's memoized gram index tables + files. */
+  def dropGramTables(s: SparkSession): Unit = {
+    val it = gramTables.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        val (gt, wh) = e.getValue
+        s.sql(s"DROP TABLE IF EXISTS $gt")
+        val files = java.nio.file.Files.walk(wh)
+        try files.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally files.close()
+        it.remove()
+      }
+    }
+  }
+
+  /** The serve form: corpus grams come from the persisted bucketBy(g)
+    * index, so the semi-join's corpus side is exchange-free — only the
+    * small batch gram table shuffles on g to meet it (plan-asserted:
+    * exactly one gram exchange). Same relation and oracle as
+    * `dedup_substring_incremental`: the index is a layout choice. */
+  def dedupSubstringBucketed(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val g = substrPosGramsTagged(docs)
+    substrAdmission(docs, g.filter(col("is_batch")), bucketedGramTable(s, d))
+      .localCheckpoint(true)
+  }
+
+  /** Lazy-plan variant for PlanAudit: the admission semi-join against
+    * the bucketed gram index without the eager verdict. */
+  private[graft] def dedupSubstringBucketedPlan(s: SparkSession, d: String): DataFrame =
+    substrPosGramsTagged(documents(s, d)).filter(col("is_batch"))
+      .join(bucketedGramTable(s, d), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("p"))
+
   /** MinHash(16) + LSH(4 bands × 4 rows) near-dup candidate pairs,
     * verified by exact shingle Jaccard ≥ 0.5. */
   private def minhashBase(s: SparkSession, d: String): DataFrame =
@@ -954,6 +1053,8 @@ object Dedup {
     "dedup_lines" -> dedupLines _,
     "dedup_substring" -> dedupSubstring _,
     "dedup_substring_clean" -> dedupSubstringClean _,
+    "dedup_substring_incremental" -> dedupSubstringIncremental _,
+    "dedup_substring_bucketed" -> dedupSubstringBucketed _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_minhash_lsh_bucketed" -> dedupMinhashLshBucketed _,
     "dedup_minhash_lsh_capped" -> dedupMinhashLshCapped _,
@@ -978,6 +1079,26 @@ object Dedup {
       |  WHERE len(ws) >= $SubstrK),
       |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
       |hits AS (SELECT h.doc_id, h.p FROM g h JOIN dup USING (g))""".stripMargin
+
+  // Admission oracle, shared by the shuffle and persisted-index forms:
+  // batch positions flagged by corpus gram MEMBERSHIP (not count>=2),
+  // batch/corpus split = md5 prefix < '20' (the isBatchDoc contract).
+  private lazy val substrAdmissionOracle: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |    substr(md5(doc_id::VARCHAR), 1, 2) < '20' AS is_batch FROM documents),
+      |g AS (SELECT doc_id, is_batch, i - 1 AS p,
+      |    substr(md5(array_to_string(ws[i:i+${SubstrK - 1}], ' ')), 1, 16) AS g
+      |  FROM w, unnest(range(1, len(ws) - $SubstrK + 2)) t(i)
+      |  WHERE len(ws) >= $SubstrK),
+      |cg AS (SELECT DISTINCT g FROM g WHERE NOT is_batch),
+      |cov AS (SELECT h.doc_id, CAST(count(DISTINCT h.p + o) AS INTEGER) AS dup_tokens
+      |  FROM g h JOIN cg USING (g), unnest(range(0, $SubstrK)) u(o)
+      |  WHERE h.is_batch GROUP BY h.doc_id)
+      |SELECT w.doc_id, CAST(len(w.ws) AS INTEGER) AS n_tokens,
+      |  coalesce(cov.dup_tokens, 0) AS dup_tokens,
+      |  2 * coalesce(cov.dup_tokens, 0) < len(w.ws) AS admit
+      |FROM w LEFT JOIN cov ON cov.doc_id = w.doc_id
+      |WHERE w.is_batch""".stripMargin
 
   private val shinglesSqlDuck = // DuckDB k=3 shingle list (distinct)
     """list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
@@ -1078,6 +1199,12 @@ object Dedup {
         |  coalesce(ka.kept_tokens, 0) AS kept_tokens,
         |  coalesce(ka.txt, '') AS clean_text
         |FROM w LEFT JOIN ka ON ka.doc_id = w.doc_id""".stripMargin,
+    // admission: batch coverage against CORPUS gram membership
+    // (df >= 1 there), same md5-prefix split as the LSH admission
+    "dedup_substring_incremental" -> substrAdmissionOracle,
+    // the bucketed form is a physical layout choice, not a semantic
+    // one — identical oracle
+    "dedup_substring_bucketed" -> substrAdmissionOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
         |  count(*) AS n_copies

@@ -458,4 +458,60 @@ class DedupSpec extends AnyFunSuite {
     assert(c(11L) === ((2, 2, "tiny doc")))    // untouched text reassembles verbatim
     assert(c(12L)._3 === "completely fresh words nobody else ever wrote anywhere once more")
   }
+
+  test("substring property: stats and removal agree on every random corpus") {
+    // seeded generator — a tiny vocabulary forces chance 8-gram
+    // repeats, duplicated tails force planted ones
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val texts = (0 until 60).map { i =>
+      val body = Vector.fill(4 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      (if (i % 7 == 0) body ++ body.take(9) else body).mkString(" ") // planted self-repeat
+    }
+    val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "s") }
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr3")
+    corpus.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val stats = Dedup.dedupSubstring(spark, tmp.toString).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getInt(3)))).toMap
+    val clean = Dedup.dedupSubstringClean(spark, tmp.toString).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getString(3)))).toMap
+    assert(stats.keySet === clean.keySet && stats.size === 60)
+    stats.foreach { case (id, (n, dup, flag)) =>
+      val (nc, kept, txt) = clean(id)
+      assert(nc === n)
+      assert(kept === n - dup)               // the two forms partition every doc
+      assert(dup >= 0 && dup <= n)
+      assert(flag === (if (2 * dup >= n) 1 else 0))
+      val toks = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(toks === kept)                  // reassembly emits exactly the kept tokens
+      if (dup == 0) assert(txt === texts(id.toInt)) // untouched docs round-trip verbatim
+    }
+    assert(stats.count(_._2._2 > 0) > 0)     // the corpus actually exercises coverage
+  }
+
+  test("substring admission: corpus membership coverage; bucketed form identical") {
+    // md5-split batch ids among small longs: 6, 19, 24, 27 (prefix < '20')
+    val corpus = Seq(
+      (1L, base, "s0"),                                    // corpus holds base
+      (2L, unrelated, "s0"),
+      (6L, base, "s0"),                                    // batch: exact copy of corpus doc
+      (19L, "genuinely novel words that match nothing in the admitted reference corpus", "s0"),
+      (24L, nearDup, "s0"),                                // batch: shares only the p=0 run
+      (27L, "so", "s0")                                    // batch: sub-K, no grams
+    ).toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr4")
+    corpus.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getBoolean(3)))).toMap
+    val inc = collect(Dedup.dedupSubstringIncremental(spark, tmp.toString))
+    assert(inc.keySet === Set(6L, 19L, 24L, 27L)) // verdict row per batch doc, corpus absent
+    assert(inc(6L) === ((15, 15, false)))  // full copy: fully covered, refused
+    assert(inc(19L)._2 === 0 && inc(19L)._3)   // novel: admitted
+    assert(inc(24L) === ((15, 8, false)))  // the single shared 8-run covers [0,8): 16 >= 15
+    assert(inc(27L) === ((1, 0, true)))    // sub-K: no grams, admitted
+    val bkt = collect(Dedup.dedupSubstringBucketed(spark, tmp.toString))
+    assert(bkt === inc)                    // the index is a layout choice, not a semantic one
+    graft.operators.Cleanup.dropAll(spark)
+  }
 }

@@ -50,6 +50,7 @@ object Bench {
     "sim_ivf",             // IVF cell-probe ANN (dynamic-k quantizer)
     "sim_ivf_imi",         // two-level quantizer: O(2·sqrt(k)·d) assignment
     "text_tokens",         // text analysis
+    "text_bm25_topk",      // sparse n-gram BM25 retrieval (r10 — grows `total` by one entry)
     "text_repetition",     // row-local Gopher repetition stats
     "agg_heavy_hitters",   // SpaceSaving sketch + exact recount
     "stream_window_agg",   // streaming windowed agg

@@ -162,6 +162,16 @@ object PlanAudit {
     Check("dedup_substring_bucketed", "exactly one gram exchange: the batch, never the index", "COUNT1:REGEX:hashpartitioning\\(g#",
       "the flag-back semi-join clusters on the gram key; the bucketed layout already satisfies it for the corpus scan, so only the small fresh-batch gram table moves to the data",
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("text_bm25_topk", "postings tf combines map-side", "REGEX:HashAggregate.*partial_count|partial_count",
+      "the inverted-index build is one partial-aggregable groupBy on the 64-bit gram hash: boilerplate grams combine inside each map task before the term-key shuffle"),
+    Check("text_bm25_topk", "query vocabulary broadcasts to prune postings", "BroadcastHashJoin",
+      "the tiny query-gram set broadcasts and prunes the postings stream map-side FIRST — df and BM25 weights are computed over the pruned candidates, so the corpus-wide term dictionary is never aggregated"),
+    Check("text_bm25_bucketed", "postings index served bucketed", "Bucketed: true",
+      "retrieval reads the persisted bucketBy(g) postings index: postings arrive already clustered by term, the write-once ETL layout every retrieval run reuses"),
+    Check("text_bm25_bucketed", "one gram exchange: the query vocabulary, never the index", "COUNT1:REGEX:hashpartitioning\\(g#",
+      "document frequencies were denormalized into the index at write time (the IR-dictionary layout), so serving aggregates nothing per-gram; the only gram-keyed exchange left is the tiny query-vocabulary dedup — the corpus postings never move"),
+    Check("text_classify_nb", "training counts combine map-side", "REGEX:HashAggregate.*partial_count|partial_count",
+      "NB training is two partial-aggregable groupBys over the token stream: per-(class, token) counts combine inside each map task, the shuffle carries states not token rows"),
     Check("join_bbox_auto", "optimizer rewrites the naive theta join to grid cells", "graft_cx",
       "users write the declarative overlap join; GridBboxJoinRule plans it — the exploded cell columns in the optimized plan are the rewrite's signature",
       conf = Map(graft.plans.GridBboxJoinRule.SkipBytesKey -> "0")),

@@ -15,6 +15,7 @@ object Cleanup {
     Similarity.dropCentroidCaches(s) // memoized refined centroids + two-level IMI
     Dedup.dropBandTables(s)       // persisted bucketBy(band_key) LSH layout + temp dirs
     Dedup.dropGramTables(s)       // persisted bucketBy(g) substring gram index + temp dirs
+    Retrieval.dropPostingsTables(s) // persisted bucketBy(g) BM25 postings index + temp dirs
     Spatial.dropStatsCache(s)     // memoized two-sided box stats
     TextAnalysis.dropModelCaches(s) // memoized vocab gate + surprisal bits map
     Layout.dropLayouts(s)         // persisted z-ordered events copies
@@ -30,7 +31,8 @@ object Cleanup {
     }
     c(Similarity.indexTables) + c(Similarity.centroidCache) + c(Similarity.twoLevelCache) +
       c(Similarity.pqCbCache) +
-      c(Dedup.bandTables) + c(Dedup.gramTables) + c(Layout.layoutDirs) +
+      c(Dedup.bandTables) + c(Dedup.gramTables) + c(Retrieval.postingsTables) +
+      c(Layout.layoutDirs) +
       c(Spatial.statsCache) + c(TextAnalysis.vocabCache) + c(TextAnalysis.bitsCache)
   }
 }

@@ -1,0 +1,337 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import graft.Tables._
+
+/** Sparse retrieval + trained text classification — the lexical half
+  * a training-data pipeline pairs with the dense ANN stack
+  * (Similarity.scala): BM25 top-k over n-gram features, servable from
+  * a persisted bucketed inverted index, and a multinomial
+  * Naive-Bayes classifier trained on the corpus's own labels.
+  *
+  * Everything is integer-exact (the surprisal trick: ⌊log2⌋ via
+  * binary-digit length, fixed-point parts-per-1000 saturation) so
+  * Spark and the DuckDB oracle hash-match bit-for-bit — no floating
+  * log/division at any boundary.
+  *
+  * 100 TB shapes:
+  *  - postings build is ONE partial-aggregable groupBy on the 64-bit
+  *    gram hash (boilerplate grams combine map-side), written once as
+  *    a bucketBy(g) layout;
+  *  - scoring prunes the postings to the query vocabulary with a
+  *    broadcast join FIRST — document frequencies and weights are
+  *    computed over the pruned stream, so the corpus-wide term
+  *    dictionary is never aggregated;
+  *  - the classifier's model is a vocabulary-sized (tok → per-class
+  *    bits) table met in a plain equi-join on tok — the
+  *    text_surprisal_joined shape, zero driver state.
+  */
+object Retrieval {
+
+  /** Gram width — the same K-word granularity the substring /
+    * decontamination family keys on: BM25 here is n-gram retrieval
+    * (the decontamination probe shape), robust to the tiny whole-word
+    * vocabulary of the synthetic corpus (31 tokens ⇒ unigram idf is
+    * all-zero; 3-gram df spans 1..7 at sf0.01). */
+  private val GramK = 3
+
+  /** The corpus docs that play incoming queries (deterministic,
+    * low ids — present at every sf; same convention as sim_topk's
+    * query vectors). */
+  private[graft] val QueryDocs = Seq(7L, 123L, 400L)
+
+  /** Per-doc gram-hash stream WITH multiplicity (tf matters for BM25:
+    * WordShingles.shingles dedups, so build positionally like
+    * Dedup.posGrams and keep repeats). 16-hex md5 prefix = the
+    * fixed-width 64-bit term key the index shuffles on. */
+  private def gramArr: Column = {
+    val words = split(col("text"), " ")
+    when(size(words) >= GramK,
+      transform(sequence(lit(0), size(words) - GramK),
+        i => substring(md5(concat_ws(" ", slice(words, i + 1, lit(GramK)))), 1, 16)))
+      .otherwise(array().cast(ArrayType(StringType, containsNull = false)))
+  }
+
+  /** Inverted-index postings rows (g, doc_id, tf, dl). dl (the doc's
+    * gram count) is denormalized into every posting so scoring never
+    * joins a separate document-length table — the standard layout. */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), gramArr.as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast(LongType).as("dl"),
+        explode(col("arr")).as("g"))
+      .groupBy(col("g"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus totals (n_docs, t_grams) over docs long enough to carry a
+    * gram — row-local classification + one algebraic agg, no distinct. */
+  private[graft] def totalsOf(docs: DataFrame): DataFrame = {
+    val nw = size(split(col("text"), " "))
+    docs.agg(
+      sum(when(nw >= GramK, 1L).otherwise(0L)).as("n_docs"),
+      sum(when(nw >= GramK, (nw - (GramK - 1)).cast(LongType)).otherwise(0L))
+        .as("t_grams"))
+  }
+
+  /** Query-side term table (query_id, g), distinct — tiny: broadcasts. */
+  private[graft] def queryGramsOf(docs: DataFrame,
+      ids: Seq[Long] = QueryDocs): DataFrame =
+    docs.filter(col("doc_id").isInCollection(ids))
+      .select(col("doc_id").as("query_id"), explode(gramArr).as("g"))
+      .distinct()
+
+  /** Ad-hoc BM25 top-k over an arbitrary corpus (spec entry point). */
+  private[graft] def bm25TopkOf(docs: DataFrame, ids: Seq[Long],
+      k: Int = 10): DataFrame =
+    bm25Of(postingsOf(docs), totalsOf(docs), queryGramsOf(docs, ids), k)
+
+  /** Integer-exact BM25 (k1 = 1.2, b = 0.75) top-k against prepared
+    * postings. Fixed-point derivation (everything BIGINT, both
+    * engines):
+    *   nd_x1000  = (1000·dl·N) DIV T                — dl/avgdl
+    *   den_x1000 = 1000·tf + 300 + (9·nd_x1000) DIV 10
+    *                                — tf + 0.3 + 0.9·nd, ×1000
+    *   sat_x1000 = (2200000·tf) DIV den_x1000       — 2.2·tf/den, ×1000
+    *   idf_bits  = ⌊log2(N DIV df)⌋                 — binary-digit length
+    *   w_x1000   = idf_bits · sat_x1000; score = Σ over query grams
+    * Magnitudes stay far from Long overflow at any realistic scale
+    * (the largest intermediate is 1000·dl·N ≈ 1e3·1e3·1e11 = 1e17).
+    *
+    * Scale shape: the pruned postings stream is candidate-bounded —
+    * only docs sharing a query gram survive the broadcast join; df
+    * and weights are computed over THAT stream (the corpus-wide term
+    * dictionary is never aggregated), and the final per-query rank
+    * window sees only aggregated candidate docs. */
+  private[graft] def bm25Of(postings: DataFrame, totals: DataFrame,
+      qterms: DataFrame, k: Int = 10): DataFrame = {
+    val qtoks = qterms.select(col("g")).distinct()
+    val withDf =
+      if (postings.columns.contains("df")) {
+        // serve form: df was computed once at index-build time and
+        // lives in the postings rows (the IR-dictionary layout) — no
+        // aggregation, and `matched` is consumed exactly once
+        postings.join(broadcast(qtoks), Seq("g"))
+      } else {
+        // ad-hoc form: exact df per query gram over the pruned
+        // stream — `matched` holds every posting row of those grams,
+        // so counting rows per g IS the document frequency
+        val matched = postings.join(broadcast(qtoks), Seq("g"))
+        matched.join(
+          matched.groupBy(col("g")).agg(count(lit(1)).as("df")), Seq("g"))
+      }
+    val w = withDf
+      .join(broadcast(qterms), Seq("g"))
+      .crossJoin(broadcast(totals))
+      .select(col("query_id"), col("doc_id"),
+        ((length(bin(expr("n_docs DIV df"))) - 1).cast(LongType) *
+          expr("(2200000 * tf) DIV (1000 * tf + 300 + " +
+            "(9 * ((1000 * dl * n_docs) DIV t_grams)) DIV 10)")).as("w_x1000"))
+    w.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_x1000")).as("score_x1000"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_x1000").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+  }
+
+  /** BM25 top-10 per query over the documents corpus: postings built
+    * in-query (the ad-hoc form; `text_bm25_bucketed` serves the same
+    * relation from the persisted index). */
+  def textBm25Topk(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    bm25Of(postingsOf(docs), totalsOf(docs), queryGramsOf(docs))
+  }
+
+  // ---- persisted inverted index (the serve layout) -------------------
+
+  /** Memoized bucketBy(g) postings index + 1-row totals table — what
+    * the corpus ETL would maintain so every retrieval run reads
+    * postings already clustered by term. Bucket count derived from the
+    * postings row count (Similarity.derivedBuckets). */
+  private[graft] val postingsTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      ((String, String), java.nio.file.Path)]()
+
+  private[graft] def bucketedPostings(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ((pt, tt), _) = postingsTables.computeIfAbsent((s, d), _ => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_bm25idx")
+      val stem = wh.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "_")
+      val pName = "bm25_postings_" + stem
+      val tName = "bm25_totals_" + stem
+      // denormalize df into the postings at write time (the dictionary
+      // lives in the index): the per-gram count window rides the same
+      // g-clustering the bucketBy write needs anyway
+      val p = postingsOf(documents(s, d))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      val nb = Similarity.derivedBuckets(s, p.count(), "spark.graft.bm25.buckets")
+      p.write.mode("overwrite").bucketBy(nb, "g").sortBy("g")
+        .option("path", wh.resolve("postings").toString).saveAsTable(pName)
+      totalsOf(documents(s, d)).write.mode("overwrite")
+        .option("path", wh.resolve("totals").toString).saveAsTable(tName)
+      ((pName, tName), wh)
+    })
+    (s.table(pt), s.table(tt))
+  }
+
+  /** Drop this session's memoized postings index tables + files. */
+  def dropPostingsTables(s: SparkSession): Unit = {
+    val it = postingsTables.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        val ((pt, tt), wh) = e.getValue
+        s.sql(s"DROP TABLE IF EXISTS $pt")
+        s.sql(s"DROP TABLE IF EXISTS $tt")
+        val files = java.nio.file.Files.walk(wh)
+        try files.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally files.close()
+        it.remove()
+      }
+    }
+  }
+
+  /** The serve form: postings (with df baked in) come from the
+    * persisted bucketBy(g) index, so the index side never exchanges
+    * and serving aggregates nothing per-gram — the only gram-keyed
+    * exchange in the plan is the tiny query-vocabulary dedup
+    * (plan-asserted COUNT1). Same relation and oracle as
+    * `text_bm25_topk`: the index is a layout choice. */
+  def textBm25Bucketed(s: SparkSession, d: String): DataFrame = {
+    val (p, t) = bucketedPostings(s, d)
+    bm25Of(p, t, queryGramsOf(documents(s, d)))
+  }
+
+  // ---- trained multinomial Naive-Bayes classifier --------------------
+
+  /** Fixed class list (= the langid stopword languages, priority
+    * order for tie-breaks). */
+  private val Langs: Seq[String] = TextAnalysis.stopwords.map(_._1)
+
+  /** Multinomial NB trained on the corpus's OWN labels over a 90/10
+    * doc_id split: class-conditional token costs in integer bits
+    * (cost = ⌊log2(classTotal DIV tokenCount)⌋ — frequent-in-class
+    * tokens are cheap), unseen-in-class tokens pay the
+    * worse-than-any-singleton default ⌊log2(classTotal)⌋ + 1, and the
+    * held-out 10% is labeled by cost argmin. This is the trainable
+    * labeling stage of a curation pipeline (fastText-style quality /
+    * language filters) as pure relational algebra — note the
+    * synthetic corpus carries weak class signal, so accuracy is
+    * modest; the oracle checks exactness, not quality.
+    *
+    * Scale shape: training is two partial-aggregable groupBys; the
+    * model is a vocabulary-sized wide table (tok → 5 bit-costs) met
+    * in an equi-join on tok (broadcast when it fits, shuffle
+    * otherwise — the text_surprisal_joined shape); scoring is one
+    * per-doc aggregate. Zero driver state. */
+  def textClassifyNb(s: SparkSession, d: String): DataFrame =
+    textClassifyNbOf(documents(s, d))
+
+  private[graft] def textClassifyNbOf(docs: DataFrame): DataFrame = {
+    val tokCol = explode(split(col("text"), " ")).as("tok")
+    val ttoks = docs.filter(expr("doc_id % 10 != 0")).select(col("lang"), tokCol)
+    val counts = ttoks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+    val classTot = ttoks.groupBy(col("lang")).agg(count(lit(1)).as("ct"))
+    val model = counts.join(classTot, Seq("lang"))
+      .select(col("tok"), col("lang"),
+        (length(bin(expr("ct DIV n"))) - 1).cast(LongType).as("bits"))
+    val wideAggs = Langs.map(l =>
+      max(when(col("lang") === l, col("bits"))).as(s"b_$l"))
+    val wide = model.groupBy(col("tok")).agg(wideAggs.head, wideAggs.tail: _*)
+    // unseen-in-class default ⌊log2(ct)⌋ + 1 = binary-digit length of ct
+    val defAggs = Langs.map(l =>
+      length(bin(max(when(col("lang") === l, col("ct"))))).cast(LongType).as(s"d_$l"))
+    val defaults = classTot.agg(defAggs.head, defAggs.tail: _*)
+    val stoks = graft.Tables.spread(docs.filter(expr("doc_id % 10 = 0")))
+      .select(col("doc_id"), col("lang"), tokCol)
+    val costAggs = Langs.map(l =>
+      sum(coalesce(col(s"b_$l"), col(s"d_$l"))).as(s"c_$l"))
+    val costs = stoks.join(wide, Seq("tok"), "left")
+      .crossJoin(broadcast(defaults))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(costAggs.head, costAggs.tail: _*)
+    // first class whose cost is <= all later ones (priority argmin —
+    // the langPred tie-break shape)
+    val pred = Langs.init.zipWithIndex.foldRight(lit(Langs.last): Column) {
+      case ((l, i), elseCol) =>
+        val isMin = Langs.drop(i + 1)
+          .map(o => col(s"c_$l") <= col(s"c_$o")).reduce(_ && _)
+        when(isMin, lit(l)).otherwise(elseCol)
+    }
+    costs.select(col("doc_id"), col("lang"), pred.as("nb_pred"))
+      .withColumn("is_match", col("nb_pred") === col("lang"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> textBm25Topk _,
+    "text_bm25_bucketed" -> textBm25Bucketed _,
+    "text_classify_nb" -> textClassifyNb _
+  )
+
+  /** Shared BM25 oracle (both physical forms — the index is a layout
+    * choice): positional 3-gram md5-16 hashes with multiplicity, the
+    * identical fixed-point arithmetic, top-10 per query. */
+  private val bm25OracleSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, substr(md5(array_to_string(ws[i:i+${GramK - 1}], ' ')), 1, 16) AS g
+      |      FROM w, unnest(range(1, len(ws) - $GramK + 2)) u(i) WHERE len(ws) >= $GramK),
+      |p AS (SELECT g, doc_id, count(*) AS tf FROM t GROUP BY g, doc_id),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      |tot AS (SELECT count(*) FILTER (len(ws) >= $GramK) AS n_docs,
+      |        CAST(sum(CASE WHEN len(ws) >= $GramK THEN len(ws) - ${GramK - 1} ELSE 0 END) AS BIGINT) AS t_grams
+      |        FROM w),
+      |q AS (SELECT DISTINCT doc_id AS query_id, g FROM t
+      |      WHERE doc_id IN (${QueryDocs.mkString(", ")})),
+      |dfq AS (SELECT g, count(*) AS df FROM p WHERE g IN (SELECT g FROM q) GROUP BY g),
+      |wt AS (SELECT q.query_id, p.doc_id,
+      |       CAST(floor(log2(n_docs // df)) AS BIGINT) *
+      |       ((2200000 * tf) // (1000 * tf + 300 +
+      |         (9 * ((1000 * dl.dl * n_docs) // t_grams)) // 10)) AS w_x1000
+      |       FROM p JOIN q USING (g) JOIN dfq USING (g)
+      |            JOIN dl ON p.doc_id = dl.doc_id, tot),
+      |sc AS (SELECT query_id, doc_id, CAST(sum(w_x1000) AS BIGINT) AS score_x1000
+      |       FROM wt GROUP BY query_id, doc_id)
+      |SELECT query_id, doc_id, score_x1000,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score_x1000 DESC, doc_id ASC) AS rnk
+      |FROM sc QUALIFY rnk <= 10""".stripMargin
+
+  private val nbOracleSql: String = {
+    val langs = Langs
+    val b = langs.map(l => s"max(CASE WHEN lang = '$l' THEN bits END) AS b_$l").mkString(",\n|  ")
+    val dd = langs.map(l => s"CAST(floor(log2(max(CASE WHEN lang = '$l' THEN ct END))) + 1 AS BIGINT) AS d_$l").mkString(",\n|  ")
+    val c = langs.map(l => s"CAST(sum(coalesce(b_$l, d_$l)) AS BIGINT) AS c_$l").mkString(",\n|  ")
+    val whens = langs.init.zipWithIndex.map { case (l, i) =>
+      "WHEN " + langs.drop(i + 1).map(o => s"c_$l <= c_$o").mkString(" AND ") + s" THEN '$l'"
+    }.mkString(" ")
+    s"""WITH tr AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE doc_id % 10 != 0),
+      |cnt AS (SELECT lang, tok, count(*) AS n FROM tr GROUP BY lang, tok),
+      |ct AS (SELECT lang, count(*) AS ct FROM tr GROUP BY lang),
+      |m AS (SELECT tok, lang, CAST(floor(log2(ct // n)) AS BIGINT) AS bits
+      |  FROM cnt JOIN ct USING (lang)),
+      |wide AS (SELECT tok,
+      |  $b
+      |  FROM m GROUP BY tok),
+      |defs AS (SELECT
+      |  $dd
+      |  FROM ct),
+      |te AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |c AS (SELECT doc_id, te.lang,
+      |  $c
+      |  FROM te LEFT JOIN wide USING (tok), defs GROUP BY doc_id, te.lang)
+      |SELECT doc_id, lang, nb_pred, nb_pred = lang AS is_match FROM (
+      |  SELECT doc_id, lang, CASE $whens ELSE '${langs.last}' END AS nb_pred
+      |  FROM c) x""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_bm25_topk" -> bm25OracleSql,
+    "text_bm25_bucketed" -> bm25OracleSql,
+    "text_classify_nb" -> nbOracleSql
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Retrieval
+
+/** Sparse-retrieval + trained-classifier contracts: BM25 ranks
+  * gram-overlap correctly on a hand-built corpus, each real query doc
+  * retrieves itself first, the persisted-index serve form is
+  * row-identical to the ad-hoc form, and the NB classifier recovers a
+  * perfectly-separable labeling exactly. */
+class RetrievalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bm25: hand-built corpus ranks by shared-gram weight, misses drop out") {
+    // query doc 1 = "a b c d e"; doc 2 shares 2 grams with higher-idf
+    // overlap than doc 3's 1 gram; doc 4 shares nothing
+    val docs = Seq(
+      (1L, "a b c d e", "en", "s", 9L),
+      (2L, "a b c d x", "en", "s", 9L),
+      (3L, "a b c y z", "en", "s", 9L),
+      (4L, "p q r s t", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Retrieval.bm25TopkOf(docs, Seq(1L))
+      .orderBy("rnk").select("doc_id", "score_x1000")
+      .as[(Long, Long)].collect()
+    assert(r.map(_._1).toSeq === Seq(1L, 2L, 3L)) // self, 2-gram, 1-gram; 4 absent
+    assert(r(0)._2 > r(1)._2 && r(1)._2 > r(2)._2)
+  }
+
+  test("bm25: every corpus query doc retrieves itself at rank 1") {
+    val top = Retrieval.textBm25Topk(spark, sf)
+      .filter("rnk = 1").select("query_id", "doc_id")
+      .as[(Long, Long)].collect()
+    assert(top.length === Retrieval.QueryDocs.length)
+    top.foreach { case (q, d) => assert(q === d, s"query $q top hit $d") }
+  }
+
+  test("bm25: bucketed serve form is row-identical to the ad-hoc form") {
+    try {
+      val adhoc = Retrieval.textBm25Topk(spark, sf)
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val served = Retrieval.textBm25Bucketed(spark, sf)
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(adhoc.nonEmpty && adhoc === served)
+    } finally Retrieval.dropPostingsTables(spark)
+  }
+
+  test("nb classifier: recovers a perfectly-separable labeling on held-out docs") {
+    // disjoint per-language vocabulary; doc_id % 10 == 0 rows are the
+    // held-out set — one per class, each solvable only via the model
+    val vocab = Map(
+      "en" -> "alpha beta gamma", "es" -> "uno dos tres",
+      "de" -> "eins zwei drei", "fr" -> "un deux trois",
+      "zh" -> "yi er san")
+    val langs = vocab.keys.toSeq.sorted
+    val train = for {
+      (l, i) <- langs.zipWithIndex
+      j <- 1 to 9
+    } yield (i * 10L + j, vocab(l) + " " + vocab(l), l, "s", 10L)
+    val test_ = langs.zipWithIndex.map { case (l, i) =>
+      ((i + 10) * 10L, vocab(l), l, "s", 10L)
+    }
+    val docs = (train ++ test_)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Retrieval.textClassifyNbOf(docs)
+      .select("doc_id", "lang", "nb_pred")
+      .as[(Long, String, String)].collect()
+    assert(r.length === langs.length)
+    r.foreach { case (id, l, p) => assert(p === l, s"doc $id: $p != $l") }
+  }
+
+  test("nb classifier: deterministic and closed over the class list on real data") {
+    val once = Retrieval.textClassifyNb(spark, sf)
+      .as[(Long, String, String, Boolean)].collect().toSet
+    val again = Retrieval.textClassifyNb(spark, sf)
+      .as[(Long, String, String, Boolean)].collect().toSet
+    assert(once === again && once.nonEmpty)
+    val classes = Set("en", "es", "de", "fr", "zh")
+    once.foreach { case (_, l, p, m) =>
+      assert(classes(p) && classes(l) && m === (l == p))
+    }
+  }
+}

@@ -117,10 +117,14 @@ object Retrieval {
       } else {
         // ad-hoc form: exact df per query gram over the pruned
         // stream — `matched` holds every posting row of those grams,
-        // so counting rows per g IS the document frequency
-        val matched = postings.join(broadcast(qtoks), Seq("g"))
-        matched.join(
-          matched.groupBy(col("g")).agg(count(lit(1)).as("df")), Seq("g"))
+        // so counting rows per g IS the document frequency. A count
+        // window (not a self-join) keeps the postings build a SINGLE
+        // subtree: the grouped self-join form re-planned the whole
+        // corpus explode+aggregate once per branch — a duplicated
+        // corpus scan at 100 TB. The window's g-exchange carries only
+        // the candidate-bounded pruned stream.
+        postings.join(broadcast(qtoks), Seq("g"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
       }
     val w = withDf
       .join(broadcast(qterms), Seq("g"))

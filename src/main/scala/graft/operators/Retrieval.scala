@@ -105,8 +105,10 @@ object Retrieval {
     * and weights are computed over THAT stream (the corpus-wide term
     * dictionary is never aggregated), and the final per-query rank
     * window sees only aggregated candidate docs. */
-  private[graft] def bm25Of(postings: DataFrame, totals: DataFrame,
-      qterms: DataFrame, k: Int = 10): DataFrame = {
+  /** Per-(query_id, doc_id) BM25 scores — the shared core of top-k
+    * retrieval and retrieval-scored decontamination. */
+  private[graft] def bm25Scores(postings: DataFrame, totals: DataFrame,
+      qterms: DataFrame): DataFrame = {
     val qtoks = qterms.select(col("g")).distinct()
     val withDf =
       if (postings.columns.contains("df")) {
@@ -126,20 +128,24 @@ object Retrieval {
         postings.join(broadcast(qtoks), Seq("g"))
           .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
       }
-    val w = withDf
+    withDf
       .join(broadcast(qterms), Seq("g"))
       .crossJoin(broadcast(totals))
       .select(col("query_id"), col("doc_id"),
         ((length(bin(expr("n_docs DIV df"))) - 1).cast(LongType) *
           expr("(2200000 * tf) DIV (1000 * tf + 300 + " +
             "(9 * ((1000 * dl * n_docs) DIV t_grams)) DIV 10)")).as("w_x1000"))
-    w.groupBy(col("query_id"), col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w_x1000")).as("score_x1000"))
+  }
+
+  private[graft] def bm25Of(postings: DataFrame, totals: DataFrame,
+      qterms: DataFrame, k: Int = 10): DataFrame =
+    bm25Scores(postings, totals, qterms)
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score_x1000").desc, col("doc_id").asc)))
       .filter(col("rnk") <= k)
-  }
 
   /** BM25 top-10 per query over the documents corpus: postings built
     * in-query (the ad-hoc form; `text_bm25_bucketed` serves the same
@@ -209,6 +215,46 @@ object Retrieval {
     bm25Of(p, t, queryGramsOf(documents(s, d)))
   }
 
+  // ---- retrieval-scored decontamination ------------------------------
+
+  /** Contamination threshold in score-x1000 units: ≈ two high-idf
+    * grams' worth of saturated weight — the top decile of
+    * eval-overlapping corpus docs on the synthetic corpus. */
+  private val DecontamThr = 10000L
+
+  /** SOFT decontamination — the retrieval-scored complement of
+    * `pipeline_decontaminate`'s exact 5-gram membership test: eval
+    * docs (the same doc_id % 97 eval set) play BM25 queries against a
+    * corpus-only index, and each corpus doc is flagged by its MAX
+    * score over any eval doc. Exact membership catches verbatim
+    * leakage only; the graded score also surfaces partial and
+    * near-verbatim overlap (the idf weighting makes shared RARE grams
+    * count, shared boilerplate not), and the verdict keeps the score
+    * so the cutoff is auditable rather than baked into the output.
+    *
+    * Scale shape: identical to `text_bm25_topk` (eval vocabulary is
+    * benchmark-bounded → broadcasts; postings stream pruned map-side
+    * FIRST), plus one per-doc max and a left join back to the corpus
+    * — no new shuffle class. */
+  def pipelineDecontaminateBm25(s: SparkSession, d: String): DataFrame =
+    decontaminateBm25Of(documents(s, d))
+
+  private[graft] def decontaminateBm25Of(docs: DataFrame): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(97)) === 0
+    val corpus = docs.filter(!isEval)
+    val qterms = docs.filter(isEval)
+      .select(col("doc_id").as("query_id"), explode(gramArr).as("g"))
+      .distinct()
+    val perDoc = bm25Scores(postingsOf(corpus), totalsOf(corpus), qterms)
+      .groupBy(col("doc_id"))
+      .agg(max(col("score_x1000")).as("max_score_x1000"))
+    corpus.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("max_score_x1000"), lit(0L)).as("max_score_x1000"))
+      .withColumn("contaminated", col("max_score_x1000") >= DecontamThr)
+  }
+
   // ---- trained multinomial Naive-Bayes classifier --------------------
 
   /** Fixed class list (= the langid stopword languages, priority
@@ -272,6 +318,7 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> textBm25Topk _,
     "text_bm25_bucketed" -> textBm25Bucketed _,
+    "pipeline_decontaminate_bm25" -> pipelineDecontaminateBm25 _,
     "text_classify_nb" -> textClassifyNb _
   )
 
@@ -302,6 +349,37 @@ object Retrieval {
       |  row_number() OVER (PARTITION BY query_id
       |    ORDER BY score_x1000 DESC, doc_id ASC) AS rnk
       |FROM sc QUALIFY rnk <= 10""".stripMargin
+
+  private val decontamBm25OracleSql: String =
+    s"""WITH cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE doc_id % 97 != 0),
+      |t AS (SELECT doc_id, substr(md5(array_to_string(ws[i:i+${GramK - 1}], ' ')), 1, 16) AS g
+      |      FROM cw, unnest(range(1, len(ws) - $GramK + 2)) u(i) WHERE len(ws) >= $GramK),
+      |p AS (SELECT g, doc_id, count(*) AS tf FROM t GROUP BY g, doc_id),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      |tot AS (SELECT count(*) FILTER (len(ws) >= $GramK) AS n_docs,
+      |        CAST(sum(CASE WHEN len(ws) >= $GramK THEN len(ws) - ${GramK - 1} ELSE 0 END) AS BIGINT) AS t_grams
+      |        FROM cw),
+      |ew AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE doc_id % 97 = 0),
+      |q AS (SELECT DISTINCT doc_id AS query_id,
+      |        substr(md5(array_to_string(ws[i:i+${GramK - 1}], ' ')), 1, 16) AS g
+      |      FROM ew, unnest(range(1, len(ws) - $GramK + 2)) u(i) WHERE len(ws) >= $GramK),
+      |dfq AS (SELECT g, count(*) AS df FROM p WHERE g IN (SELECT g FROM q) GROUP BY g),
+      |wt AS (SELECT q.query_id, p.doc_id,
+      |       CAST(floor(log2(n_docs // df)) AS BIGINT) *
+      |       ((2200000 * tf) // (1000 * tf + 300 +
+      |         (9 * ((1000 * dl.dl * n_docs) // t_grams)) // 10)) AS w_x1000
+      |       FROM p JOIN q USING (g) JOIN dfq USING (g)
+      |            JOIN dl ON p.doc_id = dl.doc_id, tot),
+      |sc AS (SELECT query_id, doc_id, CAST(sum(w_x1000) AS BIGINT) AS s
+      |       FROM wt GROUP BY query_id, doc_id),
+      |pd AS (SELECT doc_id, max(s) AS ms FROM sc GROUP BY doc_id)
+      |SELECT c.doc_id, c.source,
+      |  coalesce(pd.ms, 0) AS max_score_x1000,
+      |  coalesce(pd.ms, 0) >= 10000 AS contaminated
+      |FROM documents c LEFT JOIN pd USING (doc_id)
+      |WHERE c.doc_id % 97 != 0""".stripMargin
 
   private val nbOracleSql: String = {
     val langs = Langs
@@ -336,6 +414,7 @@ object Retrieval {
   val oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25OracleSql,
     "text_bm25_bucketed" -> bm25OracleSql,
+    "pipeline_decontaminate_bm25" -> decontamBm25OracleSql,
     "text_classify_nb" -> nbOracleSql
   )
 }

@@ -50,6 +50,31 @@ class RetrievalSpec extends AnyFunSuite {
     } finally Retrieval.dropPostingsTables(spark)
   }
 
+  test("bm25 decontamination: flags the eval-copying doc, keeps unrelated docs") {
+    // doc_id 97 is the eval doc (97 % 97 == 0); doc 1 copies an
+    // 8-word run of it (6 shared rare grams — well past the 10k
+    // threshold), docs 2..11 are unrelated filler that gives idf a
+    // base to stand on
+    val evalText = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"
+    val copier = "e2 e3 e4 e5 e6 e7 e8 e9 x1 x2"
+    val filler = (2L to 11L).map(i =>
+      (i, s"f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f f${i}g f${i}h f${i}i f${i}j",
+        "en", "s", 10L))
+    val docs = (Seq(
+      (97L, evalText, "en", "s", 10L),
+      (1L, copier, "en", "s", 10L)) ++ filler)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val byId = Retrieval.decontaminateBm25Of(docs)
+      .select("doc_id", "max_score_x1000", "contaminated")
+      .as[(Long, Long, Boolean)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(byId.size === 11)            // the eval doc is not in the verdict
+    assert(!byId.contains(97L))
+    assert(byId(1L)._2, s"copier score ${byId(1L)._1} under threshold")
+    (2L to 11L).foreach { i =>
+      assert(byId(i)._1 === 0L && !byId(i)._2, s"filler $i flagged")
+    }
+  }
+
   test("nb classifier: recovers a perfectly-separable labeling on held-out docs") {
     // disjoint per-language vocabulary; doc_id % 10 == 0 rows are the
     // held-out set — one per class, each solvable only via the model

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 import graft.Tables._
 
 /** Sparse retrieval + trained text classification — the lexical half
@@ -215,6 +215,79 @@ object Retrieval {
     bm25Of(p, t, queryGramsOf(documents(s, d)))
   }
 
+  // ---- streaming serve over the persisted index ----------------------
+
+  /** ONLINE sparse retrieval — `text_bm25_bucketed` run as the
+    * production serve loop (the lexical mirror of
+    * `stream_ann_serve`): query docs arrive as a STREAM of three
+    * sub-batches (one file per micro-batch, `maxFilesPerTrigger=1`
+    * under `Trigger.AvailableNow` — the bounded-catch-up harness every
+    * §2h query uses) and each micro-batch probes the SAME persisted
+    * bucketBy(g) postings index the batch form reads. Per-batch work
+    * is the serve kernel exactly: tiny query vocabulary broadcast,
+    * df read from the index rows, no per-gram aggregation — the
+    * index is write-once ETL built before the stream starts.
+    * Top-k per query is query-independent, so the streamed union
+    * equals the batch run over the same query set (the oracle is that
+    * batch SQL plus the sub_batch derivation). */
+  def streamBm25Serve(s: SparkSession, d: String): DataFrame = {
+    val queryIds = (0L until 9L).toSeq
+    val qs = documents(s, d).filter(col("doc_id").isInCollection(queryIds))
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % 3).cast(IntegerType).as("sub_batch"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_bm25serve")
+    try {
+      (0 until 3).foreach { k =>
+        val side = streamDir.resolve(s"side$k")
+        qs.filter(col("sub_batch") === k).coalesce(1)
+          .write.mode("overwrite").parquet(side.toString)
+        val part = java.nio.file.Files.list(side).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val dst = streamDir.resolve(f"queries$k%04d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+      }
+      val (pIdx, tIdx) = bucketedPostings(s, d) // write-once ETL, pre-stream
+      val results = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val stream = s.readStream.schema(qs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString + "/queries*.parquet")
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          val subs = mb.select(col("sub_batch")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          subs.foreach { k =>
+            val batch = mb.filter(col("sub_batch") === k)
+            val qterms = batch
+              .select(col("doc_id").as("query_id"), explode(gramArr).as("g"))
+              .distinct()
+            results += bm25Of(pIdx, tIdx, qterms)
+              .withColumn("sub_batch", lit(k))
+              .localCheckpoint(true)
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (results.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id", LongType),
+            org.apache.spark.sql.types.StructField("doc_id", LongType),
+            org.apache.spark.sql.types.StructField("score_x1000", LongType),
+            org.apache.spark.sql.types.StructField("rnk", IntegerType),
+            org.apache.spark.sql.types.StructField("sub_batch", IntegerType))))
+      else results.reduce(_ union _)
+    } finally {
+      val files = java.nio.file.Files.walk(streamDir)
+      try files.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally files.close()
+    }
+  }
+
   // ---- retrieval-scored decontamination ------------------------------
 
   /** Contamination threshold in score-x1000 units: ≈ two high-idf
@@ -319,13 +392,16 @@ object Retrieval {
     "text_bm25_topk" -> textBm25Topk _,
     "text_bm25_bucketed" -> textBm25Bucketed _,
     "pipeline_decontaminate_bm25" -> pipelineDecontaminateBm25 _,
+    "stream_bm25_serve" -> streamBm25Serve _,
     "text_classify_nb" -> textClassifyNb _
   )
 
-  /** Shared BM25 oracle (both physical forms — the index is a layout
+  /** Shared BM25 oracle (all physical forms — the index is a layout
     * choice): positional 3-gram md5-16 hashes with multiplicity, the
-    * identical fixed-point arithmetic, top-10 per query. */
-  private val bm25OracleSql: String =
+    * identical fixed-point arithmetic, top-10 per query. The query
+    * set predicate and any extra output column are parameters so the
+    * batch and streaming-serve entries share one body. */
+  private def bm25OracleSqlFor(queryPred: String, outerExtra: String): String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |t AS (SELECT doc_id, substr(md5(array_to_string(ws[i:i+${GramK - 1}], ' ')), 1, 16) AS g
       |      FROM w, unnest(range(1, len(ws) - $GramK + 2)) u(i) WHERE len(ws) >= $GramK),
@@ -335,7 +411,7 @@ object Retrieval {
       |        CAST(sum(CASE WHEN len(ws) >= $GramK THEN len(ws) - ${GramK - 1} ELSE 0 END) AS BIGINT) AS t_grams
       |        FROM w),
       |q AS (SELECT DISTINCT doc_id AS query_id, g FROM t
-      |      WHERE doc_id IN (${QueryDocs.mkString(", ")})),
+      |      WHERE $queryPred),
       |dfq AS (SELECT g, count(*) AS df FROM p WHERE g IN (SELECT g FROM q) GROUP BY g),
       |wt AS (SELECT q.query_id, p.doc_id,
       |       CAST(floor(log2(n_docs // df)) AS BIGINT) *
@@ -347,8 +423,11 @@ object Retrieval {
       |       FROM wt GROUP BY query_id, doc_id)
       |SELECT query_id, doc_id, score_x1000,
       |  row_number() OVER (PARTITION BY query_id
-      |    ORDER BY score_x1000 DESC, doc_id ASC) AS rnk
+      |    ORDER BY score_x1000 DESC, doc_id ASC) AS rnk$outerExtra
       |FROM sc QUALIFY rnk <= 10""".stripMargin
+
+  private val bm25OracleSql: String =
+    bm25OracleSqlFor(s"doc_id IN (${QueryDocs.mkString(", ")})", "")
 
   private val decontamBm25OracleSql: String =
     s"""WITH cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -415,6 +494,8 @@ object Retrieval {
     "text_bm25_topk" -> bm25OracleSql,
     "text_bm25_bucketed" -> bm25OracleSql,
     "pipeline_decontaminate_bm25" -> decontamBm25OracleSql,
+    "stream_bm25_serve" -> bm25OracleSqlFor("doc_id < 9",
+      ",\n  CAST(query_id % 3 AS INT) AS sub_batch"),
     "text_classify_nb" -> nbOracleSql
   )
 }

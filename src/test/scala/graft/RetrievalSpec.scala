@@ -50,6 +50,19 @@ class RetrievalSpec extends AnyFunSuite {
     } finally Retrieval.dropPostingsTables(spark)
   }
 
+  test("bm25 streaming serve equals the batch run over the same query set") {
+    try {
+      val streamed = Retrieval.streamBm25Serve(spark, sf)
+        .select("query_id", "doc_id", "score_x1000", "rnk")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val (p, t) = Retrieval.bucketedPostings(spark, sf)
+      val batch = Retrieval.bm25Of(p, t,
+          Retrieval.queryGramsOf(graft.Tables.documents(spark, sf), 0L until 9L))
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(streamed.nonEmpty && streamed === batch)
+    } finally Retrieval.dropPostingsTables(spark)
+  }
+
   test("bm25 decontamination: flags the eval-copying doc, keeps unrelated docs") {
     // doc_id 97 is the eval doc (97 % 97 == 0); doc 1 copies an
     // 8-word run of it (6 shared rare grams — well past the 10k

@@ -101,6 +101,16 @@ object GraftExtensions {
         WordShingles(exprs(0), intArg("word_shingles", exprs(1)))
       })
 
+  val posGramHashesDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("pos_gram_hashes"),
+      info("pos_gram_hashes",
+        "pos_gram_hashes(words_array, k) - positional k-word gram md5-16 hashes with multiplicity"),
+      exprs => {
+        require(exprs.length == 2,
+          s"pos_gram_hashes requires exactly 2 arguments, got ${exprs.length}")
+        PosGramHashes(exprs(0), intArg("pos_gram_hashes", exprs(1)))
+      })
+
   val minhashSigDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
@@ -154,7 +164,7 @@ object GraftExtensions {
 
   private[functions] val all = Seq(
     bboxAreaDesc, minhashSketchDesc, dotF32Desc, dotI8Desc, quantizeI8Desc,
-    gramStatsDesc, wordShinglesDesc, minhashSigDesc, simhash32Desc,
+    gramStatsDesc, wordShinglesDesc, posGramHashesDesc, minhashSigDesc, simhash32Desc,
     spaceSavingDesc, bloomMightContainDesc, hilbert32Desc)
 
   /** Runtime registration into an existing session. */

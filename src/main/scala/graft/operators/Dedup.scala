@@ -151,21 +151,15 @@ object Dedup {
     * text; a token is covered iff some duplicated run spans it. */
   val SubstrK = 8
 
-  /** K-gram starts of `text` as (position, 64-bit-md5-prefix) structs
-    * — positional, NON-distinct (unlike WordShingles: coverage needs
-    * every start). The 16-hex prefix bounds shuffle-key width; both
-    * engines hash identically so collisions (≈2⁻⁶⁴) cannot split the
-    * gate. */
-  private def posGrams(k: Int): Column = {
-    val words = split(col("text"), " ")
-    when(size(words) >= k,
-      transform(sequence(lit(0), size(words) - k),
-        i => struct(i.as("p"),
-          substring(md5(concat_ws(" ", slice(words, i + 1, lit(k)))), 1, 16).as("g"))))
-      .otherwise(array().cast(ArrayType(StructType(Seq(
-        StructField("p", IntegerType, nullable = false),
-        StructField("g", StringType))), containsNull = false)))
-  }
+  /** K-gram hash stream of `text` — positional, NON-distinct (unlike
+    * WordShingles: coverage needs every start; the start index comes
+    * back for free from `posexplode`). The 16-hex md5 prefix bounds
+    * shuffle-key width; both engines hash identically so collisions
+    * (≈2⁻⁶⁴) cannot split the gate. Native one-pass expression
+    * (functions/PosGramHashesExpr) — the interpreted transform-HOF
+    * twin it replaced dominated the substring family's scan cost. */
+  private def posGramArr(k: Int): Column =
+    graft.functions.PosGramHashes.posGramHashes(col("text"), k)
 
   /** Positional K-grams exploded to (doc_id, p, g) plus the corpus-
     * global duplicated-gram semi-join — the shared front half of the
@@ -176,8 +170,7 @@ object Dedup {
     * split handles web-boilerplate hot grams. */
   private def dupGramHits(docs: DataFrame): DataFrame = {
     val g = graft.Tables.spread(docs)
-      .select(col("doc_id"), explode(posGrams(SubstrK)).as("pg"))
-      .select(col("doc_id"), col("pg.p").as("p"), col("pg.g").as("g"))
+      .select(col("doc_id"), posexplode(posGramArr(SubstrK)).as(Seq("p", "g")))
     val dup = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("g"))
     g.join(dup, Seq("g"), "left_semi")
@@ -233,8 +226,8 @@ object Dedup {
   private def substrPosGramsTagged(docs: DataFrame): DataFrame =
     graft.Tables.spread(docs)
       .withColumn("is_batch", isBatchDoc(col("doc_id")))
-      .select(col("doc_id"), col("is_batch"), explode(posGrams(SubstrK)).as("pg"))
-      .select(col("doc_id"), col("is_batch"), col("pg.p").as("p"), col("pg.g").as("g"))
+      .select(col("doc_id"), col("is_batch"),
+        posexplode(posGramArr(SubstrK)).as(Seq("p", "g")))
 
   /** Shared admission back half: batch positions flagged against a
     * corpus gram set (left-semi on the 64-bit gram key), coverage per

@@ -46,8 +46,16 @@ object Retrieval {
   /** Per-doc gram-hash stream WITH multiplicity (tf matters for BM25:
     * WordShingles.shingles dedups, so build positionally like
     * Dedup.posGrams and keep repeats). 16-hex md5 prefix = the
-    * fixed-width 64-bit term key the index shuffles on. */
-  private def gramArr: Column = {
+    * fixed-width 64-bit term key the index shuffles on. Native
+    * one-pass expression — the interpreted HOF twin below cost ~4 s
+    * of the sf0.1 postings build on its own. */
+  private def gramArr: Column =
+    graft.functions.PosGramHashes.posGramHashes(col("text"), GramK)
+
+  /** Portable HOF twin of `gramArr` — the shape the DuckDB oracle
+    * mirrors; RetrievalSpec asserts bit-equality with the native
+    * expression. */
+  private[graft] def gramArrHof: Column = {
     val words = split(col("text"), " ")
     when(size(words) >= GramK,
       transform(sequence(lit(0), size(words) - GramK),

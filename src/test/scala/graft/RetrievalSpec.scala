@@ -16,6 +16,26 @@ class RetrievalSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("native pos_gram_hashes is bit-equal to the HOF oracle twin") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val mismatch = docs.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.PosGramHashes.posGramHashes(
+          org.apache.spark.sql.functions.col("text"), 3).as("nat"),
+        Retrieval.gramArrHof.as("hof"))
+      .filter("nat != hof").count()
+    assert(mismatch === 0)
+    // degenerate shapes: under-k, exactly-k, null text
+    val edge = Seq((1L, "a b"), (2L, "a b c"), (3L, null: String))
+      .toDF("doc_id", "text")
+      .select(
+        graft.functions.PosGramHashes.posGramHashes(
+          org.apache.spark.sql.functions.col("text"), 3).as("nat"),
+        Retrieval.gramArrHof.as("hof"))
+      .filter("nat != hof OR nat IS NULL").count()
+    assert(edge === 0)
+  }
+
   test("bm25: hand-built corpus ranks by shared-gram weight, misses drop out") {
     // query doc 1 = "a b c d e"; doc 2 shares 2 grams with higher-idf
     // overlap than doc 3's 1 gram; doc 4 shares nothing

@@ -163,6 +163,35 @@ object Retrieval {
     bm25Of(postingsOf(docs), totalsOf(docs), queryGramsOf(docs))
   }
 
+  /** Exact 3-gram-SET Jaccard top-k per query doc — the lexical
+    * ground truth `graft.RetrievalProbe` measures BM25's ranking
+    * against (the retrieval analog of `sim_topk` as the ANN recall
+    * reference). Distinct gram sets, integer intersection counts,
+    * Jaccard ordering with doc_id tie-break. */
+  private[graft] def jaccardTop(docs: DataFrame, ids: Seq[Long],
+      k: Int = 10): DataFrame = {
+    val t = graft.Tables.spread(docs)
+      .select(col("doc_id"), explode(array_distinct(gramArr)).as("g"))
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val q = t.filter(col("doc_id").isInCollection(ids))
+      .select(col("doc_id").as("query_id"), col("g"))
+    val inter = t.join(broadcast(q), Seq("g"))
+      .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("query_id"), col("n").as("nq")),
+        Seq("query_id"))
+      .join(sz.select(col("doc_id"), col("n").as("nd")), Seq("doc_id"))
+      // rank by i/u; cross-multiplied integer compare via the sort key
+      // i/(nq+nd-i) is monotone in i for fixed sizes — use the double
+      // ratio only as a SORT key (never an output), doc_id tiebreak
+      .withColumn("jac", col("i").cast("double") / (col("nq") + col("nd") - col("i")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("jac").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+  }
+
   // ---- persisted inverted index (the serve layout) -------------------
 
   /** Memoized bucketBy(g) postings index + 1-row totals table — what

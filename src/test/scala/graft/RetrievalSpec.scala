@@ -70,6 +70,14 @@ class RetrievalSpec extends AnyFunSuite {
     } finally Retrieval.dropPostingsTables(spark)
   }
 
+  test("bm25 ranking tracks exact gram-set Jaccard: mean overlap@10 floor") {
+    // RETRIEVAL_r10.json measures 8.0-8.7/10 across tiers; 6 is the
+    // regression floor, not the expectation
+    val (per, mean) = RetrievalProbe.overlapAt10(spark, sf)
+    assert(per.size === Retrieval.QueryDocs.length)
+    assert(mean >= 6.0, s"mean overlap@10 $mean, per-query $per")
+  }
+
   test("bm25 streaming serve equals the batch run over the same query set") {
     try {
       val streamed = Retrieval.streamBm25Serve(spark, sf)

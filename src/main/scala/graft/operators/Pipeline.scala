@@ -175,7 +175,9 @@ object Pipeline {
     * (pipelineCurate) ∘ repetition gate (Gopher duplicate-2-gram
     * filters) ∘ unigram-surprisal band (the perplexity-filter shape:
     * drop boilerplate-low and noise-high scores) ∘ benchmark
-    * decontamination (5-gram eval-set collision). Each gate is the
+    * decontamination (5-gram eval-set collision) ∘ retrieval-scored
+    * decontamination (BM25 max-score cut — drops the strong partial
+    * overlaps exact membership misses). Each gate is the
     * already-verified operator; the composition is doc_id semi-joins
     * against the curated survivor set (small after the quality gate),
     * and the decontamination side broadcasts as in `decontaminate`.
@@ -218,10 +220,16 @@ object Pipeline {
       .filter(col("bits_per_tok_x100").between(med - 1, med + 7))
       .select(col("doc_id"), col("bits_per_tok_x100"))
     val decon = decontaminate(s, d).select(col("doc_id"))
+    // the retrieval-scored gate composes with the exact 5-gram one:
+    // membership catches verbatim leakage, the BM25 max-score cut
+    // drops the strong partial overlaps membership misses
+    val softKeep = Retrieval.decontaminateBm25Of(documents(s, d))
+      .filter(!col("contaminated")).select(col("doc_id"))
     curated
       .join(repKeep, Seq("doc_id"), "left_semi")
       .join(surp, Seq("doc_id"))
       .join(decon, Seq("doc_id"), "left_semi")
+      .join(softKeep, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"), col("lang_pred"), col("n_words"),
         col("uniq_pct"), col("bits_per_tok_x100"))
   }
@@ -344,13 +352,18 @@ object Pipeline {
         |  FROM (SELECT doc_id, unnest(shs) AS gram FROM dsh WHERE doc_id % 97 <> 0) cc
         |  JOIN dev USING (gram)),
         |deckeep AS (SELECT doc_id FROM dsh
-        |  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dhits))
+        |  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dhits)),
+        |${Retrieval.decontamBm25Ctes("bm_")},
+        |bmkeep AS (SELECT cw.doc_id FROM bm_cw cw
+        |  LEFT JOIN bm_pd pd USING (doc_id)
+        |  WHERE coalesce(pd.ms, 0) < ${Retrieval.DecontamThr})
         |SELECT c.doc_id, c.source, c.lang_pred, c.n_words, c.uniq_pct,
         |  sur.bits_per_tok_x100
         |FROM curated c
         |JOIN repkeep USING (doc_id)
         |JOIN sur USING (doc_id)
-        |JOIN deckeep USING (doc_id), smed
+        |JOIN deckeep USING (doc_id)
+        |JOIN bmkeep USING (doc_id), smed
         |WHERE sur.bits_per_tok_x100 BETWEEN smed.med - 1 AND smed.med + 7""".stripMargin,
     // curated -> md5 train split -> per-language cap by hash order
     "pipeline_train_corpus" ->

@@ -330,7 +330,7 @@ object Retrieval {
   /** Contamination threshold in score-x1000 units: ≈ two high-idf
     * grams' worth of saturated weight — the top decile of
     * eval-overlapping corpus docs on the synthetic corpus. */
-  private val DecontamThr = 10000L
+  private[graft] val DecontamThr = 10000L
 
   /** SOFT decontamination — the retrieval-scored complement of
     * `pipeline_decontaminate`'s exact 5-gram membership test: eval
@@ -466,34 +466,42 @@ object Retrieval {
   private val bm25OracleSql: String =
     bm25OracleSqlFor(s"doc_id IN (${QueryDocs.mkString(", ")})", "")
 
-  private val decontamBm25OracleSql: String =
-    s"""WITH cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  /** The BM25-decontamination CTE chain with a name prefix, so other
+    * oracles (pipeline_curate_full) can splice it in without CTE-name
+    * collisions. Yields `${p}pd(doc_id, ms)` — per corpus doc, max
+    * BM25 score over any eval query. */
+  private[graft] def decontamBm25Ctes(p: String): String =
+    s"""${p}cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |  WHERE doc_id % 97 != 0),
-      |t AS (SELECT doc_id, substr(md5(array_to_string(ws[i:i+${GramK - 1}], ' ')), 1, 16) AS g
-      |      FROM cw, unnest(range(1, len(ws) - $GramK + 2)) u(i) WHERE len(ws) >= $GramK),
-      |p AS (SELECT g, doc_id, count(*) AS tf FROM t GROUP BY g, doc_id),
-      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
-      |tot AS (SELECT count(*) FILTER (len(ws) >= $GramK) AS n_docs,
+      |${p}t AS (SELECT doc_id, substr(md5(array_to_string(ws[i:i+${GramK - 1}], ' ')), 1, 16) AS g
+      |      FROM ${p}cw, unnest(range(1, len(ws) - $GramK + 2)) u(i) WHERE len(ws) >= $GramK),
+      |${p}p AS (SELECT g, doc_id, count(*) AS tf FROM ${p}t GROUP BY g, doc_id),
+      |${p}dl AS (SELECT doc_id, count(*) AS dl FROM ${p}t GROUP BY doc_id),
+      |${p}tot AS (SELECT count(*) FILTER (len(ws) >= $GramK) AS n_docs,
       |        CAST(sum(CASE WHEN len(ws) >= $GramK THEN len(ws) - ${GramK - 1} ELSE 0 END) AS BIGINT) AS t_grams
-      |        FROM cw),
-      |ew AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |        FROM ${p}cw),
+      |${p}ew AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |  WHERE doc_id % 97 = 0),
-      |q AS (SELECT DISTINCT doc_id AS query_id,
+      |${p}q AS (SELECT DISTINCT doc_id AS query_id,
       |        substr(md5(array_to_string(ws[i:i+${GramK - 1}], ' ')), 1, 16) AS g
-      |      FROM ew, unnest(range(1, len(ws) - $GramK + 2)) u(i) WHERE len(ws) >= $GramK),
-      |dfq AS (SELECT g, count(*) AS df FROM p WHERE g IN (SELECT g FROM q) GROUP BY g),
-      |wt AS (SELECT q.query_id, p.doc_id,
+      |      FROM ${p}ew, unnest(range(1, len(ws) - $GramK + 2)) u(i) WHERE len(ws) >= $GramK),
+      |${p}dfq AS (SELECT g, count(*) AS df FROM ${p}p
+      |      WHERE g IN (SELECT g FROM ${p}q) GROUP BY g),
+      |${p}wt AS (SELECT qq.query_id, pp.doc_id,
       |       CAST(floor(log2(n_docs // df)) AS BIGINT) *
       |       ((2200000 * tf) // (1000 * tf + 300 +
-      |         (9 * ((1000 * dl.dl * n_docs) // t_grams)) // 10)) AS w_x1000
-      |       FROM p JOIN q USING (g) JOIN dfq USING (g)
-      |            JOIN dl ON p.doc_id = dl.doc_id, tot),
-      |sc AS (SELECT query_id, doc_id, CAST(sum(w_x1000) AS BIGINT) AS s
-      |       FROM wt GROUP BY query_id, doc_id),
-      |pd AS (SELECT doc_id, max(s) AS ms FROM sc GROUP BY doc_id)
+      |         (9 * ((1000 * dd.dl * n_docs) // t_grams)) // 10)) AS w_x1000
+      |       FROM ${p}p pp JOIN ${p}q qq USING (g) JOIN ${p}dfq USING (g)
+      |            JOIN ${p}dl dd ON pp.doc_id = dd.doc_id, ${p}tot),
+      |${p}sc AS (SELECT query_id, doc_id, CAST(sum(w_x1000) AS BIGINT) AS s
+      |       FROM ${p}wt GROUP BY query_id, doc_id),
+      |${p}pd AS (SELECT doc_id, max(s) AS ms FROM ${p}sc GROUP BY doc_id)""".stripMargin
+
+  private val decontamBm25OracleSql: String =
+    s"""WITH ${decontamBm25Ctes("")}
       |SELECT c.doc_id, c.source,
       |  coalesce(pd.ms, 0) AS max_score_x1000,
-      |  coalesce(pd.ms, 0) >= 10000 AS contaminated
+      |  coalesce(pd.ms, 0) >= $DecontamThr AS contaminated
       |FROM documents c LEFT JOIN pd USING (doc_id)
       |WHERE c.doc_id % 97 != 0""".stripMargin
 

@@ -34,8 +34,12 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     val clean = Pipeline.decontaminate(spark, d)
       .select("doc_id").as[Long].collect().toSet
+    val softClean = graft.operators.Retrieval
+      .decontaminateBm25Of(graft.Tables.documents(spark, d))
+      .filter(!col("contaminated")).select("doc_id").as[Long].collect().toSet
     (curated -- full).foreach { id =>
-      assert(repetitive.contains(id) || !inBand.contains(id) || !clean.contains(id),
+      assert(repetitive.contains(id) || !inBand.contains(id) ||
+        !clean.contains(id) || !softClean.contains(id),
         s"doc $id dropped without a cause")
     }
   }

@@ -252,6 +252,46 @@ object Retrieval {
     bm25Of(p, t, queryGramsOf(documents(s, d)))
   }
 
+  // ---- hybrid sparse+dense fusion ------------------------------------
+
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    * of the sparse BM25 list and the exact dense cosine list over the
+    * SAME query ids, the production pattern for retrieval-backed
+    * curation (each family sees what the other is blind to: BM25 the
+    * lexical rare-gram overlap, the embedding the semantic neighbor
+    * with zero shared tokens). Both lists are self-excluded top-10;
+    * the fused score is integer-exact: rrf_x1m = Σ 1e6 DIV (60 + rank)
+    * over the lists the doc appears in (k=60, the standard constant).
+    *
+    * Scale shape: both inputs are the already-audited efficient
+    * forms — the pruned-postings BM25 and `sim_topk`'s two-level
+    * bounded-heap scan (reused via simTopkFor, not re-derived) — and
+    * the fusion itself touches only 2·k·|queries| rows. */
+  def simHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val docs = documents(s, d)
+    val sparse = bm25Scores(postingsOf(docs), totalsOf(docs), queryGramsOf(docs))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("srnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_x1000").desc, col("doc_id").asc)))
+      .filter(col("srnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("srnk"))
+    val qv = embeddings(s, d).filter(col("vec_id").isInCollection(QueryDocs))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val dense = Similarity.simTopkFor(s, d, qv)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk").as("drnk"))
+    sparse.join(dense, Seq("query_id", "doc_id"), "full")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr("CAST(1000000 DIV (60 + srnk) AS BIGINT)"), lit(0L)) +
+         coalesce(expr("CAST(1000000 DIV (60 + drnk) AS BIGINT)"), lit(0L)))
+          .as("rrf_x1m"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_x1m").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+  }
+
   // ---- streaming serve over the persisted index ----------------------
 
   /** ONLINE sparse retrieval — `text_bm25_bucketed` run as the
@@ -430,16 +470,17 @@ object Retrieval {
     "text_bm25_bucketed" -> textBm25Bucketed _,
     "pipeline_decontaminate_bm25" -> pipelineDecontaminateBm25 _,
     "stream_bm25_serve" -> streamBm25Serve _,
+    "sim_hybrid_rrf" -> simHybridRrf _,
     "text_classify_nb" -> textClassifyNb _
   )
 
-  /** Shared BM25 oracle (all physical forms — the index is a layout
-    * choice): positional 3-gram md5-16 hashes with multiplicity, the
-    * identical fixed-point arithmetic, top-10 per query. The query
-    * set predicate and any extra output column are parameters so the
-    * batch and streaming-serve entries share one body. */
-  private def bm25OracleSqlFor(queryPred: String, outerExtra: String): String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** Shared BM25 oracle CTE chain ending in `sc(query_id, doc_id,
+    * score_x1000)` — positional 3-gram md5-16 hashes with
+    * multiplicity, the identical fixed-point arithmetic. The query
+    * set predicate is a parameter so the batch, streaming-serve, and
+    * hybrid-fusion entries share one body. */
+  private def bm25Ctes(queryPred: String): String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |t AS (SELECT doc_id, substr(md5(array_to_string(ws[i:i+${GramK - 1}], ' ')), 1, 16) AS g
       |      FROM w, unnest(range(1, len(ws) - $GramK + 2)) u(i) WHERE len(ws) >= $GramK),
       |p AS (SELECT g, doc_id, count(*) AS tf FROM t GROUP BY g, doc_id),
@@ -457,7 +498,10 @@ object Retrieval {
       |       FROM p JOIN q USING (g) JOIN dfq USING (g)
       |            JOIN dl ON p.doc_id = dl.doc_id, tot),
       |sc AS (SELECT query_id, doc_id, CAST(sum(w_x1000) AS BIGINT) AS score_x1000
-      |       FROM wt GROUP BY query_id, doc_id)
+      |       FROM wt GROUP BY query_id, doc_id)""".stripMargin
+
+  private def bm25OracleSqlFor(queryPred: String, outerExtra: String): String =
+    s"""WITH ${bm25Ctes(queryPred)}
       |SELECT query_id, doc_id, score_x1000,
       |  row_number() OVER (PARTITION BY query_id
       |    ORDER BY score_x1000 DESC, doc_id ASC) AS rnk$outerExtra
@@ -465,6 +509,32 @@ object Retrieval {
 
   private val bm25OracleSql: String =
     bm25OracleSqlFor(s"doc_id IN (${QueryDocs.mkString(", ")})", "")
+
+  /** Hybrid oracle: sparse and dense top-10 (both self-excluded),
+    * fused by integer reciprocal-rank (1e6 DIV (60 + rank)). */
+  private val hybridOracleSql: String =
+    s"""WITH ${bm25Ctes(s"doc_id IN (${QueryDocs.mkString(", ")})")},
+      |sp AS (SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_x1000 DESC, doc_id ASC) AS srnk
+      |  FROM sc WHERE doc_id <> query_id QUALIFY srnk <= 10),
+      |dq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      |  WHERE vec_id IN (${QueryDocs.mkString(", ")})),
+      |ds AS (SELECT query_id, e.vec_id AS doc_id,
+      |    round(${Similarity.dotSql.format("qv", "e.embedding")}, 4) AS cos_r
+      |  FROM embeddings e, dq WHERE e.vec_id <> dq.query_id),
+      |dn AS (SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_r DESC, doc_id ASC) AS drnk
+      |  FROM ds QUALIFY drnk <= 10),
+      |fu AS (SELECT query_id, doc_id,
+      |    CAST(coalesce(1000000 // (60 + srnk), 0)
+      |       + coalesce(1000000 // (60 + drnk), 0) AS BIGINT) AS rrf_x1m
+      |  FROM sp FULL JOIN dn USING (query_id, doc_id))
+      |SELECT query_id, doc_id, rrf_x1m,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf_x1m DESC, doc_id ASC) AS rnk
+      |FROM fu QUALIFY rnk <= 10""".stripMargin
 
   /** The BM25-decontamination CTE chain with a name prefix, so other
     * oracles (pipeline_curate_full) can splice it in without CTE-name
@@ -541,6 +611,7 @@ object Retrieval {
     "pipeline_decontaminate_bm25" -> decontamBm25OracleSql,
     "stream_bm25_serve" -> bm25OracleSqlFor("doc_id < 9",
       ",\n  CAST(query_id % 3 AS INT) AS sub_batch"),
+    "sim_hybrid_rrf" -> hybridOracleSql,
     "text_classify_nb" -> nbOracleSql
   )
 }

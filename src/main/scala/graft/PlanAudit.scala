@@ -172,6 +172,8 @@ object PlanAudit {
       "document frequencies were denormalized into the index at write time (the IR-dictionary layout), so serving aggregates nothing per-gram; the only gram-keyed exchange left is the tiny query-vocabulary dedup — the corpus postings never move"),
     Check("pipeline_decontaminate_bm25", "eval vocabulary broadcasts to prune postings", "BroadcastHashJoin",
       "the benchmark-bounded eval gram set broadcasts exactly like the query vocabulary in text_bm25_topk: the corpus postings stream is pruned map-side before any scoring work, and the corpus itself never exchanges to meet the eval set"),
+    Check("sim_hybrid_rrf", "dense side rides the bounded-heap scan", "MapPartitions",
+      "the fused plan reuses sim_topk's two-level top-k — per-task bounded heaps, no corpus-sized shuffle into #queries reducers — while the sparse side keeps the broadcast-pruned postings join; fusion itself touches only 2k rows per query"),
     Check("text_classify_nb", "training counts combine map-side", "REGEX:HashAggregate.*partial_count|partial_count",
       "NB training is two partial-aggregable groupBys over the token stream: per-(class, token) counts combine inside each map task, the shuffle carries states not token rows"),
     Check("join_bbox_auto", "optimizer rewrites the naive theta join to grid cells", "graft_cx",

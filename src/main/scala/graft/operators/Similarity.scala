@@ -167,14 +167,14 @@ object Similarity {
     * member lists, in-order double-fold means (empty cells keep the
     * previous centroid) — the exact mirror of `refineCentroids`. */
   private def lloydRoundSql(prev: String, i: Int): String =
-    s"""a$i AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+    s"""a$i AS MATERIALIZED (SELECT vec_id, embedding, cent_id AS cell FROM (
       |  SELECT e.vec_id, e.embedding, $prev.cent_id,
       |    row_number() OVER (PARTITION BY e.vec_id
       |      ORDER BY round(${dotSql.format("e.embedding", s"$prev.cv")}, 4) DESC,
       |        $prev.cent_id ASC) AS arnk
       |  FROM samp e, $prev) t WHERE arnk = 1),
-      |m$i AS (SELECT cell, list(embedding ORDER BY vec_id) AS ms FROM a$i GROUP BY cell),
-      |c$i AS (SELECT $prev.cent_id,
+      |m$i AS MATERIALIZED (SELECT cell, list(embedding ORDER BY vec_id) AS ms FROM a$i GROUP BY cell),
+      |c$i AS MATERIALIZED (SELECT $prev.cent_id,
       |  CASE WHEN m$i.cell IS NULL THEN $prev.cv
       |    ELSE [CAST(list_sum(list_transform(ms, v -> CAST(v[j] AS DOUBLE))) / len(ms) AS FLOAT)
       |          FOR j IN range(1, 65)]
@@ -186,18 +186,18 @@ object Similarity {
     * (m = min(n, SampleFactor·k)), then LloydRounds refinement rounds
     * over the sample. Yields `c(cent_id, cv)`. */
   val centroidCteSql: String =
-    s"""kk AS (SELECT n, least(greatest($MinCentroidK,
+    s"""kk AS MATERIALIZED (SELECT n, least(greatest($MinCentroidK,
       |    CAST(ceil(n / $TargetCellSize.0) AS BIGINT)), $MaxCentroidK) AS k
       |  FROM (SELECT count(*) AS n FROM embeddings)),
-      |rk AS (SELECT vec_id, embedding,
+      |rk AS MATERIALIZED (SELECT vec_id, embedding,
       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
       |  FROM embeddings),
-      |samp AS (SELECT vec_id, embedding FROM rk, kk
+      |samp AS MATERIALIZED (SELECT vec_id, embedding FROM rk, kk
       |  WHERE rk.rnk <= least(kk.n, $SampleFactor * kk.k)),
-      |c0 AS (SELECT vec_id AS cent_id, embedding AS cv FROM rk, kk
+      |c0 AS MATERIALIZED (SELECT vec_id AS cent_id, embedding AS cv FROM rk, kk
       |  WHERE rk.rnk <= kk.k),
       |${(1 to LloydRounds).map(i => lloydRoundSql(s"c${i - 1}", i)).mkString(",\n")},
-      |c AS (SELECT cent_id, cv FROM c$LloydRounds)""".stripMargin
+      |c AS MATERIALIZED (SELECT cent_id, cv FROM c$LloydRounds)""".stripMargin
 
   /** Shared DuckDB CTEs mirroring the two-level (IMI) assignment
     * (twoLevelIndexOf + imiCellOf): S = ⌈√k⌉ md5-smallest centroids
@@ -213,29 +213,29 @@ object Similarity {
     * side of the multi-assignment oracle, sim_ivf_imi_ma). */
   val imiCellsCteSql: String =
     s"""$centroidCteSql,
-      |sn AS (SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS sc FROM kk),
-      |srnk AS (SELECT cent_id, cv,
+      |sn AS MATERIALIZED (SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS sc FROM kk),
+      |srnk AS MATERIALIZED (SELECT cent_id, cv,
       |    row_number() OVER (ORDER BY md5(CAST(cent_id AS VARCHAR)), cent_id) AS mrnk
       |  FROM c),
-      |sup AS (SELECT cent_id, cv AS sv,
+      |sup AS MATERIALIZED (SELECT cent_id, cv AS sv,
       |    row_number() OVER (ORDER BY cent_id) - 1 AS sid
       |  FROM srnk, sn WHERE mrnk <= sc),
-      |par AS (SELECT cent_id, cv, sid AS parent FROM (
+      |par AS MATERIALIZED (SELECT cent_id, cv, sid AS parent FROM (
       |  SELECT c.cent_id, c.cv, sup.sid,
       |    row_number() OVER (PARTITION BY c.cent_id
       |      ORDER BY round(${dotSql.format("c.cv", "sup.sv")}, 4) DESC, sup.sid ASC) AS prnk
       |  FROM c, sup) t WHERE prnk = 1),
-      |vsup AS (SELECT vec_id, label, embedding, sid AS vparent FROM (
+      |vsup AS MATERIALIZED (SELECT vec_id, label, embedding, sid AS vparent FROM (
       |  SELECT e.vec_id, e.label, e.embedding, sup.sid,
       |    row_number() OVER (PARTITION BY e.vec_id
       |      ORDER BY round(${dotSql.format("e.embedding", "sup.sv")}, 4) DESC, sup.sid ASC) AS srk
       |  FROM embeddings e, sup) t WHERE srk <= 2),
-      |cellsr AS (SELECT vec_id, label, embedding, cent_id AS cell, arnk FROM (
+      |cellsr AS MATERIALIZED (SELECT vec_id, label, embedding, cent_id AS cell, arnk FROM (
       |  SELECT v.vec_id, v.label, v.embedding, p.cent_id,
       |    row_number() OVER (PARTITION BY v.vec_id
       |      ORDER BY round(${dotSql.format("v.embedding", "p.cv")}, 4) DESC, p.cent_id ASC) AS arnk
       |  FROM vsup v JOIN par p ON p.parent = v.vparent) t WHERE arnk <= 2),
-      |cells AS (SELECT vec_id, label, embedding, cell FROM cellsr WHERE arnk = 1)""".stripMargin
+      |cells AS MATERIALIZED (SELECT vec_id, label, embedding, cell FROM cellsr WHERE arnk = 1)""".stripMargin
 
   /** Exact brute-force top-10 cosine neighbors for each of 3 query
     * vectors: broadcast queries × corpus scan, then TWO-LEVEL top-k.
@@ -1225,11 +1225,11 @@ object Similarity {
   /** Shared quantizer CTEs (mirror of quantizeCols): per-vector
     * max-abs in DOUBLE, scale 127/mx, codes ⌊v·scale + 0.5⌋. */
   private val quantCteSql =
-    """qz AS (
+    """qz AS MATERIALIZED (
       |  SELECT vec_id, label,
       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
       |  FROM embeddings),
-      |qv AS (
+      |qv AS MATERIALIZED (
       |  SELECT e.vec_id, e.label,
       |    CASE WHEN qz.mx = 0 THEN 0.0 ELSE 127.0 / qz.mx END AS sc,
       |    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE)
@@ -1272,57 +1272,69 @@ object Similarity {
   /** DuckDB mirror of the full IVF-PQ pipeline up to the ADC-scored
     * candidate relation `scored(query_id, vec_id, cell, adc_r)`:
     * residuals against the IMI cell centroids, the per-subspace Lloyd
-    * training chain (ONE m-keyed CTE chain — not 8 copies), codes
-    * with first-index argmin tie-break (the distance list appears
-    * twice because DuckDB lambdas have no let binding), LUT + qcdot,
-    * and the rounded score round(qcdot + adc, 4) — every fold in the
-    * same order as the Scala side, so values are bit-equal. Shared by
-    * the pure-ADC and rerank oracles. */
+    * training chain (ONE m-keyed CTE chain — not 8 copies), codes by
+    * a join-shaped argmin over (m, j) with first-j tie-break — the
+    * same relation `pc<rounds>(m, j, cv)` the trainer ends on, probed
+    * per subvector, NOT a triple-nested list lambda over the
+    * flattened codebook (that form correlates the 1024-element `cb`
+    * list into every inner lambda element and DuckDB materializes it
+    * per element: >54 GB of spill on a 20k-row corpus; the join form
+    * runs in seconds at sf5). Codes are computed only for rows in the
+    * probed cells — the only rows `scored` consumes. Per-(m,j) the
+    * distance fold over i is the identical in-order list_sum, so
+    * values — and therefore codes, LUT, qcdot and the rounded score
+    * round(qcdot + adc, 4) — stay bit-equal to the Scala side.
+    * Shared by the pure-ADC and rerank oracles. */
   private lazy val pqScoredCteSql: String = {
-    def distsSql =
-      s"""list_transform(range(0, $PqK), j ->
-        |      list_sum(list_transform(range(0, $PqSub), i ->
-        |        (r.rv[m*$PqSub+i+1] - cb[(m*$PqK+j)*$PqSub+i+1])
-        |        * (r.rv[m*$PqSub+i+1] - cb[(m*$PqK+j)*$PqSub+i+1]))))""".stripMargin
     def pqLloydRound(prev: String, r: Int): String =
-      s"""pa$r AS (SELECT vec_id, m, sv, j FROM (
+      s"""pa$r AS MATERIALIZED (SELECT vec_id, m, sv, j FROM (
         |  SELECT s.vec_id, s.m, s.sv, c.j,
         |    row_number() OVER (PARTITION BY s.vec_id, s.m
         |      ORDER BY list_sum(list_transform(range(1, ${PqSub + 1}), i ->
         |          (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) ASC,
         |        c.j ASC) AS arnk
         |  FROM psub s JOIN $prev c ON c.m = s.m) t WHERE arnk = 1),
-        |pm$r AS (SELECT m, j, list(sv ORDER BY vec_id) AS ms
+        |pm$r AS MATERIALIZED (SELECT m, j, list(sv ORDER BY vec_id) AS ms
         |  FROM pa$r GROUP BY m, j),
-        |pc$r AS (SELECT c.m, c.j,
+        |pc$r AS MATERIALIZED (SELECT c.m, c.j,
         |  CASE WHEN pm$r.j IS NULL THEN c.cv
         |    ELSE [list_sum(list_transform(ms, v -> v[i])) / len(ms)
         |          FOR i IN range(1, ${PqSub + 1})]
         |  END AS cv
         |  FROM $prev c LEFT JOIN pm$r ON pm$r.m = c.m AND pm$r.j = c.j)""".stripMargin
     s"""$imiCellsCteSql,
-      |resid AS (SELECT cells.vec_id, cells.cell, cells.embedding,
+      |resid AS MATERIALIZED (SELECT cells.vec_id, cells.cell, cells.embedding,
       |    list_transform(range(1, 65), i ->
       |      CAST(embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS rv
       |  FROM cells JOIN c ON c.cent_id = cells.cell),
-      |prnkt AS (SELECT vec_id,
+      |prnkt AS MATERIALIZED (SELECT vec_id,
       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS prnk
       |  FROM embeddings),
-      |psamp AS (SELECT r.vec_id, r.rv, p.prnk
+      |psamp AS MATERIALIZED (SELECT r.vec_id, r.rv, p.prnk
       |  FROM resid r JOIN prnkt p USING (vec_id), kk
       |  WHERE p.prnk <= least(kk.n, ${SampleFactor * PqK})),
-      |psub AS (SELECT vec_id, prnk, m,
+      |psub AS MATERIALIZED (SELECT vec_id, prnk, m,
       |    list_transform(range(1, ${PqSub + 1}), i -> rv[m*$PqSub + i]) AS sv
       |  FROM psamp, unnest(range(0, $PqM)) t(m)),
-      |pc0 AS (SELECT m, prnk - 1 AS j, sv AS cv FROM psub WHERE prnk <= $PqK),
+      |pc0 AS MATERIALIZED (SELECT m, prnk - 1 AS j, sv AS cv FROM psub WHERE prnk <= $PqK),
       |${(1 to PqRounds).map(r => pqLloydRound(s"pc${r - 1}", r)).mkString(",\n")},
-      |cbf AS (SELECT flatten(list(cv ORDER BY m, j)) AS cb FROM pc$PqRounds),
-      |pq AS (SELECT r.vec_id, r.cell,
-      |    list_transform(range(0, $PqM), m ->
-      |      list_position($distsSql,
-      |        list_min($distsSql)) - 1) AS codes
-      |  FROM resid r, cbf),
-      |lutq AS (SELECT r.vec_id AS query_id, r.cell AS qcell,
+      |cbf AS MATERIALIZED (SELECT flatten(list(cv ORDER BY m, j)) AS cb FROM pc$PqRounds),
+      |qcset AS MATERIALIZED (SELECT DISTINCT cell FROM resid WHERE vec_id < 3),
+      |rsub AS MATERIALIZED (SELECT r.vec_id, r.cell, m,
+      |    list_transform(range(1, ${PqSub + 1}), i -> rv[m*$PqSub + i]) AS sv
+      |  FROM resid r JOIN qcset USING (cell), unnest(range(0, $PqM)) t(m)),
+      |pqd AS MATERIALIZED (SELECT r.vec_id, r.cell, r.m, c.j,
+      |    list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+      |      (r.sv[i] - c.cv[i]) * (r.sv[i] - c.cv[i]))) AS d
+      |  FROM rsub r JOIN pc$PqRounds c ON c.m = r.m),
+      |pqa AS MATERIALIZED (SELECT vec_id, cell, m, j FROM (
+      |  SELECT vec_id, cell, m, j,
+      |    row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY d ASC, j ASC) AS arnk
+      |  FROM pqd) t WHERE arnk = 1),
+      |pq AS MATERIALIZED (SELECT vec_id, cell, list(j ORDER BY m) AS codes
+      |  FROM pqa GROUP BY vec_id, cell),
+      |lutq AS MATERIALIZED (SELECT r.vec_id AS query_id, r.cell AS qcell,
       |    flatten(list_transform(range(0, $PqM), m -> list_transform(range(0, $PqK), j ->
       |      list_sum(list_transform(range(0, $PqSub), i ->
       |        CAST(r.embedding[m*$PqSub+i+1] AS DOUBLE) * cb[(m*$PqK+j)*$PqSub+i+1]))))) AS lut,
@@ -1330,7 +1342,7 @@ object Similarity {
       |      CAST(r.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) AS qcdot
       |  FROM resid r JOIN c ON c.cent_id = r.cell, cbf
       |  WHERE r.vec_id < 3),
-      |scored AS (SELECT q.query_id, p.vec_id, p.cell,
+      |scored AS MATERIALIZED (SELECT q.query_id, p.vec_id, p.cell,
       |    round(q.qcdot + list_sum(list_transform(range(0, $PqM), m ->
       |      lut[m*$PqK + codes[m+1] + 1])), 4) AS adc_r
       |  FROM pq p JOIN lutq q ON p.cell = q.qcell AND p.vec_id <> q.query_id)""".stripMargin

@@ -365,6 +365,141 @@ object Retrieval {
     }
   }
 
+  // ---- incremental index MAINTENANCE ---------------------------------
+
+  /** Hash split of the corpus into the standing base and a "newly
+    * arrived" slice of three sub-batches — the same pure-function-of-
+    * the-key md5 contract the dedup admission family uses
+    * (Dedup.isBatchDoc / subBatchOf), so membership never depends on
+    * partitioning or order. */
+  private[graft] def isArrival(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 2) < "20"
+  private[graft] def arrivalSubBatch(id: Column): Column =
+    (ascii(substring(md5(id.cast("string")), 3, 1)) % 3).cast(IntegerType)
+
+  /** Per-doc gram-length rows (doc_id, dl) — the doc-length side
+    * table a MAINTAINABLE index keeps normalized (docs with no gram
+    * carry no row, matching `totalsOf`'s eligibility rule). */
+  private[graft] def doclensOf(docs: DataFrame): DataFrame =
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), size(gramArr).cast(LongType).as("dl"))
+      .filter(col("dl") > 0)
+
+  /** The maintained inverted index: postings bucketed by gram
+    * (append-only — new documents only ADD (g, doc_id) rows) and doc
+    * lengths bucketed by doc_id (upsert). Unlike the write-once
+    * `text_bm25_bucketed` layout, df is NOT denormalized into the
+    * rows: a baked-in df goes stale the moment one document arrives,
+    * which is exactly why that layout can only be rebuilt. The
+    * maintainable layout keeps postings normalized and computes df at
+    * serve over the candidate-pruned stream (the ad-hoc kernel) —
+    * serve pays one count window over candidate postings; maintenance
+    * pays only the arriving docs' rows. */
+  private[graft] case class MaintainedIndex(
+      postings: graft.streaming.PartitionedTable,
+      doclens: graft.streaming.PartitionedTable)
+
+  private[graft] def buildMaintained(s: SparkSession,
+      dir: java.nio.file.Path, base: DataFrame): MaintainedIndex = {
+    val p = postingsOf(base)
+    val nb = Similarity.derivedBuckets(s, p.count(), "spark.graft.bm25.buckets")
+    val idx = MaintainedIndex(
+      new graft.streaming.PartitionedTable(dir.resolve("postings"), "g", nb),
+      new graft.streaming.PartitionedTable(dir.resolve("doclens"), "doc_id",
+        math.max(4, nb / 4)))
+    idx.postings.appendInto(s, p, Some("bm25idx" -> 0L))
+    idx.doclens.mergeInto(s, doclensOf(base), Some("bm25dl" -> 0L))
+    idx
+  }
+
+  /** One maintenance step: append the arriving docs' postings rows
+    * (only their buckets rewrite) and upsert their doc lengths. `ver`
+    * makes the step idempotent per table — a replayed micro-batch
+    * (checkpoint recovery) no-ops instead of double-counting tf. */
+  private[graft] def appendArrivals(s: SparkSession, idx: MaintainedIndex,
+      batch: DataFrame, ver: Long): Unit = {
+    idx.postings.appendInto(s, postingsOf(batch), Some("bm25idx" -> ver))
+    idx.doclens.mergeInto(s, doclensOf(batch), Some("bm25dl" -> ver))
+  }
+
+  /** Serve from the maintained state: postings read through the
+    * manifest, corpus totals aggregated from the doc-length table
+    * (O(#docs), the smaller relation), df computed at serve by the
+    * ad-hoc kernel's count window over the candidate-pruned stream. */
+  private[graft] def serveMaintained(s: SparkSession, idx: MaintainedIndex,
+      qterms: DataFrame): DataFrame = {
+    val totals = idx.doclens.read(s)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_grams"))
+    bm25Of(idx.postings.read(s).select("g", "doc_id", "dl", "tf"),
+      totals, qterms)
+  }
+
+  /** CONTINUOUS inverted-index maintenance — the write path
+    * `stream_bm25_serve` takes as given: documents ARRIVE as a stream
+    * of three sub-batches (one file per micro-batch — the §2h
+    * bounded-catch-up harness) and each micro-batch is MERGED into
+    * the standing index through the PartitionedTable commit protocol
+    * (append postings, upsert doc lengths, txn-versioned so replays
+    * no-op), followed by a small-files OPTIMIZE pass. Serving the
+    * standard query set from the maintained state then equals the
+    * one-shot batch build over the full corpus — that equality IS the
+    * oracle (`text_bm25_topk`'s SQL verbatim), because an index is a
+    * layout, and maintenance must not change what it answers.
+    *
+    * Scale shape: per-trigger work is proportional to the ARRIVING
+    * docs (their postings rows shuffle to their gram buckets; only
+    * touched buckets rewrite), never to the standing index; the
+    * doc-length upsert touches only arriving keys; compaction bounds
+    * the file count however many batches have merged. A daily-ingest
+    * deployment runs exactly this loop against the previous
+    * snapshot — full rebuilds are the once-per-epoch job. */
+  def streamBm25Maintain(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val arrivals = docs.filter(isArrival(col("doc_id")))
+      .withColumn("sub_batch", arrivalSubBatch(col("doc_id")))
+    val workDir = java.nio.file.Files.createTempDirectory("graft_bm25maint")
+    try {
+      val streamDir = workDir.resolve("stream")
+      java.nio.file.Files.createDirectories(streamDir)
+      (0 until 3).foreach { k =>
+        val side = streamDir.resolve(s"side$k")
+        arrivals.filter(col("sub_batch") === k).coalesce(1)
+          .write.mode("overwrite").parquet(side.toString)
+        val part = java.nio.file.Files.list(side).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val dst = streamDir.resolve(f"arrive$k%04d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+      }
+      val idx = buildMaintained(s, workDir.resolve("idx"),
+        docs.filter(!isArrival(col("doc_id"))))
+      val stream = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString + "/arrive*.parquet")
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          // sub-batches processed in ascending hash order however the
+          // engine groups files, so txn versions ascend and a replay
+          // (ver <= recorded) no-ops
+          val subs = mb.select(col("sub_batch")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          subs.foreach { k =>
+            appendArrivals(s, idx, mb.filter(col("sub_batch") === k), k + 1L)
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      idx.postings.compact(s)
+      idx.doclens.compact(s)
+      serveMaintained(s, idx, queryGramsOf(docs)).localCheckpoint(true)
+    } finally {
+      graft.streaming.PartitionedTable.deleteRecursively(workDir)
+    }
+  }
+
   // ---- retrieval-scored decontamination ------------------------------
 
   /** Contamination threshold in score-x1000 units: ≈ two high-idf
@@ -470,6 +605,7 @@ object Retrieval {
     "text_bm25_bucketed" -> textBm25Bucketed _,
     "pipeline_decontaminate_bm25" -> pipelineDecontaminateBm25 _,
     "stream_bm25_serve" -> streamBm25Serve _,
+    "stream_bm25_maintain" -> streamBm25Maintain _,
     "sim_hybrid_rrf" -> simHybridRrf _,
     "text_classify_nb" -> textClassifyNb _
   )
@@ -611,6 +747,10 @@ object Retrieval {
     "pipeline_decontaminate_bm25" -> decontamBm25OracleSql,
     "stream_bm25_serve" -> bm25OracleSqlFor("doc_id < 9",
       ",\n  CAST(query_id % 3 AS INT) AS sub_batch"),
+    // maintenance must not change what the index answers: serving the
+    // maintained state equals the one-shot batch build over the full
+    // corpus — text_bm25_topk's oracle verbatim
+    "stream_bm25_maintain" -> bm25OracleSql,
     "sim_hybrid_rrf" -> hybridOracleSql,
     "text_classify_nb" -> nbOracleSql
   )

@@ -92,6 +92,56 @@ class RetrievalSpec extends AnyFunSuite {
     } finally Retrieval.dropPostingsTables(spark)
   }
 
+  test("bm25 maintained index: arrival re-ranks, replay no-ops, serve equals one-shot build") {
+    val base = Seq(
+      (1L, "a b c d e", "en", "s", 9L),
+      (3L, "a b c y z", "en", "s", 9L),
+      (4L, "p q r s t", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val twin = Seq((9L, "a b c d e", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint_spec")
+    try {
+      val idx = Retrieval.buildMaintained(spark, dir, base)
+      val qterms = Retrieval.queryGramsOf(base, Seq(1L))
+      val before = Retrieval.serveMaintained(spark, idx, qterms)
+        .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+      assert(before === Seq(1L, 3L)) // twin not yet arrived; 4 shares nothing
+      Retrieval.appendArrivals(spark, idx, twin, 1L)
+      val after = Retrieval.serveMaintained(spark, idx, qterms)
+        .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+      // exact twin ties the self-match, doc_id breaks the tie
+      assert(after === Seq(1L, 9L, 3L))
+      // replayed txn version no-ops: no double-counted postings
+      val n1 = idx.postings.read(spark).count()
+      Retrieval.appendArrivals(spark, idx, twin, 1L)
+      assert(idx.postings.read(spark).count() === n1)
+      // maintenance must not change what the index answers: serve over
+      // the maintained state == the one-shot build over the union
+      val union = base.unionByName(twin)
+      val served = Retrieval.serveMaintained(spark, idx,
+          Retrieval.queryGramsOf(union, Seq(1L)))
+        .select("query_id", "doc_id", "score_x1000", "rnk")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val oneShot = Retrieval.bm25TopkOf(union, Seq(1L))
+        .select("query_id", "doc_id", "score_x1000", "rnk")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(served === oneShot)
+    } finally {
+      graft.streaming.PartitionedTable.deleteRecursively(dir)
+    }
+  }
+
+  test("stream_bm25_maintain equals the one-shot batch build on the real corpus") {
+    val m = Retrieval.streamBm25Maintain(spark, sf)
+      .select("query_id", "doc_id", "score_x1000", "rnk")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val b = Retrieval.textBm25Topk(spark, sf)
+      .select("query_id", "doc_id", "score_x1000", "rnk")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(m === b && m.nonEmpty)
+  }
+
   test("hybrid rrf: fused docs come from the component lists, both lists weigh in") {
     val sf01 = "/root/testdata/sf0.01"
     val fused = Retrieval.simHybridRrf(spark, sf01)

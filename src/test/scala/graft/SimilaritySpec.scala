@@ -550,4 +550,32 @@ class SimilaritySpec extends AnyFunSuite {
       batch.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4))))
     streamed.foreach(r => assert(r.getInt(5) == (r.getLong(0) % 3).toInt))
   }
+
+  test("stream_ann_maintain: maintained table serves the direct frozen projection exactly") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val isArr = graft.operators.Retrieval.isArrival(col("vec_id"))
+    assert(e.filter(isArr).count() > 0) // the fixture must actually stream something
+    val maintained = Similarity.streamAnnMaintain(spark, d)
+      .select("query_id", "vec_id", "cell", "cos_q", "rnk")
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    // the same frozen quantizer applied directly, no PartitionedTable,
+    // no streaming — the maintenance plumbing must lose/duplicate
+    // nothing through append, txn replay protection, and compaction
+    val (supers, groups) =
+      Similarity.twoLevelIndexOf(Similarity.collectCentroidsOf(e.filter(!isArr)))
+    def cellOf(v: org.apache.spark.sql.Column) =
+      graft.functions.ImiCell2.cell(v, supers, groups)
+    val direct = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
+      Similarity.quantizeCols(col("embedding"))._1.as("c_scale"),
+      Similarity.quantizeCols(col("embedding"))._2.as("cq"))
+    val qcells = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), cellOf(col("embedding")).as("qcell"),
+        Similarity.quantizeCols(col("embedding"))._1.as("q_scale"),
+        Similarity.quantizeCols(col("embedding"))._2.as("qq"))
+    val expected = Similarity.frozenInt8Serve(direct, qcells)
+      .select("query_id", "vec_id", "cell", "cos_q", "rnk")
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(maintained === expected && maintained.nonEmpty)
+  }
 }

@@ -232,6 +232,14 @@ object Recall {
     val buckets = e.select(col("vec_id"),
       Similarity.bucketOf(planes)(col("embedding")).as("cell"), col("embedding"))
     val served = Similarity.bucketedIndexTable(s, d) // (vec_id, cell, c_scale, cq)
+    // frozen-quantizer state: trained on the standing base only (the
+    // stream_ann_maintain contract), assignment over the full corpus
+    val isArr = graft.operators.Retrieval.isArrival(col("vec_id"))
+    val (fSupers, fGroups) = Similarity.twoLevelIndexOf(
+      Similarity.collectCentroidsOf(e.filter(!isArr)))
+    val cellsFrozen = e.select(col("vec_id"),
+      graft.functions.ImiCell2.cell(col("embedding"), fSupers, fGroups).as("cell"),
+      csc.as("c_scale"), cq.as("cq"))
 
     def probesOf(f: Array[Float] => Seq[Long]): Map[Long, Seq[Long]] =
       queries.map { case (qid, qv) => qid -> f(qv) }.toMap
@@ -252,6 +260,14 @@ object Recall {
       MethodRun("sim_ivf_int8@np1", cellsInt8, probesOf(imiProbes(_, supers, groups, 1)), int8 = true),
       MethodRun("sim_ivf_int8@np2", cellsInt8, probesOf(imiProbes(_, supers, groups, 2)), int8 = true),
       MethodRun("sim_ivf_int8_bucketed@np1", served, probesOf(imiProbes(_, supers, groups, 1)), int8 = true),
+      // frozen-quantizer maintained index (stream_ann_maintain): IMI
+      // trained on the STANDING BASE only (~7/8 of the corpus by the
+      // md5 arrival split), everything assigned with that frozen
+      // routing — the rows against sim_ivf_int8@npN are the measured
+      // recall price of train-once-add-forever, i.e. the signal for
+      // when the epoch retrain is due
+      MethodRun("sim_ivf_int8_frozen@np1", cellsFrozen, probesOf(imiProbes(_, fSupers, fGroups, 1)), int8 = true),
+      MethodRun("sim_ivf_int8_frozen@np2", cellsFrozen, probesOf(imiProbes(_, fSupers, fGroups, 2)), int8 = true),
       // PQ pays 8 bytes/vector (vs 64 int8): same routing, ADC scores —
       // the @npN rows against sim_ivf_imi@npN / sim_ivf_int8@npN are
       // the measured quality price of the 8x/16x byte cut

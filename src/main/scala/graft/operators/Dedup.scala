@@ -1040,6 +1040,95 @@ object Dedup {
     }
   }
 
+  /** The DURABLE form of the admission loop — `stream_dedup_admission`
+    * with its growing state moved from in-session checkpointed unions
+    * to the PartitionedTable commit protocol, completing the
+    * index-maintenance trilogy (BM25 postings, ANN cells, dedup
+    * bands): band rows APPEND keyed by band_key (an admitted doc only
+    * ADDS band postings; only touched band buckets rewrite), shingle
+    * sets UPSERT keyed by doc_id, both txn-versioned per sub-batch so
+    * a replayed micro-batch neither double-admits nor double-counts —
+    * and the admission index now survives a restart, which the
+    * checkpointed-union form never could. Admission semantics are
+    * IDENTICAL (each sub-batch admitted against corpus + all earlier
+    * admissions, ascending hash order): same relation, same oracle as
+    * `stream_dedup_admission` — the state backend is a layout choice. */
+  def streamDedupMaintain(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val batchDocs = docs.filter(isBatchDoc(col("doc_id")))
+      .withColumn("sub_batch", subBatchOf(col("doc_id")))
+    val workDir = java.nio.file.Files.createTempDirectory("graft_dedupmaint")
+    try {
+      val streamDir = workDir.resolve("stream")
+      java.nio.file.Files.createDirectories(streamDir)
+      (0 until 3).foreach { k =>
+        val side = streamDir.resolve(s"side$k")
+        batchDocs.filter(col("sub_batch") === k).coalesce(1)
+          .write.mode("overwrite").parquet(side.toString)
+        val part = java.nio.file.Files.list(side).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val dst = streamDir.resolve(f"batch$k%04d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+      }
+      val cbase = minhashBaseOf(docs.filter(!isBatchDoc(col("doc_id"))))
+      val cb = foldedBands(cbase)
+      val nb = Similarity.derivedBuckets(s, cb.count(),
+        "spark.graft.dedup.maintain.buckets")
+      val bandsPt = new graft.streaming.PartitionedTable(
+        workDir.resolve("bands"), "band_key", nb)
+      val setsPt = new graft.streaming.PartitionedTable(
+        workDir.resolve("sets"), "doc_id", math.max(4, nb / 4))
+      bandsPt.appendInto(s, cb, Some("admbands" -> 0L))
+      setsPt.mergeInto(s, cbase.select(col("doc_id"), col("shs")),
+        Some("admsets" -> 0L))
+      val results = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val stream = s.readStream.schema(batchDocs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString + "/batch*.parquet")
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          val subs = mb.select(col("sub_batch")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          subs.foreach { k =>
+            val base = minhashBaseOf(mb.filter(col("sub_batch") === k))
+              .localCheckpoint(true)
+            val verdict = incrementalVerdict(
+              base.select(col("doc_id"), col("shs")), foldedBands(base),
+              bandsPt.read(s), setsPt.read(s))
+              .withColumn("sub_batch", lit(k))
+              .select(col("batch_id"), col("sub_batch"),
+                col("n_cand"), col("n_dup"), col("admit"))
+              .localCheckpoint(true)
+            results += verdict
+            val admitted = verdict.filter(col("admit"))
+              .select(col("batch_id").as("doc_id"))
+            bandsPt.appendInto(s,
+              foldedBands(base).join(admitted, Seq("doc_id"), "left_semi"),
+              Some("admbands" -> (k + 1L)))
+            setsPt.mergeInto(s,
+              base.select(col("doc_id"), col("shs"))
+                .join(admitted, Seq("doc_id"), "left_semi"),
+              Some("admsets" -> (k + 1L)))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (results.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("batch_id", LongType),
+            StructField("sub_batch", IntegerType),
+            StructField("n_cand", LongType), StructField("n_dup", LongType),
+            StructField("admit", BooleanType))))
+      else results.reduce(_ union _)
+    } finally {
+      graft.streaming.PartitionedTable.deleteRecursively(workDir)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_minhash_sketch" -> aggMinhashSketch _,
     "dedup_exact" -> dedupExact _,
@@ -1058,7 +1147,8 @@ object Dedup {
     "dedup_components" -> dedupComponents _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_incremental_bucketed" -> dedupIncrementalBucketed _,
-    "stream_dedup_admission" -> streamDedupAdmission _
+    "stream_dedup_admission" -> streamDedupAdmission _,
+    "stream_dedup_maintain" -> streamDedupMaintain _
   )
 
   // Shared front half of the substring-family oracles: positional
@@ -1317,7 +1407,10 @@ object Dedup {
     "dedup_incremental_bucketed" -> incrementalOracle,
     // sequential replay of the three admission stages as chained CTEs:
     // stage k's corpus = the base corpus plus every EARLIER admission
-    "stream_dedup_admission" -> admissionOracle
+    "stream_dedup_admission" -> admissionOracle,
+    // identical admission semantics — the durable PartitionedTable
+    // state backend is a layout choice, not a semantic one
+    "stream_dedup_maintain" -> admissionOracle
   )
 
   /** The streaming-admission oracle: three chained stages over the

@@ -243,7 +243,11 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
             updFlat.schema.fields.filterNot(f => ex.schema.fieldNames.contains(f.name)))
         updFlat.schema.fields.foreach { f =>
           ex.schema.fields.find(_.name == f.name).foreach { g =>
-            require(g.dataType == f.dataType,
+            // nullability variance is NOT a type change: parquet reads
+            // arrays/structs back with containsNull=true however the
+            // writing expression was typed, so compare the catalog
+            // form, which is nullability-insensitive
+            require(g.dataType.catalogString == f.dataType.catalogString,
               s"schema evolution on $keyCol-table ${dir.getFileName}: column ${f.name} " +
                 s"is ${g.dataType.simpleString} on disk but ${f.dataType.simpleString} " +
                 "in the batch — additive columns only, type changes need a rewrite")

@@ -1083,6 +1083,20 @@ object Dedup {
       bandsPt.appendInto(s, cb, Some("admbands" -> 0L))
       setsPt.mergeInto(s, cbase.select(col("doc_id"), col("shs")),
         Some("admsets" -> 0L))
+      // per-trigger O(batch) SEGMENT writes: band keys are uniform, so
+      // merging every admission into the bucketed table per trigger
+      // would rewrite the standing index per trigger (the measured
+      // flaw in MAINTAIN_r10.json). Admissions land as segments the
+      // NEXT sub-batches read (base ∪ segments with id < k — the
+      // strict-earlier filter also makes a replayed sub-batch see
+      // exactly the state it saw the first time), and one deferred
+      // fold + compaction lands them in the bucketed base.
+      val bSegDir = streamDir.resolveSibling("bsegs")
+      val sSegDir = streamDir.resolveSibling("ssegs")
+      java.nio.file.Files.createDirectories(bSegDir)
+      java.nio.file.Files.createDirectories(sSegDir)
+      val bandSegs = scala.collection.mutable.SortedMap.empty[Int, String]
+      val setSegs = scala.collection.mutable.SortedMap.empty[Int, String]
       val results = scala.collection.mutable.ListBuffer.empty[DataFrame]
       val stream = s.readStream.schema(batchDocs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1094,9 +1108,17 @@ object Dedup {
           subs.foreach { k =>
             val base = minhashBaseOf(mb.filter(col("sub_batch") === k))
               .localCheckpoint(true)
+            val earlierB = bandSegs.rangeUntil(k).values.toSeq
+            val earlierS = setSegs.rangeUntil(k).values.toSeq
+            val corpusBands =
+              if (earlierB.isEmpty) bandsPt.read(s)
+              else bandsPt.read(s).unionByName(s.read.parquet(earlierB: _*))
+            val corpusSets =
+              if (earlierS.isEmpty) setsPt.read(s)
+              else setsPt.read(s).unionByName(s.read.parquet(earlierS: _*))
             val verdict = incrementalVerdict(
               base.select(col("doc_id"), col("shs")), foldedBands(base),
-              bandsPt.read(s), setsPt.read(s))
+              corpusBands, corpusSets)
               .withColumn("sub_batch", lit(k))
               .select(col("batch_id"), col("sub_batch"),
                 col("n_cand"), col("n_dup"), col("admit"))
@@ -1104,19 +1126,31 @@ object Dedup {
             results += verdict
             val admitted = verdict.filter(col("admit"))
               .select(col("batch_id").as("doc_id"))
-            bandsPt.appendInto(s,
-              foldedBands(base).join(admitted, Seq("doc_id"), "left_semi"),
-              Some("admbands" -> (k + 1L)))
-            setsPt.mergeInto(s,
-              base.select(col("doc_id"), col("shs"))
-                .join(admitted, Seq("doc_id"), "left_semi"),
-              Some("admsets" -> (k + 1L)))
+            val bSeg = bSegDir.resolve(f"seg$k%04d")
+            foldedBands(base).join(admitted, Seq("doc_id"), "left_semi")
+              .write.mode("overwrite").parquet(bSeg.toString)
+            bandSegs(k) = bSeg.toString
+            val sSeg = sSegDir.resolve(f"seg$k%04d")
+            base.select(col("doc_id"), col("shs"))
+              .join(admitted, Seq("doc_id"), "left_semi")
+              .write.mode("overwrite").parquet(sSeg.toString)
+            setSegs(k) = sSeg.toString
           }
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // deferred OPTIMIZE: fold the epoch's admissions into the
+      // bucketed base in one commit per table
+      if (bandSegs.nonEmpty)
+        bandsPt.appendInto(s, s.read.parquet(bandSegs.values.toSeq: _*),
+          Some("admbands" -> 1L))
+      if (setSegs.nonEmpty)
+        setsPt.mergeInto(s, s.read.parquet(setSegs.values.toSeq: _*),
+          Some("admsets" -> 1L))
+      bandsPt.compact(s)
+      setsPt.compact(s)
       if (results.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("batch_id", LongType),

@@ -412,14 +412,55 @@ object Retrieval {
     idx
   }
 
-  /** One maintenance step: append the arriving docs' postings rows
-    * (only their buckets rewrite) and upsert their doc lengths. `ver`
-    * makes the step idempotent per table — a replayed micro-batch
-    * (checkpoint recovery) no-ops instead of double-counting tf. */
+  /** One DIRECT maintenance step: append the arriving docs' postings
+    * rows and upsert their doc lengths through the commit protocol.
+    * `ver` makes the step idempotent per table — a replayed
+    * micro-batch (checkpoint recovery) no-ops instead of
+    * double-counting tf. NOTE the cost bound: gram hashes are
+    * uniform, so even a small batch touches ~every postings bucket
+    * and the merge rewrites them all — O(standing index) per call
+    * (measured in MAINTAIN_r10.json). Right for occasional direct
+    * edits; the STREAMING loop uses O(batch) segment writes with one
+    * deferred fold instead (`writeSegment` / `foldSegments`). */
   private[graft] def appendArrivals(s: SparkSession, idx: MaintainedIndex,
       batch: DataFrame, ver: Long): Unit = {
     idx.postings.appendInto(s, postingsOf(batch), Some("bm25idx" -> ver))
     idx.doclens.mergeInto(s, doclensOf(batch), Some("bm25dl" -> ver))
+  }
+
+  /** LSM-style per-trigger ingestion: the batch's rows land as their
+    * OWN parquet segment — one O(batch) write job that rewrites
+    * nothing, whatever the key distribution. Replay-idempotent by
+    * construction: the segment is named by the sub-batch id, so a
+    * re-delivered micro-batch overwrites its own segment instead of
+    * duplicating rows. This is the standard lakehouse answer to
+    * uniform-key appends (an inverted index's grams, an LSH index's
+    * bands hit EVERY bucket, so a bucketed-table merge per trigger
+    * is a full-index rewrite per trigger — the measured flaw in
+    * MAINTAIN_r10.json): deltas accumulate as segments, readers
+    * union base + segments, and OPTIMIZE folds segments into the
+    * bucketed base once per epoch, amortizing the one O(standing)
+    * rewrite over the whole epoch's batches. */
+  private[graft] def writeSegment(segDir: java.nio.file.Path, k: Long,
+      rows: DataFrame): java.nio.file.Path = {
+    val seg = segDir.resolve(f"seg$k%04d")
+    rows.write.mode("overwrite").parquet(seg.toString)
+    seg
+  }
+
+  /** The deferred OPTIMIZE: fold accumulated segments into the
+    * bucketed base tables in ONE commit per table. */
+  private[graft] def foldSegments(s: SparkSession, idx: MaintainedIndex,
+      postingSegs: Seq[java.nio.file.Path], doclenSegs: Seq[java.nio.file.Path],
+      ver: Long): Unit = {
+    // distinct: a replayed micro-batch re-registers its segment path;
+    // the segment itself was overwritten in place, so fold it once
+    val ps = postingSegs.map(_.toString).distinct
+    val ds = doclenSegs.map(_.toString).distinct
+    if (ps.nonEmpty)
+      idx.postings.appendInto(s, s.read.parquet(ps: _*), Some("bm25idx" -> ver))
+    if (ds.nonEmpty)
+      idx.doclens.mergeInto(s, s.read.parquet(ds: _*), Some("bm25dl" -> ver))
   }
 
   /** Serve from the maintained state: postings read through the
@@ -474,24 +515,38 @@ object Retrieval {
       }
       val idx = buildMaintained(s, workDir.resolve("idx"),
         docs.filter(!isArrival(col("doc_id"))))
+      val pSegDir = workDir.resolve("psegs")
+      val dSegDir = workDir.resolve("dsegs")
+      java.nio.file.Files.createDirectories(pSegDir)
+      java.nio.file.Files.createDirectories(dSegDir)
+      val pSegs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+      val dSegs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
       val stream = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString + "/arrive*.parquet")
       val q = stream.writeStream
         .foreachBatch { (mb: DataFrame, _: Long) =>
-          // sub-batches processed in ascending hash order however the
-          // engine groups files, so txn versions ascend and a replay
-          // (ver <= recorded) no-ops
+          // per-trigger work is an O(batch) SEGMENT write (gram keys
+          // are uniform — a bucketed merge here would rewrite the
+          // whole standing index every trigger, the measured flaw in
+          // MAINTAIN_r10.json); a re-delivered micro-batch overwrites
+          // its own segment, so replays are idempotent
           val subs = mb.select(col("sub_batch")).distinct()
             .collect().map(_.getInt(0)).sorted
           subs.foreach { k =>
-            appendArrivals(s, idx, mb.filter(col("sub_batch") === k), k + 1L)
+            val batch = mb.filter(col("sub_batch") === k)
+            pSegs += writeSegment(pSegDir, k.toLong, postingsOf(batch))
+            dSegs += writeSegment(dSegDir, k.toLong, doclensOf(batch))
           }
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the deferred OPTIMIZE: one fold of all segments into the
+      // bucketed base (the per-epoch O(standing) rewrite, amortized
+      // over every batch the epoch delivered), then file compaction
+      foldSegments(s, idx, pSegs.toSeq, dSegs.toSeq, 1L)
       idx.postings.compact(s)
       idx.doclens.compact(s)
       serveMaintained(s, idx, queryGramsOf(docs)).localCheckpoint(true)

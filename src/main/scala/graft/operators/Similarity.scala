@@ -1244,6 +1244,14 @@ object Similarity {
       val pt = new graft.streaming.PartitionedTable(
         workDir.resolve("idx"), "cell", nb)
       pt.appendInto(s, p0, Some("annidx" -> 0L))
+      // per-trigger O(batch) segment writes (a batch's cells span most
+      // buckets, so a bucketed merge per trigger would rewrite the
+      // standing index every trigger — MAINTAIN_r10.json); deferred
+      // fold + compaction after catch-up. Segment named by sub-batch ⇒
+      // replays overwrite in place, idempotent.
+      val segDir = workDir.resolve("segs")
+      java.nio.file.Files.createDirectories(segDir)
+      val segs = scala.collection.mutable.ListBuffer.empty[String]
       val stream = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString + "/arrive*.parquet")
@@ -1252,15 +1260,19 @@ object Similarity {
           val subs = mb.select(col("sub_batch")).distinct()
             .collect().map(_.getInt(0)).sorted
           subs.foreach { k =>
-            pt.appendInto(s,
-              rowsOf(mb.filter(col("sub_batch") === k).drop("sub_batch")),
-              Some("annidx" -> (k + 1L)))
+            val seg = segDir.resolve(f"seg$k%04d")
+            rowsOf(mb.filter(col("sub_batch") === k).drop("sub_batch"))
+              .write.mode("overwrite").parquet(seg.toString)
+            segs += seg.toString
           }
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      if (segs.nonEmpty)
+        pt.appendInto(s, s.read.parquet(segs.toSeq.distinct: _*),
+          Some("annidx" -> 1L))
       pt.compact(s)
       val qcells = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"),

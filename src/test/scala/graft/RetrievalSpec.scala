@@ -132,6 +132,31 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("segment ingestion: replay overwrites in place, duplicate registrations fold once") {
+    val base = Seq((1L, "a b c d e", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq((9L, "a b c d x", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_seg_spec")
+    try {
+      val idx = Retrieval.buildMaintained(spark, dir.resolve("idx"), base)
+      val segDir = dir.resolve("segs")
+      java.nio.file.Files.createDirectories(segDir)
+      // a re-delivered micro-batch writes the SAME segment path again
+      val s1 = Retrieval.writeSegment(segDir, 0L, Retrieval.postingsOf(batch))
+      val s2 = Retrieval.writeSegment(segDir, 0L, Retrieval.postingsOf(batch))
+      assert(s1 === s2)
+      val segRows = spark.read.parquet(s1.toString).count()
+      assert(segRows === Retrieval.postingsOf(batch).count()) // overwritten, not doubled
+      // both registrations reach the fold; it must land the rows once
+      val before = idx.postings.read(spark).count()
+      Retrieval.foldSegments(spark, idx, Seq(s1, s2), Seq.empty, 1L)
+      assert(idx.postings.read(spark).count() === before + segRows)
+    } finally {
+      graft.streaming.PartitionedTable.deleteRecursively(dir)
+    }
+  }
+
   test("stream_bm25_maintain equals the one-shot batch build on the real corpus") {
     val m = Retrieval.streamBm25Maintain(spark, sf)
       .select("query_id", "doc_id", "score_x1000", "rnk")

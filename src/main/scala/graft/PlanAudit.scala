@@ -174,6 +174,10 @@ object PlanAudit {
       "the benchmark-bounded eval gram set broadcasts exactly like the query vocabulary in text_bm25_topk: the corpus postings stream is pruned map-side before any scoring work, and the corpus itself never exchanges to meet the eval set"),
     Check("sim_hybrid_rrf", "dense side rides the bounded-heap scan", "MapPartitions",
       "the fused plan reuses sim_topk's two-level top-k — per-task bounded heaps, no corpus-sized shuffle into #queries reducers — while the sparse side keeps the broadcast-pruned postings join; fusion itself touches only 2k rows per query"),
+    Check("sim_hybrid_rrf_ann", "dense side rides the ANN cell probe, not the exact scan", "ABSENT:MapPartitions",
+      "the index-scale hybrid replaces the O(corpus·d)-per-query exact dense list with the IMI-routed int8 cell probe (a broadcast equi-join on cell id over one narrow code projection); no bounded-heap kernel appears because no corpus-wide scoring happens"),
+    Check("sim_hybrid_rrf_ann", "ANN probe is a broadcast equi-join on the cell id", "BroadcastHashJoin",
+      "the tiny quantized query set broadcasts to meet the corpus code projection on cell equality — per-query work is one cell's codes, the sublinear serve shape the dense side inherits from sim_ivf_int8"),
     Check("text_classify_nb", "training counts combine map-side", "REGEX:HashAggregate.*partial_count|partial_count",
       "NB training is two partial-aggregable groupBys over the token stream: per-(class, token) counts combine inside each map task, the shuffle carries states not token rows"),
     Check("join_bbox_auto", "optimizer rewrites the naive theta join to grid cells", "graft_cx",

@@ -292,6 +292,55 @@ object Retrieval {
       .filter(col("rnk") <= k)
   }
 
+  /** The hybrid at INDEX scale — `sim_hybrid_rrf` with the dense side
+    * served from the ANN index instead of the exact scan: the exact
+    * bounded-heap top-k is still O(corpus·d) PER QUERY (the
+    * brute-force ablation at 100 TB), while the IMI-routed int8 probe
+    * touches one cell's codes per query. Same integer RRF fusion,
+    * same self-excluded top-10 lists; the dense list inherits the ANN
+    * index's recall (measured in RECALL_r10.json) — retrieval-backed
+    * curation trades that measured recall for a probe-bounded scan,
+    * and the fused list still sees everything BM25 sees. */
+  def simHybridRrfAnn(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val docs = documents(s, d)
+    val sparse = bm25Scores(postingsOf(docs), totalsOf(docs), queryGramsOf(docs))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("srnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_x1000").desc, col("doc_id").asc)))
+      .filter(col("srnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("srnk"))
+    val e = graft.Tables.embeddings(s, d)
+    val cellOf = Similarity.imiCellOf(s, d) _
+    val (csc, cq) = Similarity.quantizeCols(col("embedding"))
+    val cells = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
+      csc.as("c_scale"), cq.as("cq"))
+    val qcells = e.filter(col("vec_id").isInCollection(QueryDocs))
+      .select(col("vec_id").as("query_id"), cellOf(col("embedding")).as("qcell"),
+        Similarity.quantizeCols(col("embedding"))._1.as("q_scale"),
+        Similarity.quantizeCols(col("embedding"))._2.as("qq"))
+    val qdot = graft.functions.DotI8.dotI8(col("cq"), col("qq"))
+    val dense = cells.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        Similarity.cosQ(qdot).as("cos_q"))
+      .withColumn("drnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_q").desc, col("doc_id").asc)))
+      .filter(col("drnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("drnk"))
+    sparse.join(dense, Seq("query_id", "doc_id"), "full")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr("CAST(1000000 DIV (60 + srnk) AS BIGINT)"), lit(0L)) +
+         coalesce(expr("CAST(1000000 DIV (60 + drnk) AS BIGINT)"), lit(0L)))
+          .as("rrf_x1m"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_x1m").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+  }
+
   // ---- streaming serve over the persisted index ----------------------
 
   /** ONLINE sparse retrieval — `text_bm25_bucketed` run as the
@@ -662,6 +711,7 @@ object Retrieval {
     "stream_bm25_serve" -> streamBm25Serve _,
     "stream_bm25_maintain" -> streamBm25Maintain _,
     "sim_hybrid_rrf" -> simHybridRrf _,
+    "sim_hybrid_rrf_ann" -> simHybridRrfAnn _,
     "text_classify_nb" -> textClassifyNb _
   )
 
@@ -726,6 +776,42 @@ object Retrieval {
       |  row_number() OVER (PARTITION BY query_id
       |    ORDER BY rrf_x1m DESC, doc_id ASC) AS rnk
       |FROM fu QUALIFY rnk <= 10""".stripMargin
+
+  /** ANN-backed hybrid oracle: the bm25 chain + the shared IMI/int8
+    * serve chains (CTE name sets are disjoint), dense top-10 by the
+    * identical int8 cosine ordering, then the same integer RRF. */
+  private val hybridAnnOracleSql: String = {
+    val cosq =
+      """CASE WHEN cv2.sc = 0 OR qv2.sc = 0 THEN 0.0
+        |      ELSE round(CAST(CAST(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(cv2.q[i] AS BIGINT) * qv2.q[i])) AS BIGINT) AS DOUBLE)
+        |      / (cv2.sc * qv2.sc), 4) END""".stripMargin
+    s"""WITH ${bm25Ctes(s"doc_id IN (${QueryDocs.mkString(", ")})")},
+      |${Similarity.imiCellsCteSql},
+      |${Similarity.quantCteSql},
+      |sp AS (SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_x1000 DESC, doc_id ASC) AS srnk
+      |  FROM sc WHERE doc_id <> query_id QUALIFY srnk <= 10),
+      |dqc AS (SELECT vec_id AS query_id, cell AS qcell FROM cells
+      |  WHERE vec_id IN (${QueryDocs.mkString(", ")})),
+      |dn AS (SELECT query_id, doc_id, drnk FROM (
+      |  SELECT qc.query_id, cells.vec_id AS doc_id,
+      |    row_number() OVER (PARTITION BY qc.query_id
+      |      ORDER BY $cosq DESC, cells.vec_id ASC) AS drnk
+      |  FROM cells
+      |  JOIN dqc qc ON cells.cell = qc.qcell AND cells.vec_id <> qc.query_id
+      |  JOIN qv cv2 ON cv2.vec_id = cells.vec_id
+      |  JOIN qv qv2 ON qv2.vec_id = qc.query_id) t WHERE drnk <= 10),
+      |fu AS (SELECT query_id, doc_id,
+      |    CAST(coalesce(1000000 // (60 + srnk), 0)
+      |       + coalesce(1000000 // (60 + drnk), 0) AS BIGINT) AS rrf_x1m
+      |  FROM sp FULL JOIN dn USING (query_id, doc_id))
+      |SELECT query_id, doc_id, rrf_x1m,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf_x1m DESC, doc_id ASC) AS rnk
+      |FROM fu QUALIFY rnk <= 10""".stripMargin
+  }
 
   /** The BM25-decontamination CTE chain with a name prefix, so other
     * oracles (pipeline_curate_full) can splice it in without CTE-name
@@ -807,6 +893,7 @@ object Retrieval {
     // corpus — text_bm25_topk's oracle verbatim
     "stream_bm25_maintain" -> bm25OracleSql,
     "sim_hybrid_rrf" -> hybridOracleSql,
+    "sim_hybrid_rrf_ann" -> hybridAnnOracleSql,
     "text_classify_nb" -> nbOracleSql
   )
 }

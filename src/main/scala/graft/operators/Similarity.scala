@@ -1358,7 +1358,7 @@ object Similarity {
 
   /** Shared quantizer CTEs (mirror of quantizeCols): per-vector
     * max-abs in DOUBLE, scale 127/mx, codes ⌊v·scale + 0.5⌋. */
-  private val quantCteSql =
+  private[graft] val quantCteSql =
     """qz AS MATERIALIZED (
       |  SELECT vec_id, label,
       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx

@@ -111,9 +111,20 @@ object Bench {
     }
 
     val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val warmups = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach { name =>
       val fn = benchFns(name)
       try {
+        // one DISCARDED warmup run per query: the first execution pays
+        // codegen compilation, class loading, and memoized-index
+        // builds — r10's medians drifted +27% at sf0.1 purely because
+        // run-1 (≈1.5× run-3, BENCH_DETAIL) sat inside a 3-sample
+        // median. The warmup is recorded in BENCH_DETAIL (visible,
+        // never silently dropped) but excluded from the median, so
+        // the artifact reports steady-state.
+        warmups += name ->
+          time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+        cleanups.remove(name).foreach(_.apply())
         runs += name -> (1 to runsPerQuery).map { _ =>
           val t = time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
           cleanups.remove(name).foreach(_.apply())
@@ -142,11 +153,12 @@ object Bench {
     val qs = medians.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val rs = runs.map { case (k, v) =>
       s""""$k":${v.map(fmt).mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
+    val ws = warmups.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val total = medians.collect {
       case (k, v) if v >= 0 && k != "ingest_bulk" => v }.sum
     val rate = if (ingestSec > 0) (ingestRows / ingestSec).round else 0L
     graft.operators.Cleanup.dropAll(spark)
-    val detail = s"""{"runs":$rs,"ingest_rows":$ingestRows,"sf":"$sfDir"}"""
+    val detail = s"""{"runs":$rs,"warmup":$ws,"ingest_rows":$ingestRows,"sf":"$sfDir"}"""
     Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""ingest_rows_per_sec":$rate,"sf":"$sfDir"}""")

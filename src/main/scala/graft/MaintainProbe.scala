@@ -27,6 +27,12 @@ object MaintainProbe {
     val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Locale-pinned seconds formatting for the JSON artifact — the
+    * f"%.3f" interpolator uses the JVM default locale, which on a
+    * comma-decimal locale would emit malformed JSON (0,412). */
+  private def s3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("MAINTAIN_r10.json")
     val tiers = if (args.length > 1) args.drop(1).toSeq
@@ -115,12 +121,12 @@ object MaintainProbe {
           f"seg=$secVSeg%.2f fold=$secVFold%.2f direct=$secV%.2f")
         s""""$tag":{"bm25":{"standing_rows":$standingP,"batch_rows":$batchPRows,
            |"buckets":${idx.postings.nBuckets},"touched_buckets":${touchedP.size},
-           |"segment_write_sec":${f"$secSeg%.3f"},"fold_sec":${f"$secFold%.3f"},
-           |"direct_merge_sec":${f"${secP + secDl}%.3f"}},
+           |"segment_write_sec":${s3(secSeg)},"fold_sec":${s3(secFold)},
+           |"direct_merge_sec":${s3(secP + secDl)}},
            |"ann":{"standing_rows":$standingV,"batch_rows":$batchVRows,
            |"buckets":$nbV,"touched_buckets":${touchedV.size},
-           |"segment_write_sec":${f"$secVSeg%.3f"},"fold_sec":${f"$secVFold%.3f"},
-           |"direct_merge_sec":${f"$secV%.3f"}}}""".stripMargin.replace("\n", "")
+           |"segment_write_sec":${s3(secVSeg)},"fold_sec":${s3(secVFold)},
+           |"direct_merge_sec":${s3(secV)}}}""".stripMargin.replace("\n", "")
       } finally {
         graft.streaming.PartitionedTable.deleteRecursively(wd)
       }

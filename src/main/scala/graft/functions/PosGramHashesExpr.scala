@@ -59,7 +59,14 @@ case class PosGramHashes(child: Expression, k: Int)
     var i = 0
     while (i <= n - k) {
       var j = 0
-      while (j < k) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      while (j < k) {
+        // null elements must reach concatWs AS null (it skips them —
+        // the documented HOF/concat_ws semantics); UnsafeArrayData's
+        // getUTF8String would silently decode a null slot as ""
+        parts(j) =
+          if (words.isNullAt(i + j)) null else words.getUTF8String(i + j)
+        j += 1
+      }
       md.reset()
       md.update(UTF8String.concatWs(sep, parts: _*).getBytes)
       out(i) = PosGramHashes.hex16(md.digest())

@@ -988,9 +988,16 @@ object Dedup {
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
       }
       val cbase = minhashBaseOf(docs.filter(!isBatchDoc(col("doc_id"))))
-      var stateBands = foldedBands(cbase).localCheckpoint(true)
-      var stateSets = cbase.select(col("doc_id"), col("shs")).localCheckpoint(true)
-      val results = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val baseBands = foldedBands(cbase).localCheckpoint(true)
+      val baseSets = cbase.select(col("doc_id"), col("shs")).localCheckpoint(true)
+      // per-sub-batch state keyed by sub_batch (not mutable unions):
+      // a replayed sub-batch k reads base ∪ admissions of STRICTLY
+      // earlier sub-batches — exactly the state it saw the first
+      // time — and its verdict/admission entries REPLACE, so the
+      // returned union is replay-idempotent like the index state
+      val admBands = new graft.streaming.SubBatchState[DataFrame]
+      val admSets = new graft.streaming.SubBatchState[DataFrame]
+      val results = new graft.streaming.SubBatchState[DataFrame]
       val schema = batchDocs.schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1002,6 +1009,10 @@ object Dedup {
           subs.foreach { k =>
             val base = minhashBaseOf(mb.filter(col("sub_batch") === k))
               .localCheckpoint(true)
+            val stateBands =
+              (baseBands +: admBands.earlier(k)).reduce(_ unionByName _)
+            val stateSets =
+              (baseSets +: admSets.earlier(k)).reduce(_ unionByName _)
             val verdict = incrementalVerdict(
               base.select(col("doc_id"), col("shs")), foldedBands(base),
               stateBands, stateSets)
@@ -1009,16 +1020,16 @@ object Dedup {
               .select(col("batch_id"), col("sub_batch"),
                 col("n_cand"), col("n_dup"), col("admit"))
               .localCheckpoint(true)
-            results += verdict
+            results.put(k, verdict)
             val admitted = verdict.filter(col("admit"))
               .select(col("batch_id").as("doc_id"))
-            stateBands = stateBands.union(
-              foldedBands(base).join(admitted, Seq("doc_id"), "left_semi"))
-              .localCheckpoint(true)
-            stateSets = stateSets.union(
+            admBands.put(k,
+              foldedBands(base).join(admitted, Seq("doc_id"), "left_semi")
+                .localCheckpoint(true))
+            admSets.put(k,
               base.select(col("doc_id"), col("shs"))
-                .join(admitted, Seq("doc_id"), "left_semi"))
-              .localCheckpoint(true)
+                .join(admitted, Seq("doc_id"), "left_semi")
+                .localCheckpoint(true))
           }
           ()
         }
@@ -1031,7 +1042,7 @@ object Dedup {
             StructField("sub_batch", IntegerType),
             StructField("n_cand", LongType), StructField("n_dup", LongType),
             StructField("admit", BooleanType))))
-      else results.reduce(_ union _)
+      else results.values.reduce(_ union _)
     } finally {
       val files = java.nio.file.Files.walk(streamDir)
       try files.sorted(java.util.Comparator.reverseOrder())
@@ -1095,9 +1106,9 @@ object Dedup {
       val sSegDir = streamDir.resolveSibling("ssegs")
       java.nio.file.Files.createDirectories(bSegDir)
       java.nio.file.Files.createDirectories(sSegDir)
-      val bandSegs = scala.collection.mutable.SortedMap.empty[Int, String]
-      val setSegs = scala.collection.mutable.SortedMap.empty[Int, String]
-      val results = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val bandSegs = new graft.streaming.SubBatchState[String]
+      val setSegs = new graft.streaming.SubBatchState[String]
+      val results = new graft.streaming.SubBatchState[DataFrame]
       val stream = s.readStream.schema(batchDocs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString + "/batch*.parquet")
@@ -1108,8 +1119,8 @@ object Dedup {
           subs.foreach { k =>
             val base = minhashBaseOf(mb.filter(col("sub_batch") === k))
               .localCheckpoint(true)
-            val earlierB = bandSegs.rangeUntil(k).values.toSeq
-            val earlierS = setSegs.rangeUntil(k).values.toSeq
+            val earlierB = bandSegs.earlier(k)
+            val earlierS = setSegs.earlier(k)
             val corpusBands =
               if (earlierB.isEmpty) bandsPt.read(s)
               else bandsPt.read(s).unionByName(s.read.parquet(earlierB: _*))
@@ -1123,18 +1134,18 @@ object Dedup {
               .select(col("batch_id"), col("sub_batch"),
                 col("n_cand"), col("n_dup"), col("admit"))
               .localCheckpoint(true)
-            results += verdict
+            results.put(k, verdict)
             val admitted = verdict.filter(col("admit"))
               .select(col("batch_id").as("doc_id"))
             val bSeg = bSegDir.resolve(f"seg$k%04d")
             foldedBands(base).join(admitted, Seq("doc_id"), "left_semi")
               .write.mode("overwrite").parquet(bSeg.toString)
-            bandSegs(k) = bSeg.toString
+            bandSegs.put(k, bSeg.toString)
             val sSeg = sSegDir.resolve(f"seg$k%04d")
             base.select(col("doc_id"), col("shs"))
               .join(admitted, Seq("doc_id"), "left_semi")
               .write.mode("overwrite").parquet(sSeg.toString)
-            setSegs(k) = sSeg.toString
+            setSegs.put(k, sSeg.toString)
           }
           ()
         }
@@ -1144,10 +1155,10 @@ object Dedup {
       // deferred OPTIMIZE: fold the epoch's admissions into the
       // bucketed base in one commit per table
       if (bandSegs.nonEmpty)
-        bandsPt.appendInto(s, s.read.parquet(bandSegs.values.toSeq: _*),
+        bandsPt.appendInto(s, s.read.parquet(bandSegs.values: _*),
           Some("admbands" -> 1L))
       if (setSegs.nonEmpty)
-        setsPt.mergeInto(s, s.read.parquet(setSegs.values.toSeq: _*),
+        setsPt.mergeInto(s, s.read.parquet(setSegs.values: _*),
           Some("admsets" -> 1L))
       bandsPt.compact(s)
       setsPt.compact(s)
@@ -1157,7 +1168,7 @@ object Dedup {
             StructField("sub_batch", IntegerType),
             StructField("n_cand", LongType), StructField("n_dup", LongType),
             StructField("admit", BooleanType))))
-      else results.reduce(_ union _)
+      else results.values.reduce(_ union _)
     } finally {
       graft.streaming.PartitionedTable.deleteRecursively(workDir)
     }

@@ -181,13 +181,19 @@ object Retrieval {
       .join(sz.select(col("doc_id").as("query_id"), col("n").as("nq")),
         Seq("query_id"))
       .join(sz.select(col("doc_id"), col("n").as("nd")), Seq("doc_id"))
-      // rank by i/u; cross-multiplied integer compare via the sort key
-      // i/(nq+nd-i) is monotone in i for fixed sizes — use the double
-      // ratio only as a SORT key (never an output), doc_id tiebreak
-      .withColumn("jac", col("i").cast("double") / (col("nq") + col("nd") - col("i")))
+      // rank by the EXACT rational i/u (u = nq+nd-i ≤ 2^20 here:
+      // distinct gram counts are bounded by doc length). A double
+      // ratio can round two distinct rationals together (or swap
+      // them), silently re-routing the tie-break to doc_id — so the
+      // sort key is the exact integer ⌊i·U²/u⌋ with U = 2^20: two
+      // distinct rationals with denominators < U differ by ≥ 1/U²,
+      // so their keys differ by ≥ 1 (floor preserves strict order);
+      // equal rationals floor to equal keys. i·U² ≤ 2^60 fits a long.
+      .withColumn("jkey", expr(
+        s"(i * ${1L << 40}L) div (nq + nd - i)"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
-          .orderBy(col("jac").desc, col("doc_id").asc)))
+          .orderBy(col("jkey").desc, col("doc_id").asc)))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("doc_id"), col("rnk"))
   }
@@ -375,7 +381,7 @@ object Retrieval {
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
       }
       val (pIdx, tIdx) = bucketedPostings(s, d) // write-once ETL, pre-stream
-      val results = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val results = new graft.streaming.SubBatchState[DataFrame]
       val stream = s.readStream.schema(qs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString + "/queries*.parquet")
@@ -388,9 +394,9 @@ object Retrieval {
             val qterms = batch
               .select(col("doc_id").as("query_id"), explode(gramArr).as("g"))
               .distinct()
-            results += bm25Of(pIdx, tIdx, qterms)
+            results.put(k, bm25Of(pIdx, tIdx, qterms)
               .withColumn("sub_batch", lit(k))
-              .localCheckpoint(true)
+              .localCheckpoint(true))
           }
           ()
         }
@@ -405,7 +411,7 @@ object Retrieval {
             org.apache.spark.sql.types.StructField("score_x1000", LongType),
             org.apache.spark.sql.types.StructField("rnk", IntegerType),
             org.apache.spark.sql.types.StructField("sub_batch", IntegerType))))
-      else results.reduce(_ union _)
+      else results.values.reduce(_ union _)
     } finally {
       val files = java.nio.file.Files.walk(streamDir)
       try files.sorted(java.util.Comparator.reverseOrder())
@@ -568,8 +574,8 @@ object Retrieval {
       val dSegDir = workDir.resolve("dsegs")
       java.nio.file.Files.createDirectories(pSegDir)
       java.nio.file.Files.createDirectories(dSegDir)
-      val pSegs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
-      val dSegs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+      val pSegs = new graft.streaming.SubBatchState[java.nio.file.Path]
+      val dSegs = new graft.streaming.SubBatchState[java.nio.file.Path]
       val stream = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString + "/arrive*.parquet")
@@ -584,8 +590,8 @@ object Retrieval {
             .collect().map(_.getInt(0)).sorted
           subs.foreach { k =>
             val batch = mb.filter(col("sub_batch") === k)
-            pSegs += writeSegment(pSegDir, k.toLong, postingsOf(batch))
-            dSegs += writeSegment(dSegDir, k.toLong, doclensOf(batch))
+            pSegs.put(k, writeSegment(pSegDir, k.toLong, postingsOf(batch)))
+            dSegs.put(k, writeSegment(dSegDir, k.toLong, doclensOf(batch)))
           }
           ()
         }
@@ -595,7 +601,7 @@ object Retrieval {
       // the deferred OPTIMIZE: one fold of all segments into the
       // bucketed base (the per-epoch O(standing) rewrite, amortized
       // over every batch the epoch delivered), then file compaction
-      foldSegments(s, idx, pSegs.toSeq, dSegs.toSeq, 1L)
+      foldSegments(s, idx, pSegs.values, dSegs.values, 1L)
       idx.postings.compact(s)
       idx.doclens.compact(s)
       serveMaintained(s, idx, queryGramsOf(docs)).localCheckpoint(true)

@@ -1127,7 +1127,7 @@ object Similarity {
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
       }
       bucketedIndexTable(s, d) // index is write-once ETL, built before the stream
-      val results = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val results = new graft.streaming.SubBatchState[DataFrame]
       val stream = s.readStream.schema(qs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString + "/queries*.parquet")
@@ -1138,9 +1138,9 @@ object Similarity {
           subs.foreach { k =>
             val qset = mb.filter(col("sub_batch") === k)
               .select(col("vec_id").as("query_id"), col("embedding"))
-            results += int8BucketedProbe(s, d, qset)
+            results.put(k, int8BucketedProbe(s, d, qset)
               .withColumn("sub_batch", lit(k))
-              .localCheckpoint(true)
+              .localCheckpoint(true))
           }
           ()
         }
@@ -1153,7 +1153,7 @@ object Similarity {
             StructField("vec_id", LongType), StructField("cell", LongType),
             StructField("cos_q", DoubleType), StructField("rnk", IntegerType),
             StructField("sub_batch", IntegerType))))
-      else results.reduce(_ union _)
+      else results.values.reduce(_ union _)
     } finally {
       val files = java.nio.file.Files.walk(streamDir)
       try files.sorted(java.util.Comparator.reverseOrder())
@@ -1251,7 +1251,7 @@ object Similarity {
       // replays overwrite in place, idempotent.
       val segDir = workDir.resolve("segs")
       java.nio.file.Files.createDirectories(segDir)
-      val segs = scala.collection.mutable.ListBuffer.empty[String]
+      val segs = new graft.streaming.SubBatchState[String]
       val stream = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString + "/arrive*.parquet")
@@ -1263,7 +1263,7 @@ object Similarity {
             val seg = segDir.resolve(f"seg$k%04d")
             rowsOf(mb.filter(col("sub_batch") === k).drop("sub_batch"))
               .write.mode("overwrite").parquet(seg.toString)
-            segs += seg.toString
+            segs.put(k, seg.toString)
           }
           ()
         }
@@ -1271,7 +1271,7 @@ object Similarity {
         .start()
       q.awaitTermination()
       if (segs.nonEmpty)
-        pt.appendInto(s, s.read.parquet(segs.toSeq.distinct: _*),
+        pt.appendInto(s, s.read.parquet(segs.values: _*),
           Some("annidx" -> 1L))
       pt.compact(s)
       val qcells = e.filter(col("vec_id") < 3)

@@ -75,6 +75,22 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       .map(_.stripPrefix(PartitionedTable.TxnPrefix).split("=", 2))
       .collect { case Array(a, v) => a -> v.toLong }.toMap
 
+  private def parseSchema(lines: Seq[String]): Option[org.apache.spark.sql.types.StructType] =
+    lines.drop(1).find(_.startsWith(PartitionedTable.SchemaPrefix))
+      .map(l => org.apache.spark.sql.types.DataType.fromJson(
+        l.stripPrefix(PartitionedTable.SchemaPrefix))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The table's current (union) schema as recorded in the manifest —
+    * written at every commit so READS never run schema inference: a
+    * `mergeSchema` read launches a distributed footer job over every
+    * file of every touched bucket at DataFrame-creation time, which a
+    * minutely merge loop pays per diff (the r10 3.3× catch-up
+    * regression). Absent on pre-r11 manifests → mergeSchema fallback. */
+  def storedSchema: Option[org.apache.spark.sql.types.StructType] =
+    if (!exists) None
+    else parseSchema(Files.readAllLines(manifestFile).asScala.toSeq)
+
   /** Commit: record the mapping as the immutable snapshot
     * `MANIFEST.s<commit>` — the Delta/Iceberg version-log analog —
     * then swap MANIFEST atomically. Snapshots are what make a
@@ -99,10 +115,13 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
   protected[graft] def onBeforeCommit(commit: Long): Unit = ()
 
   private def writeManifest(m: Map[Int, String], commit: Long,
-                            txn: Map[String, Long], attemptRel: Option[String]): Unit = {
+                            txn: Map[String, Long], attemptRel: Option[String],
+                            schema: org.apache.spark.sql.types.StructType): Unit = {
     onBeforeCommit(commit)
     Files.createDirectories(dir)
-    val body = (PartitionedTable.FormatMarker +:
+    val schemaLine = PartitionedTable.SchemaPrefix +
+      PartitionedTable.nullableOf(schema).json
+    val body = (PartitionedTable.FormatMarker +: schemaLine +:
       (txn.toSeq.sortBy(_._1).map { case (a, v) => s"${PartitionedTable.TxnPrefix}$a=$v" } ++
         m.toSeq.sortBy(_._1).map { case (b, v) => s"$b=$v" })).mkString("", "\n", "\n")
     try
@@ -143,26 +162,33 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     val f = dir.resolve(s"MANIFEST.s$snap")
     require(Files.exists(f),
       s"snapshot s$snap not found under $dir (vacuumed? available: ${snapshots.mkString(",")})")
-    val m = parseManifest(f)
+    val lines = Files.readAllLines(f).asScala.toSeq
+    val m = parseBuckets(lines)
     val paths = m.toSeq.sortBy(_._1).map { case (_, v) => dir.resolve(v).toString }
     require(paths.nonEmpty, s"snapshot s$snap is empty")
-    readPaths(spark, paths)
+    readPaths(spark, paths, parseSchema(lines))
   }
 
-  /** All reads set mergeSchema: buckets written before an additive
-    * schema evolution (see mergeInto) coexist with widened ones; a
-    * reader sees the union schema with NULL for pre-evolution rows.
-    * The footer cost is per-file-ONCE at planning, bounded by the
-    * bucket count — at 100 TB this is why the manifest holds one dir
-    * per bucket, not per merge. */
-  private def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  /** Reads resolve the schema from the MANIFEST (recorded at every
+    * commit): buckets written before an additive schema evolution
+    * (see mergeInto) coexist with widened ones, and the explicit
+    * union schema reads pre-evolution rows as NULL without ANY
+    * footer inference — at 100 TB a `mergeSchema` read is a
+    * distributed footer job over every referenced file at planning
+    * time, per read. Pre-schema-line manifests (older layouts) fall
+    * back to exactly that mergeSchema read. */
+  private def readPaths(spark: SparkSession, paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
 
   def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame = {
     val m = manifest
     val paths = buckets.flatMap(b => m.get(b).map(v => dir.resolve(v).toString))
     require(paths.nonEmpty, s"no committed buckets under $dir")
-    readPaths(spark, paths)
+    readPaths(spark, paths, storedSchema)
   }
 
   def read(spark: SparkSession): DataFrame =
@@ -180,7 +206,8 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       .head().getInt(0)
     manifest.get(b) match {
       case Some(v) =>
-        readPaths(spark, Seq(dir.resolve(v).toString)).filter(col(keyCol) === lit(key))
+        readPaths(spark, Seq(dir.resolve(v).toString), storedSchema)
+          .filter(col(keyCol) === lit(key))
       case None => read(spark).limit(0)
     }
   }
@@ -230,7 +257,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     // recomputed from the key (hash-stable), so no per-bucket reads
     val existing =
       if (existingPaths.isEmpty) None
-      else Some(readPaths(spark, existingPaths))
+      else Some(readPaths(spark, existingPaths, storedSchema))
     val updFlat = withBucket.drop("__b")
     val merged = existing match {
       case Some(ex) =>
@@ -271,7 +298,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     // partitionBy writes one __b=<n> dir per touched bucket under the
     // commit dir; repoint only those buckets, one atomic manifest swap
     writeManifest(m ++ touched.map(b => b -> s"$commitRel/__b=$b"), commit,
-      txns ++ txn, Some(commitRel))
+      txns ++ txn, Some(commitRel), merged.schema)
     touched
   }
 
@@ -293,7 +320,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     val appended = withBucket.drop("__b")
     val merged =
       if (existingPaths.isEmpty) appended
-      else readPaths(spark, existingPaths)
+      else readPaths(spark, existingPaths, storedSchema)
         .unionByName(appended, allowMissingColumns = true)
     val commit = nextCommit(m)
     val commitRel = attemptDir(commit)
@@ -303,7 +330,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       .parquet(dir.resolve(commitRel).toString)
     withBucket.unpersist()
     writeManifest(m ++ touched.map(b => b -> s"$commitRel/__b=$b"), commit,
-      txns ++ txn, Some(commitRel))
+      txns ++ txn, Some(commitRel), merged.schema)
     touched
   }
 
@@ -334,14 +361,14 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     if (frag.isEmpty) return Nil
     val commit = nextCommit(m)
     val commitRel = attemptDir(commit)
-    readBuckets(spark, frag)
-      .withColumn("__b", bucketExpr)
+    val full = readBuckets(spark, frag)
+    full.withColumn("__b", bucketExpr)
       .repartition(frag.size, col("__b")) // all of a bucket -> one task
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__b")
       .parquet(dir.resolve(commitRel).toString)
     writeManifest(m ++ frag.map(b => b -> s"$commitRel/__b=$b"), commit,
-      txns, Some(commitRel))
+      txns, Some(commitRel), full.schema)
     frag
   }
 
@@ -364,7 +391,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     val m = manifest
     val existing = touched.flatMap(b => m.get(b).map(v => dir.resolve(v).toString))
     if (touched.isEmpty || existing.isEmpty) { withBucket.unpersist(); return Nil }
-    val kept = readPaths(spark, existing)
+    val kept = readPaths(spark, existing, storedSchema)
       .join(withBucket.drop("__b"), Seq(keyCol), "left_anti")
     val commit = nextCommit(m)
     val commitRel = attemptDir(commit)
@@ -382,7 +409,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       .toSet
     val updated = m ++ touched.filter(writtenBuckets).map(b => b -> s"$commitRel/__b=$b") --
       touched.filterNot(writtenBuckets)
-    writeManifest(updated, commit, txns, Some(commitRel))
+    writeManifest(updated, commit, txns, Some(commitRel), kept.schema)
     touched
   }
 
@@ -397,24 +424,26 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     * Returns (op ∈ insert|update|delete, <key>, before, after) with
     * before/after structs of the non-key columns. */
   def changesBetween(spark: SparkSession, s0: Long, s1: Long): DataFrame = {
-    def manifestAt(s: Long): Map[Int, String] = {
+    def manifestAt(s: Long): (Map[Int, String], Option[org.apache.spark.sql.types.StructType]) = {
       val f = dir.resolve(s"MANIFEST.s$s")
       require(Files.exists(f),
         s"snapshot s$s not found under $dir (vacuumed? available: ${snapshots.mkString(",")})")
-      parseManifest(f)
+      val lines = Files.readAllLines(f).asScala.toSeq
+      (parseBuckets(lines), parseSchema(lines))
     }
-    val m0 = manifestAt(s0)
-    val m1 = manifestAt(s1)
+    val (m0, sc0) = manifestAt(s0)
+    val (m1, sc1) = manifestAt(s1)
     val changed = (m0.keySet ++ m1.keySet).toSeq.sorted
       .filter(b => m0.get(b) != m1.get(b))
     val schema = readAt(spark, s1).schema
     val dataCols = schema.fieldNames.filterNot(_ == keyCol)
-    def side(m: Map[Int, String], name: String): DataFrame = {
+    def side(m: Map[Int, String], sc: Option[org.apache.spark.sql.types.StructType],
+        name: String): DataFrame = {
       val paths = changed.flatMap(m.get).map(v => dir.resolve(v).toString)
       val df0 =
         if (paths.isEmpty)
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else readPaths(spark, paths)
+        else readPaths(spark, paths, sc)
       // a side written before an additive evolution lacks the new
       // columns entirely — null-fill to s1's schema so the structs
       // compare field-by-field (a NULL-vs-value difference IS a change)
@@ -423,7 +452,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
         else d.withColumn(c0, lit(null).cast(schema(c0).dataType)))
       df.select(col(keyCol), struct(dataCols.map(col).toSeq: _*).as(name))
     }
-    side(m0, "before").join(side(m1, "after"), Seq(keyCol), "full_outer")
+    side(m0, sc0, "before").join(side(m1, sc1, "after"), Seq(keyCol), "full_outer")
       .withColumn("op",
         when(col("before").isNull, lit("insert"))
           .when(col("after").isNull, lit("delete"))
@@ -481,6 +510,35 @@ object PartitionedTable {
     * them out of the bucket parser (and out of v1 readers, which never
     * wrote them). */
   val TxnPrefix = "!txn "
+
+  /** Manifest line prefix for the recorded table schema (additive,
+    * same `!` escape as txn lines). */
+  val SchemaPrefix = "!schema "
+
+  /** Deep-nullable normalization for the RECORDED schema: files
+    * written before an additive evolution read the new columns as
+    * NULL, and parquet reads nested arrays/structs back with
+    * containsNull=true regardless of the writing expression's type —
+    * recording the relaxed form keeps the explicit-schema read
+    * faithful to what mergeSchema inference would have produced. */
+  private[streaming] def nullableOf(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullableOf(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = nullableOf(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = nullableOf(m.keyType),
+        valueType = nullableOf(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private[streaming] def nullableOf(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    nullableOf(s: org.apache.spark.sql.types.DataType)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   private val CommitDir = "commits/c(\\d+)(?:-[0-9a-f]+)?/.*".r
 

@@ -45,9 +45,8 @@ object Bench {
     "dedup_minhash_lsh",   // MinHash+LSH near-dup
     "dedup_substring",     // span-level ExactSubstr coverage (r10 — grows `total` by one entry)
     "dedup_embed_cosine",  // SemDeDup cell-blocked embedding near-dup
-    "sim_topk",            // brute-force cosine top-k
+    "sim_topk",            // brute-force cosine top-k (exact; bounded-heap scan)
     "sim_topk_int8",       // quantized top-k (integer dot products)
-    "sim_ivf",             // IVF cell-probe ANN (dynamic-k quantizer)
     "sim_ivf_imi",         // two-level quantizer: O(2·sqrt(k)·d) assignment
     "text_tokens",         // text analysis
     "text_bm25_topk",      // sparse n-gram BM25 retrieval (r10 — grows `total` by one entry)
@@ -56,6 +55,13 @@ object Bench {
     "stream_window_agg",   // streaming windowed agg
     "stream_source_v2",    // V2 source AvailableNow drain
     "pipeline_curate")     // end-to-end curation pipeline
+
+  /** Deliberately-kept BASELINE forms, benched for the ablation table
+    * but excluded from `total` (VERDICT r10 item 4: sim_ivf's flat
+    * O(n²/cellsize) assignment was 14% of the sf5 headline total —
+    * the production router is sim_ivf_imi, which stays headline). */
+  private val ablations: Seq[String] = Seq(
+    "sim_ivf")             // flat-assignment IVF (ablation vs the IMI router)
 
   /** Samples per query median (SPARK_GRAFT_RUNS to override): the r8
     * map_contains "regression" was median noise over 3 samples with a
@@ -111,8 +117,10 @@ object Bench {
     }
 
     val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val ablRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val warmups = scala.collection.mutable.LinkedHashMap[String, Double]()
-    headline.foreach { name =>
+    def benchInto(out: scala.collection.mutable.LinkedHashMap[String, Seq[Double]])(
+        name: String): Unit = {
       val fn = benchFns(name)
       try {
         // one DISCARDED warmup run per query: the first execution pays
@@ -125,16 +133,21 @@ object Bench {
         warmups += name ->
           time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
         cleanups.remove(name).foreach(_.apply())
-        runs += name -> (1 to runsPerQuery).map { _ =>
+        out += name -> (1 to runsPerQuery).map { _ =>
           val t = time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
           cleanups.remove(name).foreach(_.apply())
           t
         }
       } catch { case _: Throwable =>
         cleanups.remove(name).foreach(_.apply())
-        runs += name -> Seq(-1.0)
+        out += name -> Seq(-1.0)
       }
     }
+    headline.foreach(benchInto(runs))
+    // deliberately-kept baseline forms: measured, reported under
+    // "ablations", excluded from `total` so the headline curve is the
+    // production path
+    ablations.foreach(benchInto(ablRuns))
     // distributed XML bulk-load throughput (EP1 analog) — a named
     // bench metric (`ingest_bulk`, VERDICT r4 item 8) so the
     // 3,000–4,600 rows/s baseline comparison is pinned by the harness.
@@ -150,8 +163,11 @@ object Bench {
     // breaking the contract line's JSON (r6 ADVICE).
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val ablMedians = ablRuns.map { case (k, v) =>
+      k -> (if (v.exists(_ < 0)) -1.0 else median(v)) }
     val qs = medians.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
-    val rs = runs.map { case (k, v) =>
+    val as = ablMedians.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+    val rs = (runs ++ ablRuns).map { case (k, v) =>
       s""""$k":${v.map(fmt).mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
     val ws = warmups.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val total = medians.collect {
@@ -161,7 +177,7 @@ object Bench {
     val detail = s"""{"runs":$rs,"warmup":$ws,"ingest_rows":$ingestRows,"sf":"$sfDir"}"""
     Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""ingest_rows_per_sec":$rate,"sf":"$sfDir"}""")
+      s""""ablations":$as,"ingest_rows_per_sec":$rate,"sf":"$sfDir"}""")
     spark.stop()
   }
 

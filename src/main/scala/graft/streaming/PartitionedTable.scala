@@ -114,14 +114,66 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     * concurrent winner lands in. */
   protected[graft] def onBeforeCommit(commit: Long): Unit = ()
 
+  /** Fencing-token check run immediately before every commit's
+    * CREATE_NEW arbitration (the publish point): a single-writer
+    * loop passes its `WriterLease.check` here so a holder whose lease
+    * was STOLEN (frozen past the horizon, overlapped by a cross-host
+    * stealer) is refused at commit — it can still compute, but can no
+    * longer publish state. Default: unfenced (multi-writer OCC relies
+    * on the CREATE_NEW race alone). */
+  @volatile private var fence: () => Unit = () => ()
+  @volatile private var fenceGen: Option[Long] = None
+  def withFence(check: () => Unit,
+                generation: Option[Long] = None): this.type = {
+    fence = check; fenceGen = generation; this
+  }
+
+  private def parseFenceGen(lines: Seq[String]): Long =
+    lines.drop(1).find(_.startsWith(PartitionedTable.FencePrefix))
+      .map(_.stripPrefix(PartitionedTable.FencePrefix).trim.toLong)
+      .getOrElse(0L)
+
+  /** Highest fencing generation a commit has carried — the number the
+    * monotonic-token check compares against. */
+  def recordedFenceGen: Long =
+    if (!exists) 0L
+    else parseFenceGen(Files.readAllLines(manifestFile).asScala.toSeq)
+
   private def writeManifest(m: Map[Int, String], commit: Long,
                             txn: Map[String, Long], attemptRel: Option[String],
                             schema: org.apache.spark.sql.types.StructType): Unit = {
     onBeforeCommit(commit)
+    val recordedGen = recordedFenceGen
+    try {
+      fence()
+      // monotonic fencing token (Chubby/ZooKeeper-style): a commit
+      // carrying a generation LOWER than one this table has already
+      // accepted comes from a holder whose lease was stolen — refuse,
+      // even if the lock file itself has since ping-ponged
+      fenceGen.foreach { g =>
+        if (g < recordedGen)
+          throw new java.util.ConcurrentModificationException(
+            s"fencing token $g is stale (table at $dir has accepted " +
+              s"generation $recordedGen): refusing to commit")
+      }
+    } catch {
+      case e: Throwable =>
+        // refused commit: this attempt's data dir is dead — drop it
+        // now (same cleanup as losing the CREATE_NEW race)
+        attemptRel.foreach { rel =>
+          val d = dir.resolve(rel)
+          if (Files.exists(d)) PartitionedTable.deleteRecursively(d)
+        }
+        throw e
+    }
     Files.createDirectories(dir)
+    val genLine = (fenceGen.toSeq :+ recordedGen).max match {
+      case 0L => Nil
+      case g  => Seq(PartitionedTable.FencePrefix + g)
+    }
     val schemaLine = PartitionedTable.SchemaPrefix +
       PartitionedTable.nullableOf(schema).json
-    val body = (PartitionedTable.FormatMarker +: schemaLine +:
+    val body = (Seq(PartitionedTable.FormatMarker, schemaLine) ++ genLine ++
       (txn.toSeq.sortBy(_._1).map { case (a, v) => s"${PartitionedTable.TxnPrefix}$a=$v" } ++
         m.toSeq.sortBy(_._1).map { case (b, v) => s"$b=$v" })).mkString("", "\n", "\n")
     try
@@ -514,6 +566,10 @@ object PartitionedTable {
   /** Manifest line prefix for the recorded table schema (additive,
     * same `!` escape as txn lines). */
   val SchemaPrefix = "!schema "
+
+  /** Manifest line prefix for the highest accepted fencing
+    * generation (additive; absent until a fenced writer commits). */
+  val FencePrefix = "!fence "
 
   /** Deep-nullable normalization for the RECORDED schema: files
     * written before an additive evolution read the new columns as

@@ -249,21 +249,62 @@ object Replication {
     * the winner's nonce and backs off). Release joins the heartbeat
     * thread, then deletes only a path that still answers with our
     * nonce, so a successor's lock is never deleted. The residual
-    * caveat is lease-fundamental: a holder frozen past the horizon can
+    * lease-fundamental caveat — a holder frozen past the horizon can
     * overlap a CROSS-HOST stealer by up to one heartbeat; same-host
-    * overlap is impossible (the OS lock outlives any freeze). */
-  def withWriterLock[T](dir: Path)(body: => T): T = {
+    * overlap is impossible (the OS lock outlives any freeze) — is
+    * closed at the COMMIT: the lease nonce doubles as a fencing token
+    * (`WriterLease.check` → `PartitionedTable.withFence`), so the
+    * overlapped holder is refused at its next publish. */
+  def withWriterLock[T](dir: Path)(body: => T): T =
+    withWriterLease(dir)(_ => body)
+
+  /** A held writer lock as a FENCING TOKEN: the lease-fundamental
+    * residual (a holder frozen past the horizon can overlap a
+    * CROSS-HOST stealer by up to one heartbeat) is closed at the
+    * COMMIT, not the lock — a mutator carries `check()` into
+    * `PartitionedTable.withFence`, which runs it immediately before
+    * the snapshot CREATE_NEW: if the lock file no longer answers with
+    * our nonce (a stealer overwrote it), the commit is REFUSED and the
+    * attempt's data dir dropped — the frozen holder can burn CPU, but
+    * can no longer publish state. */
+  final class WriterLease private[Replication] (lockPath: Path, nonce: String,
+      val generation: Long, lost: java.util.concurrent.atomic.AtomicBoolean) {
+    def stillHeld: Boolean =
+      !lost.get() && {
+        try new String(Files.readAllBytes(lockPath), "UTF-8").trim
+          .split("\\s+").lift(2).contains(nonce)
+        catch { case _: Exception => false }
+      }
+    /** Throws if the lease was stolen — wire into
+      * `PartitionedTable.withFence` so every commit is fenced. */
+    def check(): Unit =
+      if (!stillHeld)
+        throw new java.util.ConcurrentModificationException(
+          s"writer lease at $lockPath lost to another holder (fencing " +
+            "token mismatch): refusing to commit")
+  }
+
+  /** `withWriterLock` with the lease exposed to the body as a fencing
+    * token (see WriterLease). */
+  def withWriterLease[T](dir: Path)(body: WriterLease => T): T = {
     import java.nio.channels.{FileChannel, OverlappingFileLockException}
     import java.nio.file.StandardOpenOption.{CREATE, READ, WRITE}
     val lock = dir.resolve("LOCK")
     Files.createDirectories(dir)
     val nonce = java.util.UUID.randomUUID.toString
-    def payload = s"${ProcessHandle.current.pid} ${System.currentTimeMillis} $nonce"
-      .getBytes("UTF-8")
+    // Monotonic FENCING GENERATION: every acquisition (first or
+    // takeover) writes predecessor-generation + 1, so a stealer's
+    // token is strictly greater than the frozen holder's — the number
+    // a fenced resource (PartitionedTable manifest) can compare even
+    // if the lock FILE later ping-pongs between the two holders.
+    var generation = 1L
+    def payload = (s"${ProcessHandle.current.pid} ${System.currentTimeMillis} " +
+      s"$nonce $generation").getBytes("UTF-8")
     def held(): Nothing =
       throw new IllegalStateException(s"replication already in progress ($lock held)")
     def pathNonce(): Boolean =
-      try new String(Files.readAllBytes(lock), "UTF-8").trim.endsWith(nonce)
+      try new String(Files.readAllBytes(lock), "UTF-8").trim
+        .split("\\s+").lift(2).contains(nonce)
       catch { case _: Exception => false }
     // Cross-host lease verdict on the payload found under a won OS lock.
     def leaseStale(bytes: Array[Byte], mtime: Long): Boolean = {
@@ -300,6 +341,12 @@ object Replication {
             if (bytes != null && !leaseStale(bytes, mtime)) held()
             // bytes == null: the path vanished under us (orphaned
             // inode) — the verify below fails and we retry fresh.
+            // takeover: our fencing token strictly exceeds the
+            // predecessor's (unparseable payload → treat as 0)
+            if (bytes != null) generation = 1L + (
+              try new String(bytes, "UTF-8").trim.split("\\s+")
+                .lift(3).map(_.toLong).getOrElse(0L)
+              catch { case _: Exception => 0L })
           }
           refresh(ch)
           if (pathNonce()) { keep = true; return ch }
@@ -309,12 +356,25 @@ object Replication {
       held()
     }
     val ch = acquire()
+    // HONEST heartbeat: verify-then-refresh with a ONE-WAY loss latch.
+    // A frozen holder whose lease was stolen must not, on waking,
+    // blindly rewrite its own payload over the stealer's — that would
+    // make fencing-by-path ping-pong between the two holders. The
+    // first beat that reads a foreign nonce latches `lost` and stops
+    // writing forever; the read-modify race this leaves (beat reads
+    // our nonce just before the steal, writes just after the
+    // stealer's verify) is closed by the monotonic GENERATION check
+    // at the commit point.
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hb = new Thread(() => {
-      try while (true) { Thread.sleep(HeartbeatMillis); refresh(ch) }
+      try while (!lost.get()) {
+        Thread.sleep(HeartbeatMillis)
+        if (pathNonce()) refresh(ch) else lost.set(true)
+      }
       catch { case _: Throwable => } // released (interrupt/close) or io fault
     }, s"graft-lock-heartbeat-$lock")
     hb.setDaemon(true); hb.start()
-    try body finally {
+    try body(new WriterLease(lock, nonce, generation, lost)) finally {
       hb.interrupt(); hb.join(HeartbeatMillis * 5)
       if (pathNonce()) {
         try Files.deleteIfExists(lock) catch { case _: Exception => () }
@@ -368,7 +428,12 @@ object Replication {
     val table = changesetTable(tableDir, nBuckets)
     val comments = commentsTable(tableDir, nBuckets)
     var applied = 0
-    withWriterLock(tableDir.getParent) {
+    withWriterLease(tableDir.getParent) { lease =>
+      // fence every commit on the lease nonce: a frozen holder whose
+      // lease was stolen is refused at the PUBLISH point, closing the
+      // one-heartbeat cross-host overlap the lock alone cannot
+      table.withFence(() => lease.check(), Some(lease.generation))
+      comments.withFence(() => lease.check(), Some(lease.generation))
       var local = st0.lastSequence
       while (local < serverSeq) {
         val hi = math.min(local + batchSize, serverSeq)

@@ -15,7 +15,7 @@ import graft.operators.Retrieval
   */
 object RetrievalProbe {
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("RETRIEVAL_r10.json")
+    val out = args.headOption.getOrElse("RETRIEVAL_r11.json")
     val dirs = if (args.length > 1) args.drop(1).toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -38,11 +38,127 @@ object RetrievalProbe {
       println(s"[retprobe] $d mean_overlap@10=${fmt(mean)} per-query={$perS}")
       s""""$d":{"per_query":{$perS},"mean_overlap10":${fmt(mean)}}"""
     }
-    val json = s"""{"metric":"bm25_overlap_vs_jaccard@10","queries":${
-      Retrieval.QueryDocs.mkString("[", ",", "]")},"tiers":{${tiers.mkString(",")}}}"""
+    // hybrid fusion quality: planted blind-spot corpus, recall@10 of
+    // BM25-only / dense-only / fused / fused-ANN (VERDICT r10 item 5)
+    val (hd, hids, hrel) = plantHybridCorpus(spark)
+    val hq = hybridRecall(spark, hd, hids, hrel)
+    graft.operators.Cleanup.dropAll(spark)
+    println(s"[retprobe] hybrid planted: bm25=${fmt(hq.bm25Only)} " +
+      s"dense=${fmt(hq.denseOnly)} fused=${fmt(hq.fused)} fused_ann=${fmt(hq.fusedAnn)}")
+    val hybrid = s""""hybrid_planted":{"queries":${hids.size},""" +
+      s""""relevant_per_query":${hrel.head._2.size},""" +
+      s""""note":"each query has ${hrel.head._2.size / 2} lexical-only and ${hrel.head._2.size / 2} semantic-only relevant docs - each family is blind to half; fusion must recover both",""" +
+      s""""recall10":{"bm25_only":${fmt(hq.bm25Only)},"dense_only":${fmt(hq.denseOnly)},""" +
+      s""""fused_rrf":${fmt(hq.fused)},"fused_rrf_ann":${fmt(hq.fusedAnn)}}}"""
+    val json = s"""{"metric":"retrieval_quality","queries":${
+      Retrieval.QueryDocs.mkString("[", ",", "]")},"overlap_tiers":{${
+      tiers.mkString(",")}},$hybrid}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     println(s"[retprobe] wrote $out")
     spark.stop()
+  }
+
+  // ---- hybrid fusion quality on a PLANTED corpus ----------------------
+
+  /** Per-method recall@10 of the four retrieval forms over the same
+    * planted corpus (the measurement RRF exists for, Cormack 2009:
+    * fusion must beat each family alone when each family has blind
+    * spots the other covers). */
+  final case class HybridQuality(bm25Only: Double, denseOnly: Double,
+      fused: Double, fusedAnn: Double)
+
+  /** Plant a corpus where every query has 2·`nEach` relevant docs
+    * split into the two families' blind spots:
+    *
+    *  - `nEach` LEXICAL twins: share a topic-unique 8-word phrase with
+    *    the query (6 shared 3-grams — exactly what BM25 ranks on) but
+    *    carry a RANDOM unit embedding (cosine ≈ 0 to the query: the
+    *    dense side is blind to them);
+    *  - `nEach` SEMANTIC neighbors: embedding in the query's tight
+    *    cluster (in-cluster cosine ≈ 0.95, the planted-recall
+    *    geometry) but with per-doc UNIQUE vocabulary — zero shared
+    *    3-grams, so the lexical side is blind to them;
+    *  - `nBackground` distractors: unique vocabulary, random unit
+    *    embeddings.
+    *
+    * Filler tokens are unique per (doc, position), so no accidental
+    * cross-doc gram collisions exist: each family's top-10 is exactly
+    * its visible relevant set plus noise. Returns (dir, query ids,
+    * relevant sets). */
+  def plantHybridCorpus(spark: SparkSession, nTopics: Int = 24,
+      nEach: Int = 4, nBackground: Int = 2000):
+      (String, Seq[Long], Map[Long, Set[Long]]) = {
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(4242)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val sigma = 0.32 / math.sqrt(dim.toDouble)
+    val centers = Array.fill(nTopics)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    def member(t: Int): Seq[Float] =
+      unit(centers(t).map(_ + sigma * rnd.nextGaussian())).map(_.toFloat).toSeq
+    def randomVec(): Seq[Float] =
+      unit(Array.fill(dim)(rnd.nextGaussian())).map(_.toFloat).toSeq
+    def phrase(t: Int): String = (0 until 8).map(j => s"topic${t}p$j").mkString(" ")
+    def filler(id: Long, n: Int): String =
+      (0 until n).map(j => s"f${id}x$j").mkString(" ")
+    val queries = (0 until nTopics).map { t =>
+      (t.toLong, s"${phrase(t)} ${filler(t.toLong, 8)}", member(t), t)
+    }
+    val lexBase = nTopics.toLong
+    val lex = for (t <- 0 until nTopics; j <- 0 until nEach) yield {
+      val id = lexBase + t.toLong * nEach + j
+      (id, s"${phrase(t)} ${filler(id, 8)}", randomVec(), t)
+    }
+    val semBase = lexBase + nTopics.toLong * nEach
+    val sem = for (t <- 0 until nTopics; j <- 0 until nEach) yield {
+      val id = semBase + t.toLong * nEach + j
+      (id, filler(id, 16), member(t), t)
+    }
+    val bgBase = semBase + nTopics.toLong * nEach
+    val bg = (0 until nBackground).map { i =>
+      val id = bgBase + i
+      (id, filler(id, 16), randomVec(), -1)
+    }
+    val rows = queries ++ lex ++ sem ++ bg
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid")
+    rows.map { case (id, text, _, _) =>
+      (id, text, "en", "planted", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    rows.map { case (id, _, v, t) => (id, v, t) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir.resolve("embeddings.parquet").toString)
+    val ids = queries.map(_._1)
+    val relevant = (0 until nTopics).map { t =>
+      t.toLong -> ((0 until nEach).map(j => lexBase + t.toLong * nEach + j) ++
+        (0 until nEach).map(j => semBase + t.toLong * nEach + j)).toSet
+    }.toMap
+    (dir.toString, ids, relevant)
+  }
+
+  /** recall@10 of each retrieval form against the planted truth —
+    * every list is the SHIPPED list builder (sparseTopFor /
+    * denseTopExactFor / denseTopAnnFor / the two fusions), not a
+    * re-derivation. */
+  def hybridRecall(s: SparkSession, d: String, ids: Seq[Long],
+      relevant: Map[Long, Set[Long]]): HybridQuality = {
+    def rec(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "doc_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val per = ids.map { q =>
+        val rel = relevant(q)
+        got.getOrElse(q, Set.empty).intersect(rel).size.toDouble /
+          math.min(10, rel.size)
+      }
+      per.sum / per.size
+    }
+    HybridQuality(
+      bm25Only = rec(Retrieval.sparseTopFor(s, d, ids)),
+      denseOnly = rec(Retrieval.denseTopExactFor(s, d, ids)),
+      fused = rec(Retrieval.simHybridRrfFor(s, d, ids)),
+      fusedAnn = rec(Retrieval.simHybridRrfAnnFor(s, d, ids)))
   }
 
   /** Per-query |BM25 top-10 ∩ Jaccard top-10| and the mean. */

@@ -273,20 +273,41 @@ object Retrieval {
     * forms — the pruned-postings BM25 and `sim_topk`'s two-level
     * bounded-heap scan (reused via simTopkFor, not re-derived) — and
     * the fusion itself touches only 2·k·|queries| rows. */
-  def simHybridRrf(s: SparkSession, d: String): DataFrame = {
-    val k = 10
+  def simHybridRrf(s: SparkSession, d: String): DataFrame =
+    simHybridRrfFor(s, d, QueryDocs)
+
+  def simHybridRrfFor(s: SparkSession, d: String, ids: Seq[Long]): DataFrame =
+    fuseRrf(sparseTopFor(s, d, ids), denseTopExactFor(s, d, ids))
+
+  /** Self-excluded BM25 top-10 list (query_id, doc_id, srnk) — the
+    * sparse side of both hybrid forms, exposed so the quality probe
+    * measures exactly the shipped list. */
+  private[graft] def sparseTopFor(s: SparkSession, d: String,
+      ids: Seq[Long], k: Int = 10): DataFrame = {
     val docs = documents(s, d)
-    val sparse = bm25Scores(postingsOf(docs), totalsOf(docs), queryGramsOf(docs))
+    bm25Scores(postingsOf(docs), totalsOf(docs), queryGramsOf(docs, ids))
       .filter(col("doc_id") =!= col("query_id"))
       .withColumn("srnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score_x1000").desc, col("doc_id").asc)))
       .filter(col("srnk") <= k)
       .select(col("query_id"), col("doc_id"), col("srnk"))
-    val qv = embeddings(s, d).filter(col("vec_id").isInCollection(QueryDocs))
+  }
+
+  /** Self-excluded EXACT dense top-10 (query_id, doc_id, drnk) — the
+    * bounded-heap brute-force scan. */
+  private[graft] def denseTopExactFor(s: SparkSession, d: String,
+      ids: Seq[Long]): DataFrame = {
+    val qv = embeddings(s, d).filter(col("vec_id").isInCollection(ids))
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val dense = Similarity.simTopkFor(s, d, qv)
+    Similarity.simTopkFor(s, d, qv)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk").as("drnk"))
+  }
+
+  /** Integer reciprocal-rank fusion of a sparse and dense list
+    * (Cormack et al. 2009, k=60): rrf_x1m = Σ 1e6 DIV (60 + rank). */
+  private[graft] def fuseRrf(sparse: DataFrame, dense: DataFrame,
+      k: Int = 10): DataFrame =
     sparse.join(dense, Seq("query_id", "doc_id"), "full")
       .select(col("query_id"), col("doc_id"),
         (coalesce(expr("CAST(1000000 DIV (60 + srnk) AS BIGINT)"), lit(0L)) +
@@ -296,7 +317,6 @@ object Retrieval {
         Window.partitionBy(col("query_id"))
           .orderBy(col("rrf_x1m").desc, col("doc_id").asc)))
       .filter(col("rnk") <= k)
-  }
 
   /** The hybrid at INDEX scale — `sim_hybrid_rrf` with the dense side
     * served from the ANN index instead of the exact scan: the exact
@@ -307,27 +327,29 @@ object Retrieval {
     * index's recall (measured in RECALL_r10.json) — retrieval-backed
     * curation trades that measured recall for a probe-bounded scan,
     * and the fused list still sees everything BM25 sees. */
-  def simHybridRrfAnn(s: SparkSession, d: String): DataFrame = {
-    val k = 10
-    val docs = documents(s, d)
-    val sparse = bm25Scores(postingsOf(docs), totalsOf(docs), queryGramsOf(docs))
-      .filter(col("doc_id") =!= col("query_id"))
-      .withColumn("srnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score_x1000").desc, col("doc_id").asc)))
-      .filter(col("srnk") <= k)
-      .select(col("query_id"), col("doc_id"), col("srnk"))
+  def simHybridRrfAnn(s: SparkSession, d: String): DataFrame =
+    simHybridRrfAnnFor(s, d, QueryDocs)
+
+  def simHybridRrfAnnFor(s: SparkSession, d: String, ids: Seq[Long]): DataFrame =
+    fuseRrf(sparseTopFor(s, d, ids), denseTopAnnFor(s, d, ids))
+
+  /** Self-excluded ANN dense top-10 (query_id, doc_id, drnk): the
+    * IMI-routed int8 cell probe — one cell's codes per query instead
+    * of the O(corpus·d) exact scan; the list inherits the index's
+    * measured recall (RECALL artifact). */
+  private[graft] def denseTopAnnFor(s: SparkSession, d: String,
+      ids: Seq[Long], k: Int = 10): DataFrame = {
     val e = graft.Tables.embeddings(s, d)
     val cellOf = Similarity.imiCellOf(s, d) _
     val (csc, cq) = Similarity.quantizeCols(col("embedding"))
     val cells = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
       csc.as("c_scale"), cq.as("cq"))
-    val qcells = e.filter(col("vec_id").isInCollection(QueryDocs))
+    val qcells = e.filter(col("vec_id").isInCollection(ids))
       .select(col("vec_id").as("query_id"), cellOf(col("embedding")).as("qcell"),
         Similarity.quantizeCols(col("embedding"))._1.as("q_scale"),
         Similarity.quantizeCols(col("embedding"))._2.as("qq"))
     val qdot = graft.functions.DotI8.dotI8(col("cq"), col("qq"))
-    val dense = cells.join(broadcast(qcells),
+    cells.join(broadcast(qcells),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         Similarity.cosQ(qdot).as("cos_q"))
@@ -336,15 +358,6 @@ object Retrieval {
           .orderBy(col("cos_q").desc, col("doc_id").asc)))
       .filter(col("drnk") <= k)
       .select(col("query_id"), col("doc_id"), col("drnk"))
-    sparse.join(dense, Seq("query_id", "doc_id"), "full")
-      .select(col("query_id"), col("doc_id"),
-        (coalesce(expr("CAST(1000000 DIV (60 + srnk) AS BIGINT)"), lit(0L)) +
-         coalesce(expr("CAST(1000000 DIV (60 + drnk) AS BIGINT)"), lit(0L)))
-          .as("rrf_x1m"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("rrf_x1m").desc, col("doc_id").asc)))
-      .filter(col("rnk") <= k)
   }
 
   // ---- streaming serve over the persisted index ----------------------

@@ -251,4 +251,36 @@ class RetrievalSpec extends AnyFunSuite {
       assert(classes(p) && classes(l) && m === (l == p))
     }
   }
+
+  test("hybrid fusion floor: RRF recovers BOTH families' blind spots (fused >= max(single) strictly)") {
+    // the measurement RRF exists for (Cormack 2009): plant relevant
+    // docs half-visible to each family — lexical twins the embedding
+    // can't see, semantic neighbors sharing zero grams — and pin that
+    // fusion beats each family alone. Probe-measured on the full
+    // planted corpus: bm25 0.50 / dense 0.50 / fused 1.00 / ann 0.82.
+    val (d, ids, rel) = RetrievalProbe.plantHybridCorpus(spark,
+      nTopics = 8, nEach = 4, nBackground = 400)
+    try {
+      val q = RetrievalProbe.hybridRecall(spark, d, ids, rel)
+      info(f"bm25=${q.bm25Only}%.3f dense=${q.denseOnly}%.3f " +
+        f"fused=${q.fused}%.3f fused_ann=${q.fusedAnn}%.3f")
+      // each family alone sees only its half (4 of 8 relevant)
+      assert(q.bm25Only <= 0.55 && q.bm25Only >= 0.45,
+        s"lexical side should see exactly its half, got ${q.bm25Only}")
+      assert(q.denseOnly <= 0.55 && q.denseOnly >= 0.45,
+        s"dense side should see exactly its half, got ${q.denseOnly}")
+      // THE floor: fusion strictly dominates both single families
+      assert(q.fused >= math.max(q.bm25Only, q.denseOnly) + 0.25,
+        s"fusion must recover the other family's blind spot: ${q.fused}")
+      assert(q.fused >= 0.9, s"fused recall@10 floor, got ${q.fused}")
+      // the index-scale form still dominates each single family; its
+      // gap to exact fusion is the ANN index's measured recall price
+      assert(q.fusedAnn >= math.max(q.bm25Only, q.denseOnly),
+        s"ANN fusion must not fall below a single family: ${q.fusedAnn}")
+    } finally {
+      graft.operators.Cleanup.dropAll(spark)
+      graft.streaming.PartitionedTable.deleteRecursively(
+        java.nio.file.Paths.get(d))
+    }
+  }
 }

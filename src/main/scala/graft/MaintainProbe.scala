@@ -34,7 +34,7 @@ object MaintainProbe {
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("MAINTAIN_r10.json")
+    val out = args.headOption.getOrElse("MAINTAIN_r11.json")
     val tiers = if (args.length > 1) args.drop(1).toSeq
       else Seq("/root/testdata/sf0.1", "/root/repo/testdata-local/sf1")
     val spark = SparkSession.builder()
@@ -113,6 +113,49 @@ object MaintainProbe {
             Some("p" -> 1L)))
         val (touchedV, secV) = timeIt(
           pt.appendInto(spark, batchV, Some("p" -> 2L)))
+        // ---- serve latency vs UNFOLDED segment count (r11 age-out) --
+        // the LSM read path between folds is base ∪ segments: each
+        // unfolded segment adds a leaf scan, so serve degrades with
+        // segment count — the number that sets the fold cadence. Land
+        // the same fixed batch as 32 hash-split segments, serve at
+        // S ∈ {0, 8, 32}, then ONE fold + compact + prune and the
+        // post-OPTIMIZE serve + worst-bucket file count.
+        val sSegDir = wd.resolve("bm25servesegs")
+        java.nio.file.Files.createDirectories(sSegDir)
+        val segN = 32
+        val arrSeg = arrD.withColumn("__seg",
+          pmod(hash(col("doc_id")), lit(segN)))
+        val pSegs = (0 until segN).map { k =>
+          Retrieval.writeSegment(sSegDir.resolve("p"), k.toLong,
+            Retrieval.postingsOf(arrSeg.filter(col("__seg") === k).drop("__seg")))
+        }
+        val dSegs = (0 until segN).map { k =>
+          Retrieval.writeSegment(sSegDir.resolve("d"), k.toLong,
+            Retrieval.doclensOf(arrSeg.filter(col("__seg") === k).drop("__seg")))
+        }
+        val qterms = Retrieval.queryGramsOf(docs)
+        def serveSec(n: Int): Double = timeIt(
+          Retrieval.serveWithSegments(spark, idx, pSegs.take(n), dSegs.take(n),
+            qterms).write.mode("overwrite").format("noop").save())._2
+        serveSec(0) // warm the serve path (codegen) outside the samples
+        val serveBySeg = Seq(0, 8, 32).map(n => n -> serveSec(n))
+        val (_, secFoldServe) = timeIt(Retrieval.foldSegments(spark, idx,
+          pSegs, dSegs, 9L))
+        idx.postings.compact(spark)
+        idx.doclens.compact(spark)
+        Retrieval.pruneSegments(pSegs ++ dSegs)
+        val servePost = serveSec(0)
+        val maxFiles = idx.postings.manifest.values.map { rel =>
+          graft.streaming.PartitionedTable.listDir(
+            idx.postings.dir.resolve(rel))
+            .count(_.getFileName.toString.endsWith(".parquet"))
+        }.max
+        val segsLeft = Seq("p", "d").map(n => sSegDir.resolve(n))
+          .filter(java.nio.file.Files.exists(_))
+          .map(p => graft.streaming.PartitionedTable.listDir(p).size).sum
+        println(f"[maintain] $tag serve-vs-segments: " +
+          serveBySeg.map { case (n, t) => f"S$n=$t%.2f" }.mkString(" ") +
+          f" post_fold=$servePost%.2f files/bucket<=$maxFiles segs_left=$segsLeft")
         println(f"[maintain] $tag bm25: standing=$standingP%,d batch=$batchPRows%,d " +
           f"buckets=${idx.postings.nBuckets} touched=${touchedP.size} " +
           f"seg=$secSeg%.2f fold=$secFold%.2f direct=${secP + secDl}%.2f")
@@ -122,7 +165,13 @@ object MaintainProbe {
         s""""$tag":{"bm25":{"standing_rows":$standingP,"batch_rows":$batchPRows,
            |"buckets":${idx.postings.nBuckets},"touched_buckets":${touchedP.size},
            |"segment_write_sec":${s3(secSeg)},"fold_sec":${s3(secFold)},
-           |"direct_merge_sec":${s3(secP + secDl)}},
+           |"direct_merge_sec":${s3(secP + secDl)},
+           |"serve_sec_by_unfolded_segments":{${
+             serveBySeg.map { case (n, t) => s""""$n":${s3(t)}""" }.mkString(",")}},
+           |"epoch_fold_sec":${s3(secFoldServe)},
+           |"serve_sec_post_fold":${s3(servePost)},
+           |"postings_files_per_bucket_max_post_optimize":$maxFiles,
+           |"segments_after_prune":$segsLeft},
            |"ann":{"standing_rows":$standingV,"batch_rows":$batchVRows,
            |"buckets":$nbV,"touched_buckets":${touchedV.size},
            |"segment_write_sec":${s3(secVSeg)},"fold_sec":${s3(secVFold)},

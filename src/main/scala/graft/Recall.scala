@@ -295,12 +295,44 @@ object Recall {
         (exact10 & got10).size.toDouble / exact10.size,
         nCand.toDouble / queries.length, got10)
     }
+
+    // ---- two-stage INT8 re-rank (sim_ivf_pq_rerank_int8, r11) --------
+    // Measured as the SERVED list, not shortlist containment: ADC
+    // top-R shortlist, re-ranked by the int8 kernel, top-10 kept.
+    // Candidate count = the ADC scan's (same probe budget as
+    // sim_ivf_pq@npN — the lever is the re-rank stage, not the scan).
+    import s.implicits._
+    val rerankInt8 = Seq(1, 2).map { np =>
+      val m = MethodRun(s"sim_ivf_pq_rerank_int8@np$np", cellsPq,
+        probesOf(imiProbes(_, supers, groups, np)), int8 = false,
+        pq = true, qcdot = pqQcdot(np), k = Similarity.PqRerankR)
+      val (short, nCand) = annTopk(s, m, qfeat, m.k)
+      val shortDf = short.map(t => (t._1, t._2)).toSeq.toDF("query_id", "vec_id")
+      val wR = Window.partitionBy(col("query_id"))
+        .orderBy(col("sc").desc, col("vec_id").asc)
+      val top = shortDf
+        .join(cellsInt8.select(col("vec_id"), col("c_scale"), col("cq")), Seq("vec_id"))
+        .join(broadcast(qfeat.select(col("query_id"), col("q_scale"), col("qq"))),
+          Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          Similarity.cosQ(graft.functions.DotI8.dotI8(col("cq"), col("qq"))).as("sc"))
+        .withColumn("rnk", row_number().over(wR))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("vec_id"), col("rnk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val got5 = top.filter(_._3 <= 5).map(t => (t._1, t._2)).toSet
+      val got10 = top.map(t => (t._1, t._2)).toSet
+      MethodResult(m.name,
+        (exact5 & got5).size.toDouble / exact5.size,
+        (exact10 & got10).size.toDouble / exact10.size,
+        nCand.toDouble / queries.length, got10)
+    }
     qfeat.unpersist()
-    (results, corpusN, imiParity)
+    (results ++ rerankInt8, corpusN, imiParity)
   }
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("RECALL_r09.json")
+    val out = args.headOption.getOrElse("RECALL_r11.json")
     val dirs = if (args.length > 1) args.drop(1).toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

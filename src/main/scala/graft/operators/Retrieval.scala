@@ -536,12 +536,41 @@ object Retrieval {
     * (O(#docs), the smaller relation), df computed at serve by the
     * ad-hoc kernel's count window over the candidate-pruned stream. */
   private[graft] def serveMaintained(s: SparkSession, idx: MaintainedIndex,
+      qterms: DataFrame): DataFrame =
+    serveWithSegments(s, idx, Nil, Nil, qterms)
+
+  /** Serve from the maintained state BETWEEN folds: the bucketed base
+    * UNION the still-unfolded segments — what an online query reads
+    * while the epoch accumulates (the LSM read path: memtable +
+    * SSTables). Each unfolded segment adds one more leaf scan to the
+    * union (per-file open + footer + no gram clustering), which is
+    * exactly the degradation `graft.MaintainProbe` measures as serve
+    * latency vs segment count — the number that sets the epoch's fold
+    * cadence. Segment docs are new arrivals (disjoint doc_ids), so
+    * plain unions are the correct merge. */
+  private[graft] def serveWithSegments(s: SparkSession, idx: MaintainedIndex,
+      pSegs: Seq[java.nio.file.Path], dSegs: Seq[java.nio.file.Path],
       qterms: DataFrame): DataFrame = {
-    val totals = idx.doclens.read(s)
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_grams"))
-    bm25Of(idx.postings.read(s).select("g", "doc_id", "dl", "tf"),
-      totals, qterms)
+    val cols = Seq("g", "doc_id", "dl", "tf")
+    val postings = (idx.postings.read(s).select(cols.map(col): _*) +:
+      pSegs.map(p => s.read.parquet(p.toString).select(cols.map(col): _*)))
+      .reduce(_ unionByName _)
+    val dls = (idx.doclens.read(s) +:
+      dSegs.map(p => s.read.parquet(p.toString))).reduce(_ unionByName _)
+    val totals = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_grams"))
+    bm25Of(postings, totals, qterms)
   }
+
+  /** Age-out: delete segment dirs the epoch fold has landed in the
+    * bucketed base. The steady-state segment count is ZERO after each
+    * fold — segments exist only between folds, so the union read
+    * path's leaf count is bounded by one epoch's trigger count, never
+    * by table age. */
+  private[graft] def pruneSegments(segs: Seq[java.nio.file.Path]): Unit =
+    segs.distinct.foreach { p =>
+      if (java.nio.file.Files.exists(p))
+        graft.streaming.PartitionedTable.deleteRecursively(p)
+    }
 
   /** CONTINUOUS inverted-index maintenance — the write path
     * `stream_bm25_serve` takes as given: documents ARRIVE as a stream
@@ -617,6 +646,9 @@ object Retrieval {
       foldSegments(s, idx, pSegs.values, dSegs.values, 1L)
       idx.postings.compact(s)
       idx.doclens.compact(s)
+      // age-out: folded segments are dead — steady-state segment
+      // count returns to zero after every epoch fold
+      pruneSegments(pSegs.values ++ dSegs.values)
       serveMaintained(s, idx, queryGramsOf(docs)).localCheckpoint(true)
     } finally {
       graft.streaming.PartitionedTable.deleteRecursively(workDir)

@@ -966,6 +966,41 @@ object Similarity {
       .filter(col("rnk") <= 5)
   }
 
+  /** IVF-PQ with INT8 re-rank (r11, VERDICT item 6) — the
+    * byte-budget-COMPLETE two-stage serve: the ADC top-`PqRerankR`
+    * shortlist is re-ranked with the index's own int8 codes
+    * (64 B/vector) instead of the float corpus (256 B), so the serve
+    * tier touches NO float vector at any stage — 8 B/vector for the
+    * cell scan plus 64 B for R rows per query. The quality lever is
+    * measured in RECALL_r11: int8 re-rank recovers (within the int8
+    * rounding) what the float re-rank recovers over pure ADC, at 4×
+    * fewer re-rank bytes — rank comes from the re-rank stage, where
+    * int8's 0.2%-scale rounding is far below neighbor gaps, while
+    * pure ADC's 0.5-bit/dim quantization is not. Scoring is the
+    * `sim_ivf_int8` kernel verbatim (exact integer dot, cosQ). */
+  def simIvfPqRerankInt8(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_r").desc, col("vec_id").asc)
+    val short = simIvfPqAdcScored(s, d)
+      .withColumn("arnk", row_number().over(adcW))
+      .filter(col("arnk") <= PqRerankR)
+    val (csc, cq) = quantizeCols(col("embedding"))
+    val corpus8 = e.select(col("vec_id"), csc.as("c_scale"), cq.as("cq"))
+    val q8 = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        quantizeCols(col("embedding"))._1.as("q_scale"),
+        quantizeCols(col("embedding"))._2.as("qq"))
+    val qdot = graft.functions.DotI8.dotI8(col("cq"), col("qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("vec_id").asc)
+    short.join(corpus8, Seq("vec_id"))
+      .join(broadcast(q8), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"), cosQ(qdot).as("cos_q"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
 
   // One persisted ANN index per (session, dataset dir): assignment +
   // quantization are write-once ETL (the "index build" phase), so
@@ -1353,6 +1388,7 @@ object Similarity {
     "sim_ivf_pq" -> simIvfPq _,
     "sim_ivf_pq_bucketed" -> simIvfPqBucketed _,
     "sim_ivf_pq_rerank" -> simIvfPqRerank _,
+    "sim_ivf_pq_rerank_int8" -> simIvfPqRerankInt8 _,
     "sim_ivf_nprobe" -> ((s: SparkSession, d: String) => simIvfNprobe(s, d))
   )
 
@@ -1570,6 +1606,34 @@ object Similarity {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY adc_r DESC, vec_id ASC) AS rnk
         |  FROM scored) t
+        |WHERE rnk <= 5""".stripMargin,
+    // two-stage serve with the INT8 re-rank: ADC top-R shortlist from
+    // the SAME scored relation, re-ranked by the exact integer dot of
+    // the shared quantizer CTEs (the sim_ivf_int8 scoring verbatim)
+    "sim_ivf_pq_rerank_int8" ->
+      s"""WITH $pqScoredCteSql,
+        |$quantCteSql,
+        |shortl AS (SELECT query_id, vec_id, cell FROM (
+        |  SELECT query_id, vec_id, cell,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_r DESC, vec_id ASC) AS arnk
+        |  FROM scored) t WHERE arnk <= $PqRerankR),
+        |rer AS (SELECT sl.query_id, sl.vec_id, sl.cell,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(cv8.q[i] AS BIGINT) * qv8.q[i])) AS BIGINT) AS qdot,
+        |    cv8.sc AS c_scale, qv8.sc AS q_scale
+        |  FROM shortl sl
+        |  JOIN qv cv8 ON cv8.vec_id = sl.vec_id
+        |  JOIN qv qv8 ON qv8.vec_id = sl.query_id)
+        |SELECT query_id, vec_id, cell, cos_q, rnk FROM (
+        |  SELECT query_id, vec_id, cell,
+        |    CASE WHEN c_scale = 0 OR q_scale = 0 THEN 0.0
+        |      ELSE round(CAST(qdot AS DOUBLE) / (c_scale * q_scale), 4) END AS cos_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY CASE WHEN c_scale = 0 OR q_scale = 0 THEN 0.0
+        |        ELSE round(CAST(qdot AS DOUBLE) / (c_scale * q_scale), 4) END DESC,
+        |        vec_id ASC) AS rnk
+        |  FROM rer) t
         |WHERE rnk <= 5""".stripMargin,
     // two-stage serve: ADC top-R shortlist from the SAME scored
     // relation, then exact float cosine re-rank of the shortlist only

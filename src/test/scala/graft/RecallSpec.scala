@@ -95,6 +95,17 @@ class RecallSpec extends AnyFunSuite {
       m("sim_ivf_pq@np1").recallAt10 + 0.3)
     assert(m("sim_ivf_pq_rerank@np2").recallAt10 >=
       m("sim_ivf_pq_rerank@np1").recallAt10)
+    // the r11 quality lever: re-ranking the ADC shortlist with the
+    // index's own INT8 codes (64 B/vector, no float fetched at any
+    // stage) recovers the rerank lift over pure ADC — int8's
+    // 0.2%-scale rounding sits far below planted-cluster neighbor
+    // gaps, so the served list floors at the same level as the float
+    // re-rank (measured equal at every real tier, RECALL_r11.json)
+    assert(m("sim_ivf_pq_rerank_int8@np1").recallAt10 >
+      m("sim_ivf_pq@np1").recallAt10 + 0.3)
+    assert(m("sim_ivf_pq_rerank_int8@np1").recallAt10 >= 0.75)
+    assert(m("sim_ivf_pq_rerank_int8@np2").recallAt10 >=
+      m("sim_ivf_pq_rerank_int8@np1").recallAt10)
     Cleanup.dropAll(spark)
   }
 

@@ -157,6 +157,70 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("segment age-out: serve over base+segments equals one-shot; fold+OPTIMIZE bounds files and prunes segments to zero") {
+    // VERDICT r10 item 7: the LSM read path between folds is
+    // base ∪ segments — pin that (a) the between-folds serve answers
+    // exactly the one-shot build, (b) the post-OPTIMIZE steady state
+    // is bounded: ≤ 1 parquet file per postings bucket and ZERO
+    // remaining segments — the union read path's leaf count is an
+    // epoch property, never a table-age property.
+    val base = Seq(
+      (1L, "a b c d e", "en", "s", 9L),
+      (3L, "a b c y z", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val arrivals = Seq(
+      (9L, "a b c d e", "en", "s", 9L),
+      (11L, "a b c q r", "en", "s", 9L),
+      (12L, "m n o p q", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ageout_spec")
+    try {
+      val idx = Retrieval.buildMaintained(spark, dir.resolve("idx"), base)
+      val segDir = dir.resolve("segs")
+      java.nio.file.Files.createDirectories(segDir)
+      val pSegs = Seq(9L, 11L, 12L).zipWithIndex.map { case (id, k) =>
+        Retrieval.writeSegment(segDir.resolve("p"), k.toLong,
+          Retrieval.postingsOf(arrivals.filter(col("doc_id") === id)))
+      }
+      val dSegs = Seq(9L, 11L, 12L).zipWithIndex.map { case (id, k) =>
+        Retrieval.writeSegment(segDir.resolve("d"), k.toLong,
+          Retrieval.doclensOf(arrivals.filter(col("doc_id") === id)))
+      }
+      val union = base.unionByName(arrivals)
+      val qterms = Retrieval.queryGramsOf(union, Seq(1L))
+      def served(p: Seq[java.nio.file.Path], d: Seq[java.nio.file.Path]) =
+        Retrieval.serveWithSegments(spark, idx, p, d, qterms)
+          .select("query_id", "doc_id", "score_x1000", "rnk")
+          .as[(Long, Long, Long, Int)].collect().toSet
+      val oneShot = Retrieval.bm25TopkOf(union, Seq(1L))
+        .select("query_id", "doc_id", "score_x1000", "rnk")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      // (a) between-folds read path answers the one-shot build
+      assert(served(pSegs, dSegs) === oneShot)
+      // epoch fold + OPTIMIZE + age-out
+      Retrieval.foldSegments(spark, idx, pSegs, dSegs, 1L)
+      idx.postings.compact(spark)
+      idx.doclens.compact(spark)
+      Retrieval.pruneSegments(pSegs ++ dSegs)
+      // (b) steady state: the folded base alone answers identically…
+      assert(served(Nil, Nil) === oneShot)
+      // …with a bounded physical layout: ≤ 1 file per bucket…
+      val maxFiles = idx.postings.manifest.values.map { rel =>
+        graft.streaming.PartitionedTable.listDir(idx.postings.dir.resolve(rel))
+          .count(_.getFileName.toString.endsWith(".parquet"))
+      }.max
+      assert(maxFiles <= 1, s"post-OPTIMIZE bucket holds $maxFiles files")
+      // …and zero segments left on disk
+      Seq("p", "d").map(segDir.resolve).foreach { p =>
+        assert(!java.nio.file.Files.exists(p) ||
+          graft.streaming.PartitionedTable.listDir(p).isEmpty,
+          s"segments not aged out under $p")
+      }
+    } finally {
+      graft.streaming.PartitionedTable.deleteRecursively(dir)
+    }
+  }
+
   test("stream_bm25_maintain equals the one-shot batch build on the real corpus") {
     val m = Retrieval.streamBm25Maintain(spark, sf)
       .select("query_id", "doc_id", "score_x1000", "rnk")

@@ -61,9 +61,7 @@ def table_hash(rows, cols):
     return h.hexdigest()
 
 
-def main():
-    out_dir = sys.argv[1]
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -71,10 +69,28 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main():
+    # optional: --timeout-sec N caps each ORACLE's DuckDB run (a
+    # watchdog thread calls con.interrupt()); an oracle that exceeds
+    # the cap prints a TIMEOUT row (the documented per-query
+    # oracle-cost exclusion the big tiers need) and the run continues
+    # on a fresh connection. The SPARK side always ran to completion —
+    # only the DuckDB ground-truth recomputation is being bounded.
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    timeout = None
+    for a in sys.argv[1:]:
+        if a.startswith("--timeout-sec="):
+            timeout = float(a.split("=", 1)[1])
+    out_dir = args[0]
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+    con = connect(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
                    if os.path.isdir(p))
-    n_pass = n_fail = n_noora = 0
+    n_pass = n_fail = n_noora = n_timeout = 0
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -86,13 +102,34 @@ def main():
             print(f"NOORACLE {name}: rows={len(got)} cols={got_cols}")
             n_noora += 1
             continue
+        timer = None
+        timed_out = [False]
+        if timeout:
+            import threading
+            c = con
+            def interrupt(c=c):
+                timed_out[0] = True
+                c.interrupt()
+            timer = threading.Timer(timeout, interrupt)
+            timer.start()
         try:
             exp = con.execute(oracles[name]).fetchall()
             exp_cols = [d[0] for d in con.description]
         except Exception as e:
+            if timer:
+                timer.cancel()
+            if timed_out[0]:
+                print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s in DuckDB "
+                      f"(excluded; Spark result present, rows={len(got)})")
+                n_timeout += 1
+                con = connect(sf_dir)  # fresh connection after interrupt
+                continue
             print(f"FAIL  {name}: oracle error {e}")
             n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         ok_schema = sorted(got_cols) == sorted(exp_cols)
         ok_rows = len(got) == len(exp)
         ok_hash = ok_schema and ok_rows and \
@@ -115,7 +152,8 @@ def main():
                     if a != b:
                         print(f"      got  {a[:200]}\n      want {b[:200]}")
                         break
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} no-oracle")
+    tmo = f", {n_timeout} oracle-timeout" if n_timeout else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} no-oracle{tmo}")
     sys.exit(1 if n_fail else 0)
 
 

@@ -1392,13 +1392,24 @@ object Dedup {
         |cap AS (SELECT coalesce(max(df), 1) AS v FROM cum, tot
         |  WHERE w2 <= $GramJoinWorkBudget * n1),
         |hot AS (SELECT source, gr FROM dfs, cap WHERE df > cap.v),
-        |rg AS (SELECT gx.doc_id, gx.source, list(gx.gr) AS gs
+        |gxs AS MATERIALIZED (SELECT gx.doc_id, gx.source, gx.gr
         |  FROM gx LEFT JOIN hot ON gx.source = hot.source AND gx.gr = hot.gr
-        |  WHERE hot.gr IS NULL GROUP BY gx.doc_id, gx.source)
+        |  WHERE hot.gr IS NULL),
+        |rg AS MATERIALIZED (SELECT doc_id, source, list(gr) AS gs
+        |  FROM gxs GROUP BY doc_id, source),
+        |-- candidate BLOCKING on a shared surviving gram (lossless:
+        |-- every doc in rg has >= 1 gram, so an emitted pair needs
+        |-- inter >= 1, i.e. a shared gram; the df cap bounds pairs per
+        |-- gram at cap^2 and the cap budget bounds the total —
+        |-- the direct rg x rg within-source join is quadratic in docs
+        |-- and exceeded any time budget at the 250k-doc tier)
+        |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM gxs x JOIN gxs y
+        |    ON x.source = y.source AND x.gr = y.gr AND x.doc_id < y.doc_id)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  len(list_intersect(a.gs, b.gs)) AS inter,
         |  len(list_distinct(a.gs || b.gs)) AS uni
-        |FROM rg a JOIN rg b ON a.source = b.source AND a.doc_id < b.doc_id
+        |FROM cand c JOIN rg a ON a.doc_id = c.da JOIN rg b ON b.doc_id = c.db
         |WHERE 2 * len(list_intersect(a.gs, b.gs)) >= len(list_distinct(a.gs || b.gs))""".stripMargin,
     // mirrors the two-level (IMI) cell assignment (same supers +
     // parent map + tie-breaks as the Spark side, via the shared CTE),

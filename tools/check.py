@@ -36,29 +36,60 @@ def norm_cell(v):
     return str(v)
 
 
-def read_spark_result(files):
-    """Read graft.Verify output with pyarrow, preserving Spark's own
-    output representation (decimals stay python Decimal at the file's
-    declared scale, timestamps stay datetime, binary stays bytes)."""
-    cols, rows = None, []
+def spark_result_cols(files):
+    return pq.ParquetFile(sorted(files)[0]).schema_arrow.names
+
+
+def iter_spark_rows(files, cols):
+    """Stream graft.Verify output with pyarrow batch-by-batch,
+    preserving Spark's own output representation (decimals stay python
+    Decimal at the file's declared scale, timestamps stay datetime,
+    binary stays bytes). Streaming, because a big-tier result (7.5M
+    rows at sf5) materialized as python tuples OOMs the checker."""
     for f in sorted(files):
-        t = pq.read_table(f)
-        if cols is None:
-            cols = t.column_names
-        for r in t.to_pylist():
-            rows.append(tuple(r[c] for c in cols))
-    return rows, cols
+        pf = pq.ParquetFile(f)
+        for batch in pf.iter_batches(batch_size=65536):
+            for r in batch.to_pylist():
+                yield tuple(r[c] for c in cols)
 
 
-def table_hash(rows, cols):
+class RollingHash:
+    """ORDER-INSENSITIVE multiset hash: sum of per-line sha256 values
+    mod 2^256 (+ count). Equal row multisets give equal sums whatever
+    the delivery order, so neither side's rows are ever sorted or held
+    in memory — the property that lets both readers stream. (The old
+    form sorted all normalized lines and sha256'd the concatenation;
+    it OOM-killed the checker on a 7.5M-row sf5 ground truth.)"""
+    MOD = 1 << 256
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+
+    def add(self, line):
+        import hashlib
+        self.acc = (self.acc + int.from_bytes(
+            hashlib.sha256(line.encode()).digest(), "big")) % self.MOD
+        self.n += 1
+
+    def digest(self):
+        return f"{self.n}:{self.acc:064x}"
+
+
+def rows_hash(row_iter, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
-    import hashlib
-    h = hashlib.sha256()
-    for ln in lines:
-        h.update(ln.encode())
-        h.update(b"\n")
-    return h.hexdigest()
+    h = RollingHash()
+    for r in row_iter:
+        h.add("\x01".join(norm_cell(r[i]) for i in order))
+    return h.digest(), h.n
+
+
+def iter_duck_rows(cur, batch=65536):
+    while True:
+        rows = cur.fetchmany(batch)
+        if not rows:
+            return
+        yield from rows
 
 
 def connect(sf_dir):
@@ -81,9 +112,12 @@ def main():
     # only the DuckDB ground-truth recomputation is being bounded.
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     timeout = None
+    skip = set()
     for a in sys.argv[1:]:
         if a.startswith("--timeout-sec="):
             timeout = float(a.split("=", 1)[1])
+        if a.startswith("--skip="):
+            skip = set(a.split("=", 1)[1].split(","))
     out_dir = args[0]
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
     con = connect(sf_dir)
@@ -92,14 +126,17 @@ def main():
                    if os.path.isdir(p))
     n_pass = n_fail = n_noora = n_timeout = 0
     for name in names:
+        if name in skip:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL  {name}: no result parquet")
             n_fail += 1
             continue
-        got, got_cols = read_spark_result(files)
+        got_cols = spark_result_cols(files)
         if name not in oracles:
-            print(f"NOORACLE {name}: rows={len(got)} cols={got_cols}")
+            n_got = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            print(f"NOORACLE {name}: rows={n_got} cols={got_cols}")
             n_noora += 1
             continue
         timer = None
@@ -113,14 +150,15 @@ def main():
             timer = threading.Timer(timeout, interrupt)
             timer.start()
         try:
-            exp = con.execute(oracles[name]).fetchall()
+            cur = con.execute(oracles[name])
             exp_cols = [d[0] for d in con.description]
+            exp_hash, n_exp = rows_hash(iter_duck_rows(cur), exp_cols)
         except Exception as e:
             if timer:
                 timer.cancel()
             if timed_out[0]:
                 print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s in DuckDB "
-                      f"(excluded; Spark result present, rows={len(got)})")
+                      f"(excluded; Spark result present)")
                 n_timeout += 1
                 con = connect(sf_dir)  # fresh connection after interrupt
                 continue
@@ -130,28 +168,18 @@ def main():
         finally:
             if timer:
                 timer.cancel()
+        got_hash, n_got = rows_hash(iter_spark_rows(files, got_cols), got_cols)
         ok_schema = sorted(got_cols) == sorted(exp_cols)
-        ok_rows = len(got) == len(exp)
-        ok_hash = ok_schema and ok_rows and \
-            table_hash(got, got_cols) == table_hash(exp, exp_cols)
+        ok_rows = n_got == n_exp
+        ok_hash = ok_schema and ok_rows and got_hash == exp_hash
         if ok_hash:
-            print(f"PASS  {name}: rows={len(got)}")
+            print(f"PASS  {name}: rows={n_got}")
             n_pass += 1
         else:
             n_fail += 1
-            print(f"FAIL  {name}: schema_ok={ok_schema} rows {len(got)} vs {len(exp)}")
+            print(f"FAIL  {name}: schema_ok={ok_schema} rows {n_got} vs {n_exp}")
             if not ok_schema:
                 print(f"      got  {sorted(got_cols)}\n      want {sorted(exp_cols)}")
-            elif ok_rows:
-                # show first differing row pair for debugging
-                order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
-                order_e = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
-                gs = sorted("\x01".join(norm_cell(r[i]) for i in order_g) for r in got)
-                es = sorted("\x01".join(norm_cell(r[i]) for i in order_e) for r in exp)
-                for a, b in zip(gs, es):
-                    if a != b:
-                        print(f"      got  {a[:200]}\n      want {b[:200]}")
-                        break
     tmo = f", {n_timeout} oracle-timeout" if n_timeout else ""
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} no-oracle{tmo}")
     sys.exit(1 if n_fail else 0)

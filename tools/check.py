@@ -94,6 +94,13 @@ def iter_duck_rows(cur, batch=65536):
 
 def connect(sf_dir):
     con = duckdb.connect()
+    # bounded ground-truth recomputation: an oracle whose DuckDB
+    # execution exceeds the budget must FAIL as a recorded
+    # out-of-memory row, not OOM-kill the whole sweep (the sf5 sim_ivf
+    # oracle allocated 130 GB inside a single lambda pipeline — no
+    # streaming on the client side can bound that)
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table (ScaleGen sf1 tier)

@@ -34,7 +34,7 @@ object MaintainProbe {
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("MAINTAIN_r11.json")
+    val out = args.headOption.getOrElse("MAINTAIN_r12.json")
     val tiers = if (args.length > 1) args.drop(1).toSeq
       else Seq("/root/testdata/sf0.1", "/root/repo/testdata-local/sf1")
     val spark = SparkSession.builder()
@@ -120,6 +120,12 @@ object MaintainProbe {
         // the same fixed batch as 32 hash-split segments, serve at
         // S ∈ {0, 8, 32}, then ONE fold + compact + prune and the
         // post-OPTIMIZE serve + worst-bucket file count.
+        // Runs against a FRESH index over the non-arrival base: `idx`
+        // above has already absorbed arrD twice (fold at txn 1 +
+        // direct-append ablation), so measuring on it would serve an
+        // index with inflated tf/row counts and overstate steady state.
+        val idxS = Retrieval.buildMaintained(spark, wd.resolve("bm25srv"),
+          docs.filter(!Retrieval.isArrival(col("doc_id"))))
         val sSegDir = wd.resolve("bm25servesegs")
         java.nio.file.Files.createDirectories(sSegDir)
         val segN = 32
@@ -135,19 +141,19 @@ object MaintainProbe {
         }
         val qterms = Retrieval.queryGramsOf(docs)
         def serveSec(n: Int): Double = timeIt(
-          Retrieval.serveWithSegments(spark, idx, pSegs.take(n), dSegs.take(n),
+          Retrieval.serveWithSegments(spark, idxS, pSegs.take(n), dSegs.take(n),
             qterms).write.mode("overwrite").format("noop").save())._2
         serveSec(0) // warm the serve path (codegen) outside the samples
         val serveBySeg = Seq(0, 8, 32).map(n => n -> serveSec(n))
-        val (_, secFoldServe) = timeIt(Retrieval.foldSegments(spark, idx,
+        val (_, secFoldServe) = timeIt(Retrieval.foldSegments(spark, idxS,
           pSegs, dSegs, 9L))
-        idx.postings.compact(spark)
-        idx.doclens.compact(spark)
+        idxS.postings.compact(spark)
+        idxS.doclens.compact(spark)
         Retrieval.pruneSegments(pSegs ++ dSegs)
         val servePost = serveSec(0)
-        val maxFiles = idx.postings.manifest.values.map { rel =>
+        val maxFiles = idxS.postings.manifest.values.map { rel =>
           graft.streaming.PartitionedTable.listDir(
-            idx.postings.dir.resolve(rel))
+            idxS.postings.dir.resolve(rel))
             .count(_.getFileName.toString.endsWith(".parquet"))
         }.max
         val segsLeft = Seq("p", "d").map(n => sSegDir.resolve(n))

@@ -80,6 +80,8 @@ object Recall {
 
   private case class MethodRun(name: String, corpus: DataFrame,
       probes: Map[Long, Seq[Long]], int8: Boolean, pq: Boolean = false,
+      // PQ geometry + which query-feature LUT column scores this run
+      geom: Similarity.PqGeom = Similarity.GeomPq8, lutCol: String = "lut",
       // residual-PQ constant term per (query, probed cell):
       // dot(q, cell centroid)
       qcdot: Map[(Long, Long), Double] = Map.empty,
@@ -110,7 +112,7 @@ object Recall {
       col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
     val score: Column =
       if (m.pq) round(col("qcdot") +
-        Similarity.adcCol(col("lut"), col("codes")), 4)
+        Similarity.adcCol(col(m.lutCol), col("codes"), m.geom), 4)
       else if (m.int8) Similarity.cosQ(graft.functions.DotI8.dotI8(col("cq"), col("qq")))
       else round(Similarity.dot(col("qv"), col("embedding")), 4)
     val nCand = joined.count()
@@ -147,13 +149,18 @@ object Recall {
     // operators use
     val (qsc, qq) = Similarity.quantizeCols(col("embedding"))
     val pqCb = Similarity.pqCodebook(s, d)
+    val pqCb16 = Similarity.pqCodebook(s, d, Similarity.GeomPq16)
     val lutDf = s.createDataFrame(
       s.sparkContext.parallelize(queries.toSeq.map { case (qid, qv) =>
-        org.apache.spark.sql.Row(qid, Similarity.pqLut(qv, pqCb)) }, 1),
+        org.apache.spark.sql.Row(qid, Similarity.pqLut(qv, pqCb),
+          Similarity.pqLut(qv, pqCb16, Similarity.GeomPq16)) }, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("query_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("lut",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("lut16",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType)))))
     val qfeat = e.filter(col("vec_id") < nq)
@@ -224,6 +231,12 @@ object Recall {
       .select(col("vec_id"), col("cell"),
         Similarity.pqCodesCol(pqCb)(
           Similarity.residCol(col("embedding"), col("cv"))).as("codes"))
+    val cellsPq16 = e.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
+        col("embedding"))
+      .join(broadcast(centDf), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        Similarity.pqCodesCol(pqCb16, Similarity.GeomPq16)(
+          Similarity.residCol(col("embedding"), col("cv"))).as("codes"))
     def pqQcdot(np: Int): Map[(Long, Long), Double] =
       queries.flatMap { case (qid, qv) =>
         imiProbes(qv, supers, groups, np).map(cell =>
@@ -274,6 +287,13 @@ object Recall {
       MethodRun("sim_ivf_pq@np1", cellsPq, probesOf(imiProbes(_, supers, groups, 1)), int8 = false, pq = true, qcdot = pqQcdot(1)),
       MethodRun("sim_ivf_pq@np2", cellsPq, probesOf(imiProbes(_, supers, groups, 2)), int8 = false, pq = true, qcdot = pqQcdot(2)),
       MethodRun("sim_ivf_pq@np4", cellsPq, probesOf(imiProbes(_, supers, groups, 4)), int8 = false, pq = true, qcdot = pqQcdot(4)),
+      // r12: the finer 16x4x16 geometry at the SAME packed 8-byte code
+      // budget and the SAME probe lists — the @npN deltas against
+      // sim_ivf_pq@npN are the measured pure-ADC lift of doubling code
+      // entropy (the lever rotation could not be on isotropic residuals)
+      MethodRun("sim_ivf_pq16@np1", cellsPq16, probesOf(imiProbes(_, supers, groups, 1)), int8 = false, pq = true, geom = Similarity.GeomPq16, lutCol = "lut16", qcdot = pqQcdot(1)),
+      MethodRun("sim_ivf_pq16@np2", cellsPq16, probesOf(imiProbes(_, supers, groups, 2)), int8 = false, pq = true, geom = Similarity.GeomPq16, lutCol = "lut16", qcdot = pqQcdot(2)),
+      MethodRun("sim_ivf_pq16@np4", cellsPq16, probesOf(imiProbes(_, supers, groups, 4)), int8 = false, pq = true, geom = Similarity.GeomPq16, lutCol = "lut16", qcdot = pqQcdot(4)),
       // the production two-stage serve: ADC top-R shortlist + exact
       // re-rank (recall measured as shortlist containment)
       MethodRun("sim_ivf_pq_rerank@np1", cellsPq, probesOf(imiProbes(_, supers, groups, 1)), int8 = false, pq = true, qcdot = pqQcdot(1), k = Similarity.PqRerankR),
@@ -332,7 +352,7 @@ object Recall {
   }
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("RECALL_r11.json")
+    val out = args.headOption.getOrElse("RECALL_r12.json")
     val dirs = if (args.length > 1) args.drop(1).toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -24,9 +24,11 @@ object Cleanup {
   /** Number of live memo entries held for this session across every
     * registry — 0 after dropAll (asserted by CleanupSpec). */
   private[graft] def liveEntries(s: SparkSession): Int = {
-    def c(m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), _]): Int = {
+    // keys are (session, dataset[, geometry]) tuples — count by the
+    // session in the first slot, whatever the arity
+    def c(m: java.util.concurrent.ConcurrentHashMap[_ <: Product, _]): Int = {
       var n = 0
-      m.forEach((k, _) => if (k._1 eq s) n += 1)
+      m.forEach((k, _) => if (k.productElement(0).asInstanceOf[AnyRef] eq s) n += 1)
       n
     }
     c(Similarity.indexTables) + c(Similarity.centroidCache) + c(Similarity.twoLevelCache) +

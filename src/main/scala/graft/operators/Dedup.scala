@@ -1091,6 +1091,11 @@ object Dedup {
         workDir.resolve("bands"), "band_key", nb)
       val setsPt = new graft.streaming.PartitionedTable(
         workDir.resolve("sets"), "doc_id", math.max(4, nb / 4))
+      // fenced single-writer lease over build + fold + OPTIMIZE (r11
+      // VERDICT item 8) — a stolen lease is refused at the commit point
+      graft.streaming.Replication.withWriterLease(workDir) { lease =>
+      bandsPt.withFence(() => lease.check(), Some(lease.generation))
+      setsPt.withFence(() => lease.check(), Some(lease.generation))
       bandsPt.appendInto(s, cb, Some("admbands" -> 0L))
       setsPt.mergeInto(s, cbase.select(col("doc_id"), col("shs")),
         Some("admsets" -> 0L))
@@ -1162,6 +1167,7 @@ object Dedup {
           Some("admsets" -> 1L))
       bandsPt.compact(s)
       setsPt.compact(s)
+      bandsPt.clearFence(); setsPt.clearFence()
       if (results.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("batch_id", LongType),
@@ -1169,6 +1175,7 @@ object Dedup {
             StructField("n_cand", LongType), StructField("n_dup", LongType),
             StructField("admit", BooleanType))))
       else results.values.reduce(_ union _)
+      }
     } finally {
       graft.streaming.PartitionedTable.deleteRecursively(workDir)
     }

@@ -610,8 +610,16 @@ object Retrieval {
         java.nio.file.Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
       }
+      // single-writer lease over the whole index-mutation scope (r11
+      // VERDICT item 8): the build, the per-epoch fold, and the
+      // OPTIMIZE commits are all fenced on the lease nonce + monotonic
+      // generation, so a maintainer whose lease is stolen mid-epoch is
+      // refused at the PUBLISH point (steal test: RetrievalSpec)
+      graft.streaming.Replication.withWriterLease(workDir) { lease =>
       val idx = buildMaintained(s, workDir.resolve("idx"),
         docs.filter(!isArrival(col("doc_id"))))
+      idx.postings.withFence(() => lease.check(), Some(lease.generation))
+      idx.doclens.withFence(() => lease.check(), Some(lease.generation))
       val pSegDir = workDir.resolve("psegs")
       val dSegDir = workDir.resolve("dsegs")
       java.nio.file.Files.createDirectories(pSegDir)
@@ -649,7 +657,11 @@ object Retrieval {
       // age-out: folded segments are dead — steady-state segment
       // count returns to zero after every epoch fold
       pruneSegments(pSegs.values ++ dSegs.values)
-      serveMaintained(s, idx, queryGramsOf(docs)).localCheckpoint(true)
+      val served = serveMaintained(s, idx, queryGramsOf(docs)).localCheckpoint(true)
+      // the fence dies with the lease scope (see PartitionedTable.clearFence)
+      idx.postings.clearFence(); idx.doclens.clearFence()
+      served
+      }
     } finally {
       graft.streaming.PartitionedTable.deleteRecursively(workDir)
     }

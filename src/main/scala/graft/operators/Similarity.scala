@@ -724,8 +724,30 @@ object Similarity {
   val PqSub = 8
   val PqK = 16
 
+  /** A PQ geometry: m subspaces × sub dims, k codewords each. */
+  final case class PqGeom(m: Int, k: Int, sub: Int) {
+    require(m * sub == 64, s"PQ geometry $m x $sub must cover 64 dims")
+  }
+
+  /** The r10 family: 8 subspaces × 8 dims × 16 codewords = 32 bits. */
+  val GeomPq8: PqGeom = PqGeom(PqM, PqK, PqSub)
+
+  /** The r12 FINER geometry at the SAME packed byte budget: 16
+    * subspaces × 4 dims × 16 codewords = 64 bits (8 B packed — what
+    * the 8-bit-per-code FAISS PQ8x8 layout also costs). The quality
+    * lever the r11 verdict asked OPQ to be: measured on this corpus,
+    * rotation is a DEAD lever (residuals are near-isotropic — the
+    * best-case full-PCA rotation with Ge-2013 eigenvalue allocation
+    * cuts quantization MSE by ~2%, random rotation 0%; see
+    * SCALING.md), while doubling code entropy via narrower subspaces
+    * lifts pure-ADC recall@5 by +0.15 at equal probe budget
+    * (RECALL_r12). Training cost is unchanged (k=16 per subspace,
+    * same sample), oracle cost ~2× (2× subspaces, half-length
+    * distance folds). */
+  val GeomPq16: PqGeom = PqGeom(16, PqK, 4)
+
   private[graft] val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Array[Array[Double]]]()
+    (SparkSession, String, PqGeom), Array[Array[Double]]]()
 
   /** Strict left-to-right float→double dot (the pqLut/qcdot fold). */
   private[graft] def dotD(a: Array[Float], b: Array[Float]): Double = {
@@ -755,11 +777,12 @@ object Similarity {
     * 1024 doubles of codebook) and every fold is in-order, so the
     * DuckDB mirror is bit-equal. Returns codeword (m, j) at index
     * m·PqK + j. */
-  private[graft] def pqCodebook(s: SparkSession, d: String): Array[Array[Double]] =
-    pqCbCache.computeIfAbsent((s, d), _ => {
+  private[graft] def pqCodebook(s: SparkSession, d: String,
+      g: PqGeom = GeomPq8): Array[Array[Double]] =
+    pqCbCache.computeIfAbsent((s, d, g), _ => {
       val centMap = collectCentroids(s, d).toMap
       val e = embeddings(s, d)
-      val sampN = math.min(e.count(), (SampleFactor * PqK).toLong).toInt
+      val sampN = math.min(e.count(), (SampleFactor * g.k).toLong).toInt
       val samp = e
         .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
         .limit(sampN)
@@ -769,20 +792,20 @@ object Similarity {
           val v = collectVector(r, 1); val cv = centMap(r.getLong(2))
           (r.getLong(0), Array.tabulate(64)(i => v(i).toDouble - cv(i).toDouble))
         }
-      var cbs = Array.tabulate(PqM, PqK)((m, j) =>
-        Array.tabulate(PqSub)(i => samp(j)._2(m * PqSub + i)))
+      var cbs = Array.tabulate(g.m, g.k)((m, j) =>
+        Array.tabulate(g.sub)(i => samp(j)._2(m * g.sub + i)))
       (1 to PqRounds).foreach { _ =>
         val prev = cbs
-        cbs = Array.tabulate(PqM) { m =>
-          val members = Array.fill(PqK)(
+        cbs = Array.tabulate(g.m) { m =>
+          val members = Array.fill(g.k)(
             scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])])
           samp.foreach { case (vid, rv) =>
-            val sv = Array.tabulate(PqSub)(i => rv(m * PqSub + i))
+            val sv = Array.tabulate(g.sub)(i => rv(m * g.sub + i))
             var best = 0; var bestD = Double.MaxValue
             var j = 0
-            while (j < PqK) {
+            while (j < g.k) {
               var dd = 0.0; var i = 0
-              while (i < PqSub) {
+              while (i < g.sub) {
                 val df = sv(i) - prev(m)(j)(i); dd += df * df; i += 1
               }
               if (dd < bestD) { bestD = dd; best = j } // first index on ties
@@ -790,15 +813,15 @@ object Similarity {
             }
             members(best) += ((vid, sv))
           }
-          Array.tabulate(PqK) { j =>
+          Array.tabulate(g.k) { j =>
             val ms = members(j).sortBy(_._1) // mean folds in vec_id order
             if (ms.isEmpty) prev(m)(j)
-            else Array.tabulate(PqSub)(i =>
+            else Array.tabulate(g.sub)(i =>
               ms.foldLeft(0.0)((a, t) => a + t._2(i)) / ms.length)
           }
         }
       }
-      Array.tabulate(PqM * PqK)(x => cbs(x / PqK)(x % PqK))
+      Array.tabulate(g.m * g.k)(x => cbs(x / g.k)(x % g.k))
     })
 
   /** Residual of a vector against its cell centroid, in DOUBLE —
@@ -812,21 +835,23 @@ object Similarity {
     * (zero shuffle, no join to any codebook table — the LSH-planes
     * pattern). Value-equal to `pqCodesHof`, the portable HOF form the
     * DuckDB oracle mirrors (PqSpec asserts bit-equality). */
-  private[graft] def pqCodesCol(cb: Array[Array[Double]])(v: Column): Column =
-    graft.functions.PqEncode.encode(v, cb.flatten, PqM, PqK, PqSub)
+  private[graft] def pqCodesCol(cb: Array[Array[Double]], g: PqGeom = GeomPq8)(
+      v: Column): Column =
+    graft.functions.PqEncode.encode(v, cb.flatten, g.m, g.k, g.sub)
 
   /** The portable HOF reference form of `pqCodesCol` (interpreted
     * lambdas over the inlined flat-codebook literal — kept as the
     * spec's cross-check twin of the oracle SQL). */
-  private[graft] def pqCodesHof(cb: Array[Array[Double]])(v: Column): Column = {
+  private[graft] def pqCodesHof(cb: Array[Array[Double]], g: PqGeom = GeomPq8)(
+      v: Column): Column = {
     val cbLit = typedlit(cb.flatten.toSeq)
-    transform(sequence(lit(0), lit(PqM - 1)), m => {
-      val dists = array((0 until PqK).map { j =>
-        aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0), (acc, i) => {
+    transform(sequence(lit(0), lit(g.m - 1)), m => {
+      val dists = array((0 until g.k).map { j =>
+        aggregate(sequence(lit(0), lit(g.sub - 1)), lit(0.0), (acc, i) => {
           val x = element_at(v,
-            (m * PqSub + i + lit(1)).cast(IntegerType)).cast(DoubleType)
+            (m * g.sub + i + lit(1)).cast(IntegerType)).cast(DoubleType)
           val cv = element_at(cbLit,
-            ((m * PqK + lit(j)) * PqSub + i + lit(1)).cast(IntegerType))
+            ((m * g.k + lit(j)) * g.sub + i + lit(1)).cast(IntegerType))
           acc + (x - cv) * (x - cv)
         })
       }: _*)
@@ -836,18 +861,19 @@ object Similarity {
 
   /** ADC score: PqM lookups into the query's LUT, added in subspace
     * order (bit-equal to the oracle's list_sum replay). */
-  private[graft] def adcCol(lut: Column, codes: Column): Column =
-    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) =>
+  private[graft] def adcCol(lut: Column, codes: Column, g: PqGeom = GeomPq8): Column =
+    aggregate(sequence(lit(0), lit(g.m - 1)), lit(0.0), (acc, m) =>
       acc + element_at(lut,
-        (m * PqK + element_at(codes, (m + lit(1)).cast(IntegerType))
+        (m * g.k + element_at(codes, (m + lit(1)).cast(IntegerType))
           .cast(IntegerType) + lit(1)).cast(IntegerType)))
 
   /** Per-query ADC lookup table (driver fold, m-major then j): entry
-    * [m*PqK + j] = dot(query subvector m, residual sub-centroid j). */
-  private[graft] def pqLut(qv: Array[Float], cb: Array[Array[Double]]): Seq[Double] =
-    for { m <- 0 until PqM; j <- 0 until PqK } yield
-      (0 until PqSub).foldLeft(0.0)((acc, i) =>
-        acc + qv(m * PqSub + i).toDouble * cb(m * PqK + j)(i))
+    * [m*k + j] = dot(query subvector m, residual sub-centroid j). */
+  private[graft] def pqLut(qv: Array[Float], cb: Array[Array[Double]],
+      g: PqGeom = GeomPq8): Seq[Double] =
+    for { m <- 0 until g.m; j <- 0 until g.k } yield
+      (0 until g.sub).foldLeft(0.0)((acc, i) =>
+        acc + qv(m * g.sub + i).toDouble * cb(m * g.k + j)(i))
 
   /** IVF-PQ — the canonical production ANN serve pair (IVF routing +
     * product-quantized codes, Jégou et al. 2011): IMI beam-2 cell
@@ -869,14 +895,31 @@ object Similarity {
       .filter(col("rnk") <= 5)
   }
 
+  /** IVF-PQ at the FINER 16×4×16 geometry (`GeomPq16`) — identical
+    * pipeline (same routing, same residuals, same Lloyd training
+    * discipline per subspace, same ADC serve shape) with twice the
+    * code entropy at the same 8-byte packed budget. This is the r12
+    * pure-ADC quality lever: narrower subspaces quantize an isotropic
+    * residual strictly better than any rotation can (rotation only
+    * redistributes variance the subspaces already share equally), and
+    * RECALL_r12 measures the lift at equal probe budget. */
+  def simIvfPq16(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_r").desc, col("vec_id").asc)
+    simIvfPqAdcScored(s, d, GeomPq16)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
   /** The shared ADC-scored candidate relation (query_id, vec_id,
     * cell, adc_r) both PQ forms rank. */
   /** Query-side PQ serve table: cell via the shipped expression, LUT
     * + the query-to-centroid dot (the constant term of the residual
     * decomposition dot(q,x) = dot(q,c) + dot(q,res)) on the driver —
     * tiny, broadcast by every PQ serve path. */
-  private def pqQueryTable(s: SparkSession, d: String): DataFrame = {
-    val cb = pqCodebook(s, d)
+  private def pqQueryTable(s: SparkSession, d: String,
+      g: PqGeom = GeomPq8): DataFrame = {
+    val cb = pqCodebook(s, d, g)
     val centMap = collectCentroids(s, d).toMap
     val qRows = embeddings(s, d).filter(col("vec_id") < 3)
       .select(col("vec_id"), col("embedding"),
@@ -884,7 +927,7 @@ object Similarity {
       .map { r =>
         val qv = collectVector(r, 1); val qcell = r.getLong(2)
         org.apache.spark.sql.Row(r.getLong(0), qcell,
-          pqLut(qv, cb), dotD(qv, centMap(qcell)))
+          pqLut(qv, cb, g), dotD(qv, centMap(qcell)))
       }
     s.createDataFrame(
       s.sparkContext.parallelize(qRows.toSeq, 1),
@@ -894,15 +937,17 @@ object Similarity {
         StructField("qcdot", DoubleType))))
   }
 
-  private def pqAdcScoredOver(codes: DataFrame, qcells: DataFrame): DataFrame =
+  private def pqAdcScoredOver(codes: DataFrame, qcells: DataFrame,
+      g: PqGeom = GeomPq8): DataFrame =
     codes.join(broadcast(qcells),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cell"),
-        round(col("qcdot") + adcCol(col("lut"), col("codes")), 4).as("adc_r"))
+        round(col("qcdot") + adcCol(col("lut"), col("codes"), g), 4).as("adc_r"))
 
-  private def simIvfPqAdcScored(s: SparkSession, d: String): DataFrame = {
+  private def simIvfPqAdcScored(s: SparkSession, d: String,
+      g: PqGeom = GeomPq8): DataFrame = {
     val e = embeddings(s, d)
-    val cb = pqCodebook(s, d)
+    val cb = pqCodebook(s, d, g)
     val cellOf = imiCellOf(s, d) _
     // recompute-everything form: cell assignment, then residual codes
     // against the cell centroid (small centroid table broadcast-
@@ -912,8 +957,8 @@ object Similarity {
         col("embedding"))
       .join(broadcast(centroidDf(s, d)), col("cell") === col("cent_id"))
       .select(col("vec_id"), col("cell"),
-        pqCodesCol(cb)(residCol(col("embedding"), col("cv"))).as("codes"))
-    pqAdcScoredOver(codes, pqQueryTable(s, d))
+        pqCodesCol(cb, g)(residCol(col("embedding"), col("cv"))).as("codes"))
+    pqAdcScoredOver(codes, pqQueryTable(s, d, g), g)
   }
 
   /** The persisted-index PQ serve: codes come from the SAME
@@ -1075,7 +1120,7 @@ object Similarity {
   def dropCentroidCaches(s: SparkSession): Unit = {
     centroidCache.keySet.removeIf((k: (SparkSession, String)) => k._1 eq s)
     twoLevelCache.keySet.removeIf((k: (SparkSession, String)) => k._1 eq s)
-    pqCbCache.keySet.removeIf((k: (SparkSession, String)) => k._1 eq s)
+    pqCbCache.keySet.removeIf((k: (SparkSession, String, PqGeom)) => k._1 eq s)
   }
 
   def dropIndexTables(s: SparkSession): Unit = {
@@ -1278,6 +1323,10 @@ object Similarity {
       val nb = derivedBuckets(s, p0.count(), "spark.graft.ann.maintain.buckets")
       val pt = new graft.streaming.PartitionedTable(
         workDir.resolve("idx"), "cell", nb)
+      // fenced single-writer lease over build + fold + OPTIMIZE (r11
+      // VERDICT item 8) — a stolen lease is refused at the commit point
+      graft.streaming.Replication.withWriterLease(workDir) { lease =>
+      pt.withFence(() => lease.check(), Some(lease.generation))
       pt.appendInto(s, p0, Some("annidx" -> 0L))
       // per-trigger O(batch) segment writes (a batch's cells span most
       // buckets, so a bucketed merge per trigger would rewrite the
@@ -1314,7 +1363,10 @@ object Similarity {
           cellOf(col("embedding")).as("qcell"),
           quantizeCols(col("embedding"))._1.as("q_scale"),
           quantizeCols(col("embedding"))._2.as("qq"))
-      frozenInt8Serve(pt.read(s), qcells).localCheckpoint(true)
+      val served = frozenInt8Serve(pt.read(s), qcells).localCheckpoint(true)
+      pt.clearFence()
+      served
+      }
     } finally {
       graft.streaming.PartitionedTable.deleteRecursively(workDir)
     }
@@ -1386,6 +1438,7 @@ object Similarity {
     "sim_ivf_imi" -> simIvfImi _,
     "sim_ivf_imi_ma" -> simIvfImiMa _,
     "sim_ivf_pq" -> simIvfPq _,
+    "sim_ivf_pq16" -> simIvfPq16 _,
     "sim_ivf_pq_bucketed" -> simIvfPqBucketed _,
     "sim_ivf_pq_rerank" -> simIvfPqRerank _,
     "sim_ivf_pq_rerank_int8" -> simIvfPqRerankInt8 _,
@@ -1456,12 +1509,12 @@ object Similarity {
     * values — and therefore codes, LUT, qcdot and the rounded score
     * round(qcdot + adc, 4) — stay bit-equal to the Scala side.
     * Shared by the pure-ADC and rerank oracles. */
-  private lazy val pqScoredCteSql: String = {
+  private def pqScoredCteSqlFor(g: PqGeom): String = {
     def pqLloydRound(prev: String, r: Int): String =
       s"""pa$r AS MATERIALIZED (SELECT vec_id, m, sv, j FROM (
         |  SELECT s.vec_id, s.m, s.sv, c.j,
         |    row_number() OVER (PARTITION BY s.vec_id, s.m
-        |      ORDER BY list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+        |      ORDER BY list_sum(list_transform(range(1, ${g.sub + 1}), i ->
         |          (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) ASC,
         |        c.j ASC) AS arnk
         |  FROM psub s JOIN $prev c ON c.m = s.m) t WHERE arnk = 1),
@@ -1470,7 +1523,7 @@ object Similarity {
         |pc$r AS MATERIALIZED (SELECT c.m, c.j,
         |  CASE WHEN pm$r.j IS NULL THEN c.cv
         |    ELSE [list_sum(list_transform(ms, v -> v[i])) / len(ms)
-        |          FOR i IN range(1, ${PqSub + 1})]
+        |          FOR i IN range(1, ${g.sub + 1})]
         |  END AS cv
         |  FROM $prev c LEFT JOIN pm$r ON pm$r.m = c.m AND pm$r.j = c.j)""".stripMargin
     s"""$imiCellsCteSql,
@@ -1483,19 +1536,19 @@ object Similarity {
       |  FROM embeddings),
       |psamp AS MATERIALIZED (SELECT r.vec_id, r.rv, p.prnk
       |  FROM resid r JOIN prnkt p USING (vec_id), kk
-      |  WHERE p.prnk <= least(kk.n, ${SampleFactor * PqK})),
+      |  WHERE p.prnk <= least(kk.n, ${SampleFactor * g.k})),
       |psub AS MATERIALIZED (SELECT vec_id, prnk, m,
-      |    list_transform(range(1, ${PqSub + 1}), i -> rv[m*$PqSub + i]) AS sv
-      |  FROM psamp, unnest(range(0, $PqM)) t(m)),
-      |pc0 AS MATERIALIZED (SELECT m, prnk - 1 AS j, sv AS cv FROM psub WHERE prnk <= $PqK),
+      |    list_transform(range(1, ${g.sub + 1}), i -> rv[m*${g.sub} + i]) AS sv
+      |  FROM psamp, unnest(range(0, ${g.m})) t(m)),
+      |pc0 AS MATERIALIZED (SELECT m, prnk - 1 AS j, sv AS cv FROM psub WHERE prnk <= ${g.k}),
       |${(1 to PqRounds).map(r => pqLloydRound(s"pc${r - 1}", r)).mkString(",\n")},
       |cbf AS MATERIALIZED (SELECT flatten(list(cv ORDER BY m, j)) AS cb FROM pc$PqRounds),
       |qcset AS MATERIALIZED (SELECT DISTINCT cell FROM resid WHERE vec_id < 3),
       |rsub AS MATERIALIZED (SELECT r.vec_id, r.cell, m,
-      |    list_transform(range(1, ${PqSub + 1}), i -> rv[m*$PqSub + i]) AS sv
-      |  FROM resid r JOIN qcset USING (cell), unnest(range(0, $PqM)) t(m)),
+      |    list_transform(range(1, ${g.sub + 1}), i -> rv[m*${g.sub} + i]) AS sv
+      |  FROM resid r JOIN qcset USING (cell), unnest(range(0, ${g.m})) t(m)),
       |pqd AS MATERIALIZED (SELECT r.vec_id, r.cell, r.m, c.j,
-      |    list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+      |    list_sum(list_transform(range(1, ${g.sub + 1}), i ->
       |      (r.sv[i] - c.cv[i]) * (r.sv[i] - c.cv[i]))) AS d
       |  FROM rsub r JOIN pc$PqRounds c ON c.m = r.m),
       |pqa AS MATERIALIZED (SELECT vec_id, cell, m, j FROM (
@@ -1506,18 +1559,20 @@ object Similarity {
       |pq AS MATERIALIZED (SELECT vec_id, cell, list(j ORDER BY m) AS codes
       |  FROM pqa GROUP BY vec_id, cell),
       |lutq AS MATERIALIZED (SELECT r.vec_id AS query_id, r.cell AS qcell,
-      |    flatten(list_transform(range(0, $PqM), m -> list_transform(range(0, $PqK), j ->
-      |      list_sum(list_transform(range(0, $PqSub), i ->
-      |        CAST(r.embedding[m*$PqSub+i+1] AS DOUBLE) * cb[(m*$PqK+j)*$PqSub+i+1]))))) AS lut,
+      |    flatten(list_transform(range(0, ${g.m}), m -> list_transform(range(0, ${g.k}), j ->
+      |      list_sum(list_transform(range(0, ${g.sub}), i ->
+      |        CAST(r.embedding[m*${g.sub}+i+1] AS DOUBLE) * cb[(m*${g.k}+j)*${g.sub}+i+1]))))) AS lut,
       |    list_sum(list_transform(range(1, 65), i ->
       |      CAST(r.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) AS qcdot
       |  FROM resid r JOIN c ON c.cent_id = r.cell, cbf
       |  WHERE r.vec_id < 3),
       |scored AS MATERIALIZED (SELECT q.query_id, p.vec_id, p.cell,
-      |    round(q.qcdot + list_sum(list_transform(range(0, $PqM), m ->
-      |      lut[m*$PqK + codes[m+1] + 1])), 4) AS adc_r
+      |    round(q.qcdot + list_sum(list_transform(range(0, ${g.m}), m ->
+      |      lut[m*${g.k} + codes[m+1] + 1])), 4) AS adc_r
       |  FROM pq p JOIN lutq q ON p.cell = q.qcell AND p.vec_id <> q.query_id)""".stripMargin
   }
+
+  private lazy val pqScoredCteSql: String = pqScoredCteSqlFor(GeomPq8)
 
   val oracles: Map[String, String] = Map(
     "ann_recall" ->
@@ -1591,6 +1646,17 @@ object Similarity {
     // bit-equal
     "sim_ivf_pq" ->
       s"""WITH $pqScoredCteSql
+        |SELECT query_id, vec_id, cell, adc_r, rnk FROM (
+        |  SELECT query_id, vec_id, cell, adc_r,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_r DESC, vec_id ASC) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 5""".stripMargin,
+    // the finer 16x4x16 geometry: the SAME training/encode/serve chain
+    // parameterized over (m, k, sub) — only the geometry constants
+    // differ from sim_ivf_pq's oracle
+    "sim_ivf_pq16" ->
+      s"""WITH ${pqScoredCteSqlFor(GeomPq16)}
         |SELECT query_id, vec_id, cell, adc_r, rnk FROM (
         |  SELECT query_id, vec_id, cell, adc_r,
         |    row_number() OVER (PARTITION BY query_id

@@ -128,6 +128,14 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     fence = check; fenceGen = generation; this
   }
 
+  /** Remove an installed fence — call when the lease scope that
+    * installed it ends. A fence outliving its lease is a trap: the
+    * lease's LOCK file is gone, so `check()` fails forever and every
+    * later commit on this instance is refused for a lease that no one
+    * holds. Lease scopes (Replication.catchUp, the maintain loops)
+    * clear in a finally. */
+  def clearFence(): this.type = { fence = () => (); fenceGen = None; this }
+
   private def parseFenceGen(lines: Seq[String]): Long =
     lines.drop(1).find(_.startsWith(PartitionedTable.FencePrefix))
       .map(_.stripPrefix(PartitionedTable.FencePrefix).trim.toLong)
@@ -138,6 +146,32 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
   def recordedFenceGen: Long =
     if (!exists) 0L
     else parseFenceGen(Files.readAllLines(manifestFile).asScala.toSeq)
+
+  /** Schema to RECORD in the manifest for a mutation whose merged
+    * output has `mutationSchema`. With a schema line already present,
+    * the mutation read resolved through the full recorded union, so
+    * mutationSchema IS the table union. On a LEGACY manifest (pre-
+    * schema-line) the mutation read only its touched buckets — a
+    * widened column living solely in UNTOUCHED buckets would be
+    * dropped from the first recorded schema and then silently from
+    * every subsequent explicit-schema read. Seed the union from a
+    * one-time mergeSchema footer pass over ALL manifest buckets
+    * instead (paid once per legacy table, ever — the next commit has
+    * the schema line). */
+  private def schemaToRecord(spark: SparkSession,
+      mutationSchema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    if (storedSchema.isDefined) mutationSchema
+    else {
+      val m = manifest
+      if (m.isEmpty) mutationSchema
+      else {
+        val paths = m.toSeq.sortBy(_._1).map { case (_, v) => dir.resolve(v).toString }
+        val full = spark.read.option("mergeSchema", "true").parquet(paths: _*).schema
+        org.apache.spark.sql.types.StructType(
+          mutationSchema.fields ++
+            full.fields.filterNot(f => mutationSchema.fieldNames.contains(f.name)))
+      }
+    }
 
   private def writeManifest(m: Map[Int, String], commit: Long,
                             txn: Map[String, Long], attemptRel: Option[String],
@@ -152,7 +186,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       // even if the lock file itself has since ping-ponged
       fenceGen.foreach { g =>
         if (g < recordedGen)
-          throw new java.util.ConcurrentModificationException(
+          throw new PartitionedTable.FencedCommitException(
             s"fencing token $g is stale (table at $dir has accepted " +
               s"generation $recordedGen): refusing to commit")
       }
@@ -350,7 +384,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     // partitionBy writes one __b=<n> dir per touched bucket under the
     // commit dir; repoint only those buckets, one atomic manifest swap
     writeManifest(m ++ touched.map(b => b -> s"$commitRel/__b=$b"), commit,
-      txns ++ txn, Some(commitRel), merged.schema)
+      txns ++ txn, Some(commitRel), schemaToRecord(spark, merged.schema))
     touched
   }
 
@@ -382,7 +416,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       .parquet(dir.resolve(commitRel).toString)
     withBucket.unpersist()
     writeManifest(m ++ touched.map(b => b -> s"$commitRel/__b=$b"), commit,
-      txns ++ txn, Some(commitRel), merged.schema)
+      txns ++ txn, Some(commitRel), schemaToRecord(spark, merged.schema))
     touched
   }
 
@@ -420,7 +454,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       .partitionBy("__b")
       .parquet(dir.resolve(commitRel).toString)
     writeManifest(m ++ frag.map(b => b -> s"$commitRel/__b=$b"), commit,
-      txns, Some(commitRel), full.schema)
+      txns, Some(commitRel), schemaToRecord(spark, full.schema))
     frag
   }
 
@@ -461,7 +495,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       .toSet
     val updated = m ++ touched.filter(writtenBuckets).map(b => b -> s"$commitRel/__b=$b") --
       touched.filterNot(writtenBuckets)
-    writeManifest(updated, commit, txns, Some(commitRel), kept.schema)
+    writeManifest(updated, commit, txns, Some(commitRel), schemaToRecord(spark, kept.schema))
     touched
   }
 
@@ -608,6 +642,11 @@ object PartitionedTable {
     while (true) {
       try return body
       catch {
+        // fencing refusal is TERMINAL, not a rebase signal: the lease
+        // is gone (or the token is permanently stale), so retrying
+        // recomputes and rewrites the attempt dir `attempts` times for
+        // a commit that can never land — surface it immediately
+        case e: FencedCommitException => throw e
         case e: java.util.ConcurrentModificationException =>
           left -= 1
           if (left <= 0) throw e
@@ -615,6 +654,14 @@ object PartitionedTable {
     }
     sys.error("unreachable")
   }
+
+  /** A commit refused by the FENCE (lease lost or fencing token
+    * stale). Subclasses ConcurrentModificationException so legacy
+    * catch sites still see a concurrency refusal, but is rethrown
+    * immediately by `retryingCommit` — a lost lease is not a
+    * rebase-and-retry situation. */
+  final class FencedCommitException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
 
   private[streaming] val SnapFile = "MANIFEST\\.s(\\d+)".r
 

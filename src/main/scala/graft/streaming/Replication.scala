@@ -279,7 +279,7 @@ object Replication {
       * `PartitionedTable.withFence` so every commit is fenced. */
     def check(): Unit =
       if (!stillHeld)
-        throw new java.util.ConcurrentModificationException(
+        throw new PartitionedTable.FencedCommitException(
           s"writer lease at $lockPath lost to another holder (fencing " +
             "token mismatch): refusing to commit")
   }
@@ -434,6 +434,7 @@ object Replication {
       // one-heartbeat cross-host overlap the lock alone cannot
       table.withFence(() => lease.check(), Some(lease.generation))
       comments.withFence(() => lease.check(), Some(lease.generation))
+      try {
       var local = st0.lastSequence
       while (local < serverSeq) {
         val hi = math.min(local + batchSize, serverSeq)
@@ -466,6 +467,10 @@ object Replication {
       // bucket versions from this catch-up (and any prior crash) go
       table.vacuum()
       comments.vacuum()
+      // the fence dies with the lease scope: leaving it installed
+      // would refuse every later commit on these instances once the
+      // LOCK file is deleted on release
+      } finally { table.clearFence(); comments.clearFence() }
     }
     applied
   }

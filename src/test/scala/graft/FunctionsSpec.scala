@@ -173,6 +173,16 @@ class FunctionsSpec extends AnyFunSuite {
     both.foreach { r =>
       assert(r.getSeq[Byte](1) === r.getSeq[Byte](2), s"vec ${r.getLong(0)}")
     }
+    // same parity at the finer 16x4x16 geometry (sim_ivf_pq16)
+    val g16 = Similarity.GeomPq16
+    val cb16 = Similarity.pqCodebook(spark, d, g16)
+    val both16 = resid.select(col("vec_id"),
+      Similarity.pqCodesCol(cb16, g16)(col("rv")).as("native"),
+      Similarity.pqCodesHof(cb16, g16)(col("rv")).as("hof")).collect()
+    both16.foreach { r =>
+      assert(r.getSeq[Byte](1).length === 16, s"vec ${r.getLong(0)}")
+      assert(r.getSeq[Byte](1) === r.getSeq[Byte](2), s"vec ${r.getLong(0)}")
+    }
     // null discipline: NULL residual -> NULL codes
     val nullRow = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS rv")
       .select(Similarity.pqCodesCol(cb)(col("rv"))).collect()

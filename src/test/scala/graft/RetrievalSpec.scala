@@ -221,6 +221,57 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("fold commit under a stolen lease is REFUSED: index state intact, no garbage") {
+    // r11 VERDICT item 8: the maintain loops now run their build/fold/
+    // OPTIMIZE commits under the same fenced writer lease as the
+    // replication loop. LockSpec pins the mechanism on a bare table;
+    // this pins it on the trilogy's actual contention surface — a
+    // FOLD commit published after the maintainer's lease was stolen
+    // by another host must be refused, leaving the pre-fold index.
+    val base = Seq((1L, "a b c d e", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq((9L, "a b c d x", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fold_fence_spec")
+    try {
+      graft.streaming.Replication.withWriterLease(dir) { lease =>
+        val idx = Retrieval.buildMaintained(spark, dir.resolve("idx"), base)
+        idx.postings.withFence(() => lease.check(), Some(lease.generation))
+        idx.doclens.withFence(() => lease.check(), Some(lease.generation))
+        val segDir = dir.resolve("segs")
+        java.nio.file.Files.createDirectories(segDir)
+        val seg = Retrieval.writeSegment(segDir, 0L, Retrieval.postingsOf(batch))
+        val before = idx.postings.read(spark).count()
+        val snapsBefore = idx.postings.snapshots
+        // cross-host steal while this maintainer is mid-epoch: last
+        // writer wins the lock PATH (the OS lock does not propagate)
+        java.nio.file.Files.write(dir.resolve("LOCK"),
+          (s"${ProcessHandle.current.pid} ${System.currentTimeMillis} " +
+            s"stolen-nonce ${lease.generation + 1}").getBytes("UTF-8"))
+        val refusal = intercept[java.util.ConcurrentModificationException] {
+          Retrieval.foldSegments(spark, idx, Seq(seg), Seq.empty, 1L)
+        }
+        // the refusal is the TERMINAL fence type — retryingCommit must
+        // rethrow it immediately, never rebase-and-retry a dead lease
+        assert(refusal.isInstanceOf[graft.streaming.PartitionedTable.FencedCommitException])
+        var retries = 0
+        intercept[graft.streaming.PartitionedTable.FencedCommitException] {
+          graft.streaming.PartitionedTable.retryingCommit() {
+            retries += 1
+            Retrieval.foldSegments(spark, idx, Seq(seg), Seq.empty, 1L)
+          }
+        }
+        assert(retries === 1, s"fence refusal was retried $retries times")
+        // nothing published: same rows, same snapshots, no garbage
+        assert(idx.postings.read(spark).count() === before)
+        assert(idx.postings.snapshots === snapsBefore)
+        assert(idx.postings.vacuum() === 0)
+      }
+    } finally {
+      graft.streaming.PartitionedTable.deleteRecursively(dir)
+    }
+  }
+
   test("stream_bm25_maintain equals the one-shot batch build on the real corpus") {
     val m = Retrieval.streamBm25Maintain(spark, sf)
       .select("query_id", "doc_id", "score_x1000", "rnk")

@@ -117,14 +117,25 @@ def main():
     # oracle-cost exclusion the big tiers need) and the run continues
     # on a fresh connection. The SPARK side always ran to completion —
     # only the DuckDB ground-truth recomputation is being bounded.
+    # --skip entries may be bare names or name:reason:verified_at —
+    # an exclusion with a reason is RECORDED in the --json manifest
+    # (status "excluded"), never silently omitted: the per-tier gate
+    # artifact must account for all declared queries in one parse.
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     timeout = None
-    skip = set()
+    skip = {}
+    json_out = None
     for a in sys.argv[1:]:
         if a.startswith("--timeout-sec="):
             timeout = float(a.split("=", 1)[1])
         if a.startswith("--skip="):
-            skip = set(a.split("=", 1)[1].split(","))
+            for ent in a.split("=", 1)[1].split(","):
+                parts = ent.split(":")
+                skip[parts[0]] = {
+                    "reason": parts[1] if len(parts) > 1 else "unspecified",
+                    "verified_at": parts[2] if len(parts) > 2 else None}
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
     out_dir = args[0]
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
     con = connect(sf_dir)
@@ -132,18 +143,25 @@ def main():
     names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
                    if os.path.isdir(p))
     n_pass = n_fail = n_noora = n_timeout = 0
+    records = {}
     for name in names:
         if name in skip:
+            records[name] = {"status": "excluded", **skip[name]}
+            print(f"EXCLUDED {name}: {skip[name]['reason']}"
+                  + (f" (verified at {skip[name]['verified_at']})"
+                     if skip[name]["verified_at"] else ""))
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL  {name}: no result parquet")
+            records[name] = {"status": "fail", "reason": "no result parquet"}
             n_fail += 1
             continue
         got_cols = spark_result_cols(files)
         if name not in oracles:
             n_got = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
             print(f"NOORACLE {name}: rows={n_got} cols={got_cols}")
+            records[name] = {"status": "no_oracle", "rows": n_got}
             n_noora += 1
             continue
         timer = None
@@ -166,29 +184,62 @@ def main():
             if timed_out[0]:
                 print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s in DuckDB "
                       f"(excluded; Spark result present)")
+                records[name] = {"status": "excluded",
+                                 "reason": f"oracle-timeout>{timeout:.0f}s"}
                 n_timeout += 1
+                try:  # the interrupted connection is dead — close it
+                    con.close()
+                except Exception:
+                    pass
                 con = connect(sf_dir)  # fresh connection after interrupt
                 continue
             print(f"FAIL  {name}: oracle error {e}")
+            records[name] = {"status": "fail", "reason": f"oracle error: {e}"}
             n_fail += 1
             continue
         finally:
             if timer:
                 timer.cancel()
+        if timed_out[0]:
+            # watchdog race: the timer fired just as the oracle finished,
+            # so con.interrupt() landed on an idle connection and would
+            # poison the NEXT oracle (misreported as 'FAIL oracle error').
+            # The fetch itself completed, so keep the result — just swap
+            # in a fresh connection.
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect(sf_dir)
         got_hash, n_got = rows_hash(iter_spark_rows(files, got_cols), got_cols)
         ok_schema = sorted(got_cols) == sorted(exp_cols)
         ok_rows = n_got == n_exp
         ok_hash = ok_schema and ok_rows and got_hash == exp_hash
         if ok_hash:
             print(f"PASS  {name}: rows={n_got}")
+            records[name] = {"status": "pass", "rows_match": True,
+                             "schema_match": True, "hash_match": True,
+                             "rows": n_got}
             n_pass += 1
         else:
             n_fail += 1
             print(f"FAIL  {name}: schema_ok={ok_schema} rows {n_got} vs {n_exp}")
+            records[name] = {"status": "fail", "rows_match": ok_rows,
+                             "schema_match": ok_schema, "hash_match": False,
+                             "rows": n_got, "rows_expected": n_exp}
             if not ok_schema:
                 print(f"      got  {sorted(got_cols)}\n      want {sorted(exp_cols)}")
     tmo = f", {n_timeout} oracle-timeout" if n_timeout else ""
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} no-oracle{tmo}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir,
+                       "totals": {"pass": n_pass, "fail": n_fail,
+                                  "no_oracle": n_noora,
+                                  "excluded": sum(
+                                      1 for r in records.values()
+                                      if r["status"] == "excluded")},
+                       "queries": records}, f, indent=1, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 

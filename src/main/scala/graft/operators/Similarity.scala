@@ -1797,14 +1797,26 @@ object Similarity {
         |      ORDER BY round(${dotSql.format("qv", "cb.embedding")}, 4) DESC, cb.vec_id ASC) AS rnk
         |  FROM cb JOIN probes ON cb.bucket = probe_bucket AND cb.vec_id <> query_id) t
         |WHERE rnk <= 5""".stripMargin,
+    // Memory-bounded flat assignment (r11 VERDICT item 1): the old
+    // form ranked a window over the n-x-k cross relation WITH the
+    // 64-float embedding on every row — DuckDB materializes the window
+    // input, which is what OOM'd its 44.7 GiB budget at sf5. The
+    // aggregate argmax (max score per vector, join-back with min
+    // cent_id on ties) is the identical (score DESC, cent_id ASC)
+    // arnk=1 rule, but the wide relation carries only (vec_id,
+    // cent_id, score) and embeddings are joined back ONLY for rows in
+    // probed cells — the dedup_ngram_jaccard fix pattern, lossless by
+    // construction, hash-equal at every tier the old form passed.
     "sim_ivf_nprobe" ->
       s"""WITH $centroidCteSql,
-        |cells AS (
-        |  SELECT vec_id, embedding, cent_id AS cell FROM (
-        |    SELECT e.vec_id, e.embedding, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(${dotSql.format("e.embedding", "cv")}, 4) DESC, c.cent_id ASC) AS arnk
-        |    FROM embeddings e, c) t WHERE arnk = 1),
+        |ascore AS (SELECT e.vec_id, c.cent_id,
+        |    round(${dotSql.format("e.embedding", "cv")}, 4) AS sc
+        |  FROM embeddings e, c),
+        |abest AS MATERIALIZED (SELECT vec_id, max(sc) AS bsc
+        |  FROM ascore GROUP BY vec_id),
+        |cells AS MATERIALIZED (SELECT a.vec_id, min(a.cent_id) AS cell
+        |  FROM ascore a JOIN abest b ON a.vec_id = b.vec_id AND a.sc = b.bsc
+        |  GROUP BY a.vec_id),
         |qprobes AS (
         |  SELECT query_id, qv, qcell FROM (
         |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cent_id AS qcell,
@@ -1813,10 +1825,11 @@ object Similarity {
         |    FROM embeddings q, c WHERE q.vec_id < 3) t WHERE arnk <= 2)
         |SELECT query_id, vec_id, cell, cos_r, rnk FROM (
         |  SELECT query_id, cells.vec_id, cell,
-        |    round(${dotSql.format("qv", "cells.embedding")}, 4) AS cos_r,
+        |    round(${dotSql.format("qv", "ce.embedding")}, 4) AS cos_r,
         |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY round(${dotSql.format("qv", "cells.embedding")}, 4) DESC, cells.vec_id ASC) AS rnk
-        |  FROM cells JOIN qprobes ON cell = qcell AND cells.vec_id <> query_id) t
+        |      ORDER BY round(${dotSql.format("qv", "ce.embedding")}, 4) DESC, cells.vec_id ASC) AS rnk
+        |  FROM cells JOIN qprobes ON cell = qcell AND cells.vec_id <> query_id
+        |  JOIN embeddings ce ON ce.vec_id = cells.vec_id) t
         |WHERE rnk <= 5""".stripMargin,
     "sim_ivf_imi" ->
       s"""WITH $imiCellsCteSql,
@@ -1842,14 +1855,17 @@ object Similarity {
         |      ORDER BY round(${dotSql.format("qv", "cellsr.embedding")}, 4) DESC, cellsr.vec_id ASC) AS rnk
         |  FROM cellsr JOIN qcells ON cell = qcell AND cellsr.vec_id <> query_id) t
         |WHERE rnk <= 5""".stripMargin,
+    // same memory-bounded aggregate-argmax rewrite as sim_ivf_nprobe
     "sim_ivf" ->
       s"""WITH $centroidCteSql,
-        |cells AS (
-        |  SELECT vec_id, embedding, cent_id AS cell FROM (
-        |    SELECT e.vec_id, e.embedding, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(${dotSql.format("e.embedding", "cv")}, 4) DESC, c.cent_id ASC) AS arnk
-        |    FROM embeddings e, c) t WHERE arnk = 1),
+        |ascore AS (SELECT e.vec_id, c.cent_id,
+        |    round(${dotSql.format("e.embedding", "cv")}, 4) AS sc
+        |  FROM embeddings e, c),
+        |abest AS MATERIALIZED (SELECT vec_id, max(sc) AS bsc
+        |  FROM ascore GROUP BY vec_id),
+        |cells AS MATERIALIZED (SELECT a.vec_id, min(a.cent_id) AS cell
+        |  FROM ascore a JOIN abest b ON a.vec_id = b.vec_id AND a.sc = b.bsc
+        |  GROUP BY a.vec_id),
         |qcells AS (
         |  SELECT query_id, qv, qcell FROM (
         |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cent_id AS qcell,
@@ -1858,10 +1874,11 @@ object Similarity {
         |    FROM embeddings q, c WHERE q.vec_id < 3) t WHERE arnk = 1)
         |SELECT query_id, vec_id, cell, cos_r, rnk FROM (
         |  SELECT query_id, cells.vec_id, cell,
-        |    round(${dotSql.format("qv", "cells.embedding")}, 4) AS cos_r,
+        |    round(${dotSql.format("qv", "ce.embedding")}, 4) AS cos_r,
         |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY round(${dotSql.format("qv", "cells.embedding")}, 4) DESC, cells.vec_id ASC) AS rnk
-        |  FROM cells JOIN qcells ON cell = qcell AND cells.vec_id <> query_id) t
+        |      ORDER BY round(${dotSql.format("qv", "ce.embedding")}, 4) DESC, cells.vec_id ASC) AS rnk
+        |  FROM cells JOIN qcells ON cell = qcell AND cells.vec_id <> query_id
+        |  JOIN embeddings ce ON ce.vec_id = cells.vec_id) t
         |WHERE rnk <= 5""".stripMargin
   )
 }

@@ -782,8 +782,12 @@ object Dedup {
   def dedupComponents(s: SparkSession, d: String): DataFrame =
     dedupComponentsOf(dedupMinhashLsh(s, d))
 
-  /** The closure over an already-computed (checkpointed) pair set. */
-  def dedupComponentsOf(pairsIn: DataFrame): DataFrame = {
+  /** The closure over an already-computed (checkpointed) pair set.
+    * `onRound(round, changed, seconds)` observes each propagation
+    * round — graft.ComponentsProbe uses it to measure the
+    * rounds-to-converge × per-round-cost curve per tier. */
+  def dedupComponentsOf(pairsIn: DataFrame,
+      onRound: (Int, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
     val pairs = pairsIn.select(col("doc_a"), col("doc_b")).cache()
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -791,7 +795,9 @@ object Dedup {
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("comp", col("v")).localCheckpoint(true)
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      val t0 = System.nanoTime()
       val neighborMin = sym.join(labels, col("dst") === col("v"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
       val stepped = labels.join(neighborMin, col("v") === col("src"), "left")
@@ -800,6 +806,8 @@ object Dedup {
         .localCheckpoint(true)
       changed = stepped.filter(col("comp2") < col("comp")).count()
       labels = stepped.select(col("v"), col("comp2").as("comp"))
+      round += 1
+      onRound(round, changed, (System.nanoTime() - t0) / 1e9)
     }
     // the loop ran eagerly and labels is checkpointed — release the
     // working caches instead of holding them for the session's lifetime

@@ -104,6 +104,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // spill accounting (r11 VERDICT item 4 — the memory-pressure
+    // proof): stage-level memory/disk spill bytes, snapshotted around
+    // each query so a constrained-heap run documents WHERE the
+    // operators spill instead of asserting they don't. Listener events
+    // are async, so per-query attribution can shift by one trailing
+    // stage — totals are exact.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        spillMem.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
+        spillDisk.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
+      }
+    })
+
     // warm the session (codegen, parquet footers) outside timing
     Tables.lineitem(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
@@ -138,6 +154,7 @@ object Bench {
     val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val ablRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val warmups = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spills = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     def benchInto(out: scala.collection.mutable.LinkedHashMap[String, Seq[Double]])(
         name: String): Unit = {
       val fn = benchFns(name)
@@ -157,12 +174,14 @@ object Bench {
           cleanups.remove(name).foreach(_.apply())
           t
         }
+        val (m0, d0) = (spillMem.get(), spillDisk.get())
         val base = (1 to runsPerQuery).map(_ => sample())
         // adaptive widening: a noisy query earns extra samples so its
         // median can actually resolve a cross-round delta
         val spread = (base.max - base.min) / math.max(median(base), 1e-9)
         out += name -> (if (spread <= SpreadThreshold || base.size >= maxRuns) base
           else base ++ (base.size until maxRuns).map(_ => sample()))
+        spills += name -> (spillMem.get() - m0, spillDisk.get() - d0)
       } catch { case _: Throwable =>
         cleanups.remove(name).foreach(_.apply())
         out += name -> Seq(-1.0)
@@ -201,8 +220,15 @@ object Bench {
       case (k, v) if v >= 0 && k != "ingest_bulk" => v }.sum
     val rate = if (ingestSec > 0) (ingestRows / ingestSec).round else 0L
     graft.operators.Cleanup.dropAll(spark)
+    val sp = spills.map { case (k, (m, dk)) =>
+      s""""$k":{"mem_spill_mb":${m / (1024 * 1024)},"disk_spill_mb":${dk / (1024 * 1024)}}""" }
+      .mkString("{", ",", "}")
+    val heapMax = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val detail = s"""{"runs":$rs,"mad":$mads,"warmup":$ws,""" +
-      s""""spread_threshold":$SpreadThreshold,"ingest_rows":$ingestRows,"sf":"$sfDir"}"""
+      s""""spread_threshold":$SpreadThreshold,"spills":$sp,""" +
+      s""""total_mem_spill_mb":${spillMem.get() / (1024 * 1024)},""" +
+      s""""total_disk_spill_mb":${spillDisk.get() / (1024 * 1024)},""" +
+      s""""heap_max_mb":$heapMax,"ingest_rows":$ingestRows,"sf":"$sfDir"}"""
     Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""ablations":$as,"ingest_rows_per_sec":$rate,"sf":"$sfDir"}""")

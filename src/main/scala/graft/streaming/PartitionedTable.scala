@@ -49,6 +49,20 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
           s"incompatible table layout at $dir: manifest lacks format marker " +
             s"'${PartitionedTable.FormatMarker}' (found '${lines.headOption.getOrElse("<empty>")}'); " +
           "this table was written by an older layout — re-create it from source data")
+      // bucket-count guard: rows are addressed by pmod(hash(key), n) —
+      // opening an existing table with a DIFFERENT n silently misroutes
+      // every key (a merge rewrites the wrong buckets and duplicates
+      // keys; a lookup opens the wrong bucket and answers empty).
+      // The count is recorded at every commit; a handle constructed
+      // with another value is refused before it can touch data.
+      lines.drop(1).find(_.startsWith(PartitionedTable.NBucketsPrefix))
+        .map(_.stripPrefix(PartitionedTable.NBucketsPrefix).trim.toInt)
+        .foreach { n =>
+          require(n == nBuckets,
+            s"table at $dir was written with nBuckets=$n but opened with " +
+              s"nBuckets=$nBuckets — bucket addressing is keyed to the " +
+              "count; re-open with the recorded value (resizing needs a rewrite)")
+        }
       parseBuckets(lines)
     }
 
@@ -207,7 +221,8 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     }
     val schemaLine = PartitionedTable.SchemaPrefix +
       PartitionedTable.nullableOf(schema).json
-    val body = (Seq(PartitionedTable.FormatMarker, schemaLine) ++ genLine ++
+    val nbLine = PartitionedTable.NBucketsPrefix + nBuckets
+    val body = (Seq(PartitionedTable.FormatMarker, schemaLine, nbLine) ++ genLine ++
       (txn.toSeq.sortBy(_._1).map { case (a, v) => s"${PartitionedTable.TxnPrefix}$a=$v" } ++
         m.toSeq.sortBy(_._1).map { case (b, v) => s"$b=$v" })).mkString("", "\n", "\n")
     try
@@ -644,6 +659,11 @@ object PartitionedTable {
   /** Manifest line prefix for the highest accepted fencing
     * generation (additive; absent until a fenced writer commits). */
   val FencePrefix = "!fence "
+
+  /** Manifest line prefix for the table's bucket count (additive;
+    * validated on every manifest read — see the guard in
+    * `manifest`). */
+  val NBucketsPrefix = "!nbuckets "
 
   /** Deep-nullable normalization for the RECORDED schema: files
     * written before an additive evolution read the new columns as

@@ -431,6 +431,25 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(t.read(spark).as[(Long, String)].collect().toSeq === Seq((3L, "c")))
   }
 
+  test("bucket-count mismatch is refused: a handle with the wrong nBuckets cannot touch data") {
+    // rows are addressed pmod(hash(key), n): an existing table opened
+    // with a different n would silently misroute every key — a merge
+    // rewrites the wrong buckets (duplicating keys), a lookup opens
+    // the wrong bucket (answering empty). The manifest records n at
+    // every commit and every manifest read validates it.
+    val dir = Files.createTempDirectory("graft_pt_nb")
+    val t = new PartitionedTable(dir, "id", nBuckets = 8)
+    t.mergeInto(spark, (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val wrong = new PartitionedTable(dir, "id", nBuckets = 16)
+    val e = intercept[IllegalArgumentException] {
+      wrong.mergeInto(spark, Seq((1L, "X")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("nBuckets=8"))
+    intercept[IllegalArgumentException] { wrong.read(spark) }
+    // the correct handle still works
+    assert(new PartitionedTable(dir, "id", 8).read(spark).count() === 50)
+  }
+
   test("txn ids make appendInto/mergeInto exactly-once under at-least-once replay") {
     val dir = Files.createTempDirectory("graft_pt_txn")
     val t = new PartitionedTable(dir, "id", nBuckets = 4)

@@ -131,6 +131,10 @@ object PlanAudit {
     Check("sim_ivf_pq_bucketed", "PQ probe: corpus side never exchanges", "ABSENT:REGEX:hashpartitioning\\(cell",
       "the ADC probe join clusters on cell, already satisfied by the index bucketing — only the tiny query LUT table moves",
       conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("sim_ivf_pq16", "finer-geometry encode is one narrow corpus projection", "ABSENT:REGEX:hashpartitioning\\(cell",
+      "the 16x4x16 family reuses the whole PQ chain unchanged: IMI assignment + residual + pq_encode are expressions in one corpus projection — doubling code entropy changed constants, not the plan; the corpus never exchanges on cell"),
+    Check("sim_ivf_pq16", "broadcast probe join", "BroadcastHashJoin",
+      "the per-query ADC LUT table broadcasts to the candidates' cells; the coded corpus side never moves for the probe"),
     Check("text_surprisal", "corpus-side scoring is a narrow projection", "ABSENT:REGEX:hashpartitioning\\(",
       "below the approx_count_distinct vocabulary gate the frequency table is collected once and applied as a literal map: the scored corpus never hash-shuffles (the wordcount runs eagerly as its own bounded job)"),
     Check("text_surprisal", "over-threshold vocab downgrades to the join form", "REGEX:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",

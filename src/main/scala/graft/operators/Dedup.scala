@@ -1104,6 +1104,7 @@ object Dedup {
       graft.streaming.Replication.withWriterLease(workDir) { lease =>
       bandsPt.withFence(() => lease.check(), Some(lease.generation))
       setsPt.withFence(() => lease.check(), Some(lease.generation))
+      try {
       bandsPt.appendInto(s, cb, Some("admbands" -> 0L))
       setsPt.mergeInto(s, cbase.select(col("doc_id"), col("shs")),
         Some("admsets" -> 0L))
@@ -1175,7 +1176,6 @@ object Dedup {
           Some("admsets" -> 1L))
       bandsPt.compact(s)
       setsPt.compact(s)
-      bandsPt.clearFence(); setsPt.clearFence()
       if (results.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("batch_id", LongType),
@@ -1183,6 +1183,9 @@ object Dedup {
             StructField("n_cand", LongType), StructField("n_dup", LongType),
             StructField("admit", BooleanType))))
       else results.values.reduce(_ union _)
+      // fence cleared in finally so an exception mid-scope can't leave
+      // it installed (Replication.catchUp's discipline)
+      } finally { bandsPt.clearFence(); setsPt.clearFence() }
       }
     } finally {
       graft.streaming.PartitionedTable.deleteRecursively(workDir)

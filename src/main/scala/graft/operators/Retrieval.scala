@@ -468,13 +468,18 @@ object Retrieval {
       doclens: graft.streaming.PartitionedTable)
 
   private[graft] def buildMaintained(s: SparkSession,
-      dir: java.nio.file.Path, base: DataFrame): MaintainedIndex = {
+      dir: java.nio.file.Path, base: DataFrame,
+      installFence: MaintainedIndex => Unit = _ => ()): MaintainedIndex = {
     val p = postingsOf(base)
     val nb = Similarity.derivedBuckets(s, p.count(), "spark.graft.bm25.buckets")
     val idx = MaintainedIndex(
       new graft.streaming.PartitionedTable(dir.resolve("postings"), "g", nb),
       new graft.streaming.PartitionedTable(dir.resolve("doclens"), "doc_id",
         math.max(4, nb / 4)))
+    // fence BEFORE the seed commits: a lease stolen during the build
+    // window must refuse the build's own publishes too, not just the
+    // later fold/OPTIMIZE (the Similarity/Dedup maintain ordering)
+    installFence(idx)
     idx.postings.appendInto(s, p, Some("bm25idx" -> 0L))
     idx.doclens.mergeInto(s, doclensOf(base), Some("bm25dl" -> 0L))
     idx
@@ -614,12 +619,17 @@ object Retrieval {
       // VERDICT item 8): the build, the per-epoch fold, and the
       // OPTIMIZE commits are all fenced on the lease nonce + monotonic
       // generation, so a maintainer whose lease is stolen mid-epoch is
-      // refused at the PUBLISH point (steal test: RetrievalSpec)
+      // refused at the PUBLISH point (steal test: RetrievalSpec).
+      // buildMaintained installs the fence BEFORE its seed commits.
       graft.streaming.Replication.withWriterLease(workDir) { lease =>
       val idx = buildMaintained(s, workDir.resolve("idx"),
-        docs.filter(!isArrival(col("doc_id"))))
-      idx.postings.withFence(() => lease.check(), Some(lease.generation))
-      idx.doclens.withFence(() => lease.check(), Some(lease.generation))
+        docs.filter(!isArrival(col("doc_id"))),
+        ix => {
+          ix.postings.withFence(() => lease.check(), Some(lease.generation))
+          ix.doclens.withFence(() => lease.check(), Some(lease.generation))
+          ()
+        })
+      try {
       val pSegDir = workDir.resolve("psegs")
       val dSegDir = workDir.resolve("dsegs")
       java.nio.file.Files.createDirectories(pSegDir)
@@ -657,10 +667,10 @@ object Retrieval {
       // age-out: folded segments are dead — steady-state segment
       // count returns to zero after every epoch fold
       pruneSegments(pSegs.values ++ dSegs.values)
-      val served = serveMaintained(s, idx, queryGramsOf(docs)).localCheckpoint(true)
-      // the fence dies with the lease scope (see PartitionedTable.clearFence)
-      idx.postings.clearFence(); idx.doclens.clearFence()
-      served
+      serveMaintained(s, idx, queryGramsOf(docs)).localCheckpoint(true)
+      // the fence dies with the lease scope, exception or not — the
+      // finally matches Replication.catchUp's discipline
+      } finally { idx.postings.clearFence(); idx.doclens.clearFence() }
       }
     } finally {
       graft.streaming.PartitionedTable.deleteRecursively(workDir)

@@ -740,8 +740,9 @@ object Similarity {
     * best-case full-PCA rotation with Ge-2013 eigenvalue allocation
     * cuts quantization MSE by ~2%, random rotation 0%; see
     * SCALING.md), while doubling code entropy via narrower subspaces
-    * lifts pure-ADC recall@5 by +0.15 at equal probe budget
-    * (RECALL_r12). Training cost is unchanged (k=16 per subspace,
+    * lifts pure-ADC recall@5 by +0.03..+0.10 across tiers at equal
+    * probe budget, max at sf1 np4: 0.666 vs 0.566 (RECALL_r12).
+    * Training cost is unchanged (k=16 per subspace,
     * same sample), oracle cost ~2× (2× subspaces, half-length
     * distance folds). */
   val GeomPq16: PqGeom = PqGeom(16, PqK, 4)
@@ -1327,6 +1328,7 @@ object Similarity {
       // VERDICT item 8) — a stolen lease is refused at the commit point
       graft.streaming.Replication.withWriterLease(workDir) { lease =>
       pt.withFence(() => lease.check(), Some(lease.generation))
+      try {
       pt.appendInto(s, p0, Some("annidx" -> 0L))
       // per-trigger O(batch) segment writes (a batch's cells span most
       // buckets, so a bucketed merge per trigger would rewrite the
@@ -1363,9 +1365,10 @@ object Similarity {
           cellOf(col("embedding")).as("qcell"),
           quantizeCols(col("embedding"))._1.as("q_scale"),
           quantizeCols(col("embedding"))._2.as("qq"))
-      val served = frozenInt8Serve(pt.read(s), qcells).localCheckpoint(true)
-      pt.clearFence()
-      served
+      frozenInt8Serve(pt.read(s), qcells).localCheckpoint(true)
+      // fence cleared in finally so an exception mid-scope can't leave
+      // it installed (Replication.catchUp's discipline)
+      } finally { pt.clearFence() }
       }
     } finally {
       graft.streaming.PartitionedTable.deleteRecursively(workDir)

@@ -130,7 +130,9 @@ def main():
             timeout = float(a.split("=", 1)[1])
         if a.startswith("--skip="):
             for ent in a.split("=", 1)[1].split(","):
-                parts = ent.split(":")
+                # maxsplit=2 so a verified_at containing colons
+                # (ISO 8601 timestamps) survives intact
+                parts = ent.split(":", 2)
                 skip[parts[0]] = {
                     "reason": parts[1] if len(parts) > 1 else "unspecified",
                     "verified_at": parts[2] if len(parts) > 2 else None}
@@ -229,6 +231,15 @@ def main():
                              "rows": n_got, "rows_expected": n_exp}
             if not ok_schema:
                 print(f"      got  {sorted(got_cols)}\n      want {sorted(exp_cols)}")
+    # a --skip key with no matching result dir is a typo'd or stale
+    # exclusion — record it (and fail) rather than silently drop it,
+    # so the manifest truly accounts for every declared entry
+    for name, ent in skip.items():
+        if name not in names:
+            print(f"FAIL  {name}: --skip entry has no result dir "
+                  f"(typo'd or stale exclusion)")
+            records[name] = {"status": "excluded_not_found", **ent}
+            n_fail += 1
     tmo = f", {n_timeout} oracle-timeout" if n_timeout else ""
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} no-oracle{tmo}")
     if json_out:

@@ -324,11 +324,17 @@ object Pipeline {
         |    [array_to_string(string_split(text,' ')[i:i+1], ' ')
         |     FOR i IN range(1, len(string_split(text,' ')))] AS grams
         |  FROM documents WHERE len(string_split(text,' ')) >= 2),
-        |rs AS (SELECT doc_id, len(grams) AS n_grams,
-        |    len(list_distinct(grams)) AS n_uniq_grams,
-        |    list_max(list_transform(list_distinct(grams),
-        |      g -> len(list_filter(grams, x -> x = g)))) AS max_gram_n
-        |  FROM rg),
+        |rs AS (
+        |  -- linear group-by twin of text_repetition's per-list form:
+        |  -- the list_filter-in-list_transform original is O(uniq*len)
+        |  -- PER DOC, the dominant term in this chain's sf5 oracle
+        |  -- timeout; unnest+count is O(len) with identical values
+        |  SELECT doc_id, sum(c) AS n_grams, count(*) AS n_uniq_grams,
+        |    max(c) AS max_gram_n
+        |  FROM (SELECT doc_id, g, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(grams) AS g FROM rg) u
+        |        GROUP BY doc_id, g) gc
+        |  GROUP BY doc_id),
         |repkeep AS (SELECT doc_id FROM rs
         |  WHERE NOT (((n_grams - n_uniq_grams) * 100 // n_grams) >= 10
         |    OR (max_gram_n * 100 // n_grams) >= 8)),

@@ -844,8 +844,17 @@ object Spatial {
         |WHERE min_lon <= c_max_lon AND max_lon >= c_min_lon
         |  AND min_lat <= c_max_lat AND max_lat >= c_min_lat
         |GROUP BY c_custkey""".stripMargin,
-    // same direct-theta-join ground truth, argmax query shape: the
-    // windowed rank mirrors the kernel's (area desc, key asc) fold
+    // same direct-theta-join ground truth, argmax query shape.
+    // MEMORY-BOUNDED oracle (the sim_ivf_nprobe r12 pattern): the old
+    // windowed row_number materialized+sorted every overlapping pair
+    // (~billions at sf5 in the fixed-domain synthetic geometry — the
+    // 70 GB DuckDB spill), while the kernel never materializes pairs.
+    // All coordinates are integer-valued, so overlap_area is an exact
+    // integer in [0, 35]; packing (area, -o_orderkey) into one BIGINT
+    // (area*2^40 + (2^40-1 - o_orderkey)) makes the kernel's
+    // (area DESC, key ASC) rule a plain streaming max() per customer —
+    // the same hash-agg shape as join_bbox_grid's count oracle, which
+    // passes at sf5. Decode is exact integer arithmetic.
     "join_bbox_top_overlap" ->
       s"""WITH b AS ($bboxSql),
         |cb AS (SELECT c_custkey,
@@ -853,19 +862,21 @@ object Spatial {
         |  CAST(c_custkey * 3 % 160 - 80 AS DOUBLE) AS c_min_lat,
         |  CAST(c_custkey % 340 - 170 + 1 + c_custkey % 9 AS DOUBLE) AS c_max_lon,
         |  CAST(c_custkey * 3 % 160 - 80 + 1 + c_custkey % 7 AS DOUBLE) AS c_max_lat
-        |FROM customer)
-        |SELECT c_custkey, o_orderkey, overlap_area FROM (
-        |  SELECT c_custkey, o_orderkey,
-        |    (least(max_lon, c_max_lon) - greatest(min_lon, c_min_lon)) *
-        |    (least(max_lat, c_max_lat) - greatest(min_lat, c_min_lat)) AS overlap_area,
-        |    row_number() OVER (PARTITION BY c_custkey ORDER BY
-        |      (least(max_lon, c_max_lon) - greatest(min_lon, c_min_lon)) *
-        |      (least(max_lat, c_max_lat) - greatest(min_lat, c_min_lat)) DESC,
-        |      o_orderkey ASC) AS rnk
+        |FROM customer),
+        |mx AS (
+        |  SELECT c_custkey, max(
+        |    CAST((least(max_lon, c_max_lon) - greatest(min_lon, c_min_lon)) *
+        |         (least(max_lat, c_max_lat) - greatest(min_lat, c_min_lat))
+        |      AS BIGINT) * 1099511627776
+        |    + (1099511627775 - o_orderkey)) AS packed
         |  FROM b, cb
         |  WHERE min_lon <= c_max_lon AND max_lon >= c_min_lon
-        |    AND min_lat <= c_max_lat AND max_lat >= c_min_lat) t
-        |WHERE rnk = 1""".stripMargin,
+        |    AND min_lat <= c_max_lat AND max_lat >= c_min_lat
+        |  GROUP BY c_custkey)
+        |SELECT c_custkey,
+        |  1099511627775 - (packed % 1099511627776) AS o_orderkey,
+        |  CAST(packed // 1099511627776 AS DOUBLE) AS overlap_area
+        |FROM mx""".stripMargin,
     "geom_envelope" ->
       s"""WITH b AS ($bboxSql)
         |SELECT o_orderkey, 4326 AS srid,

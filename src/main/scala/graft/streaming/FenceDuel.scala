@@ -1,0 +1,162 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-process fencing duel — the single-writer story's first
+  * SEPARATE-PROCESS proof. The reference gets cross-process mutual
+  * exclusion for free from Postgres (`LOCK ... NOWAIT`,
+  * changesetmd.py:138-160) but documents that a crash leaves the
+  * table "forever locked" (changesetmd.py:163-164); this engine's
+  * two-layer lease must do strictly better ACROSS PROCESSES: refuse
+  * a live holder, survive a crashed one, and fence out a frozen one
+  * whose lease was stolen.
+  *
+  * Each role below runs in its own forked JVM (`FenceDuelSpec`
+  * orchestrates); the processes share nothing but the table
+  * directory and marker files — the same observables two hosts on a
+  * shared filesystem would have.
+  *
+  * Roles (args: `<role> <tableDir> [expect]`):
+  *  - `holder`: acquires the writer lease, fences the table on the
+  *    lease token, commits batch A (writer="A"), drops marker
+  *    HOLDER_COMMITTED, then parks until STEAL_DONE appears. The
+  *    park is where the spec SIGSTOPs the whole JVM past the
+  *    staleness horizon — a faithful stand-in for a GC pause or VM
+  *    freeze, because SIGSTOP halts the heartbeat thread exactly
+  *    like a freeze would while the OS file lock (which outlives
+  *    any freeze) stays held. On resume it attempts to commit
+  *    batch B and exits 0 iff the outcome matches `expect`
+  *    ("refused" → FencedCommitException, "committed" → success).
+  *  - `contender`: calls the real `withWriterLease` against a LIVE
+  *    holder on the same host. Exit 0 iff refused with the NOWAIT
+  *    IllegalStateException — kernel-enforced, no heuristics.
+  *  - `crash_taker`: calls the real `withWriterLease` after the
+  *    holder was SIGKILLed. Exit 0 iff it acquires with a BUMPED
+  *    fencing generation (dead pid ⇒ layer-2 stale; the OS lock died
+  *    with the holder) and lands batch C (writer="C").
+  *  - `stealer`: a CROSS-HOST contender. Advisory file locks do not
+  *    propagate across a network share, so — exactly as the layer-2
+  *    protocol documents — it judges the lease by payload alone: it
+  *    requires the heartbeat timestamp stale past StaleAfterMillis
+  *    (it cannot see the remote pid), overwrites the payload with
+  *    its own nonce and generation+1, fences the table on its own
+  *    token, and commits batch S (writer="S"). Exit 0 iff committed.
+  *    (No heartbeat thread: its scope is a single commit, bounded
+  *    well inside the horizon.)
+  *
+  * Exit codes: 0 expected outcome; 3 commit succeeded where a fence
+  * was expected (FENCING BROKEN); 4 commit refused where success was
+  * expected; 5 role-specific precondition failed. */
+object FenceDuel {
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-fence-duel")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_duel_wh").toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def batch(s: SparkSession, lo: Long, writer: String): DataFrame =
+    s.range(lo, lo + 10L).select(col("id"), lit(writer).as("writer"))
+
+  private def table(dir: Path) = new PartitionedTable(dir, "id", 2)
+
+  def main(args: Array[String]): Unit = {
+    val role = args(0)
+    val dir = Paths.get(args(1))
+    val expect = args.lift(2).getOrElse("")
+    val leaseDir = dir.resolveSibling("lease")
+    def marker(name: String) = dir.resolveSibling(name)
+    def drop(name: String): Unit = Files.writeString(marker(name), "1")
+    def await(name: String): Unit =
+      while (!Files.exists(marker(name))) Thread.sleep(50L)
+
+    val code: Int = role match {
+      case "holder" =>
+        val s = session()
+        try Replication.withWriterLease(leaseDir) { lease =>
+          val pt = table(dir)
+            .withFence(() => lease.check(), Some(lease.generation))
+          try {
+            pt.appendInto(s, batch(s, 0L, "A"), Some("holder" -> 0L))
+            drop("HOLDER_COMMITTED")
+            await("STEAL_DONE") // ← spec SIGSTOPs/SIGCONTs us in here
+            try {
+              // NOTE: the holder's own txn app — a shared app id would
+              // make the stealer's later version swallow this commit as
+              // an idempotent replay BEFORE the fence even runs
+              pt.appendInto(s, batch(s, 100L, "B"), Some("holder" -> 1L))
+              if (expect == "committed") 0 else 3
+            } catch {
+              case e: PartitionedTable.FencedCommitException =>
+                Files.writeString(marker("HOLDER_REFUSED"), e.getMessage)
+                if (expect == "refused") 0 else 4
+            }
+          } finally pt.clearFence()
+        } finally s.stop()
+
+      case "contender" =>
+        try {
+          Replication.withWriterLease(leaseDir) { _ => () }
+          5 // acquired against a live same-host holder: NOWAIT broken
+        } catch {
+          case e: IllegalStateException
+            if e.getMessage.contains("already in progress") => 0
+        }
+
+      case "crash_taker" =>
+        val s = session()
+        try Replication.withWriterLease(leaseDir) { lease =>
+          if (lease.generation < 2L) 5 // takeover must bump the token
+          else {
+            val pt = table(dir)
+              .withFence(() => lease.check(), Some(lease.generation))
+            try { pt.appendInto(s, batch(s, 200L, "C"), Some("taker" -> 0L)); 0 }
+            finally pt.clearFence()
+          }
+        } finally s.stop()
+
+      case "stealer" =>
+        val lock = leaseDir.resolve("LOCK")
+        val parts = new String(Files.readAllBytes(lock), "UTF-8")
+          .trim.split("\\s+")
+        val hbAge = System.currentTimeMillis - parts(1).toLong
+        if (hbAge <= Replication.StaleAfterMillis) {
+          System.err.println(s"lease heartbeat only ${hbAge}ms old: a " +
+            "cross-host contender must NOT steal a fresh lease")
+          5
+        } else {
+          val gen = parts.lift(3).map(_.toLong).getOrElse(0L) + 1L
+          val nonce = java.util.UUID.randomUUID.toString
+          Files.writeString(lock, s"${ProcessHandle.current.pid} " +
+            s"${System.currentTimeMillis} $nonce $gen")
+          def check(): Unit = {
+            val held = try new String(Files.readAllBytes(lock), "UTF-8")
+              .trim.split("\\s+").lift(2).contains(nonce)
+            catch { case _: Exception => false }
+            if (!held) throw new PartitionedTable.FencedCommitException(
+              s"stealer lease at $lock lost: refusing to commit")
+          }
+          val s = session()
+          try {
+            val pt = table(dir).withFence(() => check(), Some(gen))
+            try { pt.appendInto(s, batch(s, 300L, "S"), Some("stealer" -> 0L)); 0 }
+            finally pt.clearFence()
+          } finally s.stop()
+        }
+
+      case other =>
+        System.err.println(s"unknown role: $other"); 5
+    }
+    sys.exit(code)
+  }
+}

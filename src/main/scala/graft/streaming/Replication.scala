@@ -214,9 +214,13 @@ object Replication {
     * silent lock is presumed dead. A live holder refreshes well inside
     * the horizon (15 beats); a holder that crashed — or whose pid was
     * recycled by an unrelated process, which then never heartbeats —
-    * goes stale and the next acquirer steals the lock. */
-  val HeartbeatMillis = 2000L
-  val StaleAfterMillis = 30000L
+    * goes stale and the next acquirer steals the lock. Tunable per
+    * deployment via system properties (read once per JVM — every
+    * contender on a share must agree on the horizon). */
+  val HeartbeatMillis: Long =
+    sys.props.get("graft.lease.heartbeat.ms").map(_.toLong).getOrElse(2000L)
+  val StaleAfterMillis: Long =
+    sys.props.get("graft.lease.stale.ms").map(_.toLong).getOrElse(30000L)
 
   /** `LOCK ... NOWAIT` analog with LEASE TAKEOVER, two layers deep.
     *

@@ -49,9 +49,15 @@ class RecallSpec extends AnyFunSuite {
 
   test("planted clustered corpus: IMI routing recovers clusters; probe knob monotone") {
     val d = plantedCorpus()
-    val (results, corpusN, imiParity) = Recall.run(spark, d, 64)
+    val (results, corpusN, imiParity, geom) = Recall.run(spark, d, 64)
     val m = byName(results)
     assert(imiParity, "driver-side np1 probe must equal the shipped imiCellOf")
+    // the geometry block must explain the ceiling: exact scoring at
+    // np4 can recall AT MOST the ground-truth share in the 4 probed
+    // cells, and the IMI exact run should sit essentially AT it
+    assert(m("sim_ivf_imi@np4").recallAt10 <= geom.gtInNp4Cells + 1e-9)
+    assert(m("sim_ivf_imi@np4").recallAt10 >= geom.gtInNp4Cells - 1e-9,
+      s"np4 exact run ${m("sim_ivf_imi@np4").recallAt10} vs ceiling ${geom.gtInNp4Cells}")
     results.foreach(r => info(
       f"${r.name}%-28s r@5=${r.recallAt5}%.3f r@10=${r.recallAt10}%.3f cand/q=${r.avgCandidates}%.1f"))
     assert(corpusN === 1600)
@@ -111,9 +117,11 @@ class RecallSpec extends AnyFunSuite {
 
   test("driver corpus (near-random vectors): lift over the random-probe baseline") {
     val d = "/root/testdata/sf0.01"
-    val (results, corpusN, imiParity) = Recall.run(spark, d, 64)
+    val (results, corpusN, imiParity, geom) = Recall.run(spark, d, 64)
     val m = byName(results)
     assert(imiParity)
+    assert(m("sim_ivf_imi@np4").recallAt10 <= geom.gtInNp4Cells + 1e-9,
+      "exact scoring cannot beat its cell-coverage ceiling")
     results.foreach(r => info(
       f"${r.name}%-28s r@10=${r.recallAt10}%.3f cand/q=${r.avgCandidates}%.1f"))
     def lift(name: String): Double = {

@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.streaming.PartitionedTable
+
+/** ANN index-build soak, one decade past the gate tiers (r12 VERDICT
+  * item 5): the gate exercises the ANN family at ≤100k vectors; this
+  * main drives the FULL frozen-quantizer lifecycle — train → assign +
+  * int8 + PQ16 encode → bucketed PartitionedTable build → segment
+  * arrivals → fold + OPTIMIZE → serve from the persisted layout — at
+  * ~5M synthetic 64-dim vectors, the dense mirror of IngestSoak.
+  *
+  *   SPARK_GRAFT_ANNSOAK_OUT=BENCH_r13_annsoak.json \
+  *     sbt "runMain graft.AnnBuildSoak 5000000"
+  *
+  * Corpus: deterministic planted mixture (4096 cluster ids, one
+  * xxhash64-derived centroid each, per-id hash noise) generated as a
+  * narrow projection — no driver-side data, no RNG state.
+  *
+  * Quantizer budget: the gate's dynamic k = n/64 exists so ORACLE
+  * parity holds at tiny tiers; a 5M-vector deployment picks its own
+  * k (here 2048 → ~2.4k vectors/cell), trains on the same md5-order
+  * SampleFactor·k sample via the same seed+Lloyd code, and FREEZES
+  * the quantizer for arrivals — the stream_ann_maintain contract.
+  * Everything driver-resident stays bounded: k·dim floats (512 KB)
+  * + the 1 KB PQ16 codebook, independent of n. */
+object AnnBuildSoak {
+
+  private val Dim = 64
+  private val PlantedK = 4096
+  private val TrainK = 2048
+  private val NProbe = 2
+  private val NQueries = 16
+
+  /** embedding[j] = clusterCentroid[j] + smallHashNoise — integer
+    * hash arithmetic only, deterministic under any partitioning. */
+  private def vecCol: Column = expr(
+    s"""transform(sequence(0, ${Dim - 1}), j -> CAST(
+       |  (pmod(xxhash64(pmod(id, $PlantedK) * $Dim + j), 1000) / 500.0 - 1.0)
+       |  + (pmod(xxhash64(id * $Dim + j), 1000) / 5000.0)
+       |AS FLOAT))""".stripMargin)
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Driver-side top-`np` IMI cells for a query — the Recall probe
+    * ranking: top-2 supers by (round4 dot desc, id asc), children
+    * re-ranked the same way. */
+  private def probeCells(q: Array[Float],
+      supers: Array[(Long, Array[Float])],
+      groups: Array[Array[(Long, Array[Float])]], np: Int): Seq[Long] =
+    supers.sortBy { case (sid, sv) => (-Similarity.dotRound4(q, sv), sid) }
+      .take(math.max(2, np))
+      .flatMap { case (sid, _) => groups(sid.toInt) }
+      .sortBy { case (cid, cv) => (-Similarity.dotRound4(q, cv), cid) }
+      .take(np).map(_._1).toSeq
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val out = sys.env.getOrElse("SPARK_GRAFT_ANNSOAK_OUT", "BENCH_annsoak.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ann-build-soak")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_annsoak_wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = Files.createTempDirectory("graft_annsoak")
+    try {
+      // ---- corpus: written to parquet first (builds read storage) --
+      val (_, genS) = timed {
+        spark.range(n).select(col("id").as("vec_id"), vecCol.as("embedding"))
+          .write.mode("overwrite").parquet(work.resolve("corpus").toString)
+      }
+      val e = spark.read.parquet(work.resolve("corpus").toString)
+      val isArr = operators.Retrieval.isArrival(col("vec_id"))
+      val base = e.filter(!isArr)
+      val arrivals = e.filter(isArr)
+      val nBase = base.count(); val nArr = arrivals.count()
+
+      // ---- train (frozen thereafter): seed + Lloyd on the md5 sample
+      val ((cents, supers, groups, cb16), trainS) = timed {
+        val m = math.min(nBase, Similarity.SampleFactor.toLong * TrainK).toInt
+        val samp = base
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(m).localCheckpoint(true)
+        val seed = Similarity.centroids(base, TrainK).collect()
+          .map(r => (r.getLong(0), Similarity.collectVector(r, 1)))
+        val cents = Similarity.refineCentroids(samp, seed)
+        val (sup, grp) = Similarity.twoLevelIndexOf(cents)
+        val cb = Similarity.pqCodebookOf(samp, cents.toMap,
+          v => graft.functions.ImiCell2.cell(v, sup, grp),
+          Similarity.GeomPq16)
+        (cents, sup, grp, cb)
+      }
+
+      val centDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(cents.toSeq.map { case (id, cv) =>
+          org.apache.spark.sql.Row(id, cv.toSeq) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cent_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+
+      // one narrow projection: IMI cell + int8 codes + packed PQ16
+      def indexRows(df: DataFrame): DataFrame = {
+        val (csc, cq) = Similarity.quantizeCols(col("embedding"))
+        df.select(col("vec_id"),
+            graft.functions.ImiCell2.cell(col("embedding"), supers, groups)
+              .as("cell"),
+            col("embedding"), csc.as("c_scale"), cq.as("cq"))
+          .join(broadcast(centDf), col("cell") === col("cent_id"))
+          .select(col("vec_id"), col("cell"), col("c_scale"), col("cq"),
+            Similarity.pqCodesCol(cb16, Similarity.GeomPq16)(
+              Similarity.residCol(col("embedding"), col("cv"))).as("codes"))
+      }
+
+      // ---- bulk build into the cell-bucketed serve layout ----------
+      val nb = Similarity.derivedBuckets(spark, nBase, "spark.graft.ann.buckets")
+      val pt = new PartitionedTable(work.resolve("idx"), "cell", nb)
+      val (_, buildS) = timed {
+        pt.appendInto(spark, indexRows(base), Some("annsoak" -> 0L))
+      }
+
+      // ---- arrivals: O(batch) segments, one fold, OPTIMIZE ---------
+      val segDir = work.resolve("segs")
+      Files.createDirectories(segDir)
+      val (_, segS) = timed {
+        (0 until 4).foreach { k =>
+          indexRows(arrivals.filter(pmod(col("vec_id"), lit(4)) === k))
+            .write.mode("overwrite")
+            .parquet(segDir.resolve(f"seg$k%04d").toString)
+        }
+      }
+      val (_, foldS) = timed {
+        pt.appendInto(spark,
+          spark.read.parquet((0 until 4).map(k =>
+            segDir.resolve(f"seg$k%04d").toString): _*),
+          Some("annsoak" -> 1L))
+      }
+      val (_, compactS) = timed { pt.compact(spark) }
+
+      // ---- serve p50 from the persisted layout ---------------------
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), Similarity.collectVector(r, 1)))
+      val (_, qq) = Similarity.quantizeCols(col("embedding"))
+      val qfeat = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), qq.as("qq"))
+      val probeDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(qs.toSeq.flatMap { case (qid, qv) =>
+          probeCells(qv, supers, groups, NProbe).map(c =>
+            org.apache.spark.sql.Row(qid, c)) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("qcell",
+            org.apache.spark.sql.types.LongType))))
+      val qcells = probeDf.join(qfeat, "query_id")
+      val serveRuns = (1 to 7).map { _ =>
+        val (n5, t) = timed {
+          Similarity.frozenInt8Serve(pt.read(spark), qcells).count()
+        }
+        require(n5 == 5L * NQueries, s"serve returned $n5 rows")
+        t
+      }.sorted
+      val serveP50 = serveRuns(serveRuns.length / 2)
+
+      val idxBytes = Files.walk(work.resolve("idx")).filter(Files.isRegularFile(_))
+        .mapToLong(Files.size(_)).sum()
+      val json =
+        s"""{"metric":"ann_build_soak","n":$n,"n_base":$nBase,"n_arrivals":$nArr,""" +
+        s""""dim":$Dim,"k":$TrainK,"n_buckets":$nb,"gen_s":${f"$genS%.1f"},""" +
+        s""""train_s":${f"$trainS%.1f"},"build_s":${f"$buildS%.1f"},""" +
+        s""""build_rows_per_s":${(nBase / buildS).toLong},""" +
+        s""""seg_write_s":${f"$segS%.1f"},"fold_s":${f"$foldS%.1f"},""" +
+        s""""fold_rows_per_s":${(nArr / foldS).toLong},""" +
+        s""""compact_s":${f"$compactS%.1f"},""" +
+        s""""serve_p50_s":${f"$serveP50%.3f"},"nprobe":$NProbe,""" +
+        s""""n_queries":$NQueries,"index_bytes":$idxBytes}"""
+      Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      println(json)
+    } finally {
+      PartitionedTable.deleteRecursively(work)
+      spark.stop()
+    }
+  }
+}

@@ -112,11 +112,19 @@ object Bench {
     // stage — totals are exact.
     val spillMem = new java.util.concurrent.atomic.AtomicLong
     val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    // scan-side accounting (r12 VERDICT item 6): bytes/records read
+    // from storage per query, so an I/O-bound step change (e.g. the
+    // join_bucketed sf5 ratio) is confirmed from the metrics instead
+    // of asserted from the plan
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong
+    val inputRecs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         spillMem.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
         spillDisk.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
+        inputBytes.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+        inputRecs.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
       }
     })
 
@@ -155,6 +163,7 @@ object Bench {
     val ablRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val warmups = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spills = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    val inputs = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Int)]()
     def benchInto(out: scala.collection.mutable.LinkedHashMap[String, Seq[Double]])(
         name: String): Unit = {
       val fn = benchFns(name)
@@ -175,6 +184,7 @@ object Bench {
           t
         }
         val (m0, d0) = (spillMem.get(), spillDisk.get())
+        val (b0, r0) = (inputBytes.get(), inputRecs.get())
         val base = (1 to runsPerQuery).map(_ => sample())
         // adaptive widening: a noisy query earns extra samples so its
         // median can actually resolve a cross-round delta
@@ -182,6 +192,8 @@ object Bench {
         out += name -> (if (spread <= SpreadThreshold || base.size >= maxRuns) base
           else base ++ (base.size until maxRuns).map(_ => sample()))
         spills += name -> (spillMem.get() - m0, spillDisk.get() - d0)
+        inputs += name -> (inputBytes.get() - b0, inputRecs.get() - r0,
+          out(name).length)
       } catch { case _: Throwable =>
         cleanups.remove(name).foreach(_.apply())
         out += name -> Seq(-1.0)
@@ -223,9 +235,15 @@ object Bench {
     val sp = spills.map { case (k, (m, dk)) =>
       s""""$k":{"mem_spill_mb":${m / (1024 * 1024)},"disk_spill_mb":${dk / (1024 * 1024)}}""" }
       .mkString("{", ",", "}")
+    // per-sample averages: the accumulated window covers the timed
+    // samples only (warmup excluded by the snapshot placement)
+    val inp = inputs.map { case (k, (b, r, nRuns)) =>
+      s""""$k":{"read_mb_per_run":${b / (1024 * 1024) / math.max(1, nRuns)},""" +
+        s""""records_per_run":${r / math.max(1, nRuns)}}""" }
+      .mkString("{", ",", "}")
     val heapMax = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val detail = s"""{"runs":$rs,"mad":$mads,"warmup":$ws,""" +
-      s""""spread_threshold":$SpreadThreshold,"spills":$sp,""" +
+      s""""spread_threshold":$SpreadThreshold,"spills":$sp,"inputs":$inp,""" +
       s""""total_mem_spill_mb":${spillMem.get() / (1024 * 1024)},""" +
       s""""total_disk_spill_mb":${spillDisk.get() / (1024 * 1024)},""" +
       s""""heap_max_mb":$heapMax,"ingest_rows":$ingestRows,"sf":"$sfDir"}"""

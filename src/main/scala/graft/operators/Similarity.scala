@@ -780,15 +780,22 @@ object Similarity {
     * m·PqK + j. */
   private[graft] def pqCodebook(s: SparkSession, d: String,
       g: PqGeom = GeomPq8): Array[Array[Double]] =
-    pqCbCache.computeIfAbsent((s, d, g), _ => {
-      val centMap = collectCentroids(s, d).toMap
-      val e = embeddings(s, d)
+    pqCbCache.computeIfAbsent((s, d, g), _ =>
+      pqCodebookOf(embeddings(s, d), collectCentroids(s, d).toMap,
+        imiCellOf(s, d) _, g))
+
+  /** The un-memoized trainer behind `pqCodebook`, parameterized on
+    * corpus / centroid set / cell assigner so non-dataset corpora
+    * (AnnBuildSoak's synthetic 5M-vector tier) train the same way. */
+  private[graft] def pqCodebookOf(e: DataFrame,
+      centMap: Map[Long, Array[Float]], cellCol: Column => Column,
+      g: PqGeom): Array[Array[Double]] = {
       val sampN = math.min(e.count(), (SampleFactor * g.k).toLong).toInt
       val samp = e
         .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
         .limit(sampN)
         .select(col("vec_id"), col("embedding"),
-          imiCellOf(s, d)(col("embedding")).as("cell"))
+          cellCol(col("embedding")).as("cell"))
         .collect().map { r =>
           val v = collectVector(r, 1); val cv = centMap(r.getLong(2))
           (r.getLong(0), Array.tabulate(64)(i => v(i).toDouble - cv(i).toDouble))
@@ -823,7 +830,7 @@ object Similarity {
         }
       }
       Array.tabulate(g.m * g.k)(x => cbs(x / g.k)(x % g.k))
-    })
+  }
 
   /** Residual of a vector against its cell centroid, in DOUBLE —
     * element order preserved for bit-parity with the oracle. */

@@ -154,9 +154,9 @@ object AnnBuildSoak {
       val qs = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), Similarity.collectVector(r, 1)))
-      val (_, qq) = Similarity.quantizeCols(col("embedding"))
+      val (qsc, qq) = Similarity.quantizeCols(col("embedding"))
       val qfeat = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), qq.as("qq"))
+        .select(col("vec_id").as("query_id"), qsc.as("q_scale"), qq.as("qq"))
       val probeDf = spark.createDataFrame(
         spark.sparkContext.parallelize(qs.toSeq.flatMap { case (qid, qv) =>
           probeCells(qv, supers, groups, NProbe).map(c =>

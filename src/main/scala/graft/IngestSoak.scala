@@ -98,14 +98,28 @@ object IngestSoak {
     (raw, Files.size(path))
   }
 
-  private def peakHeapMb(): Long = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
-      .filter(_.getType == java.lang.management.MemoryType.HEAP)
-      .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+  /** TRUE peak heap, sampled: max of `MemoryMXBean.getHeapMemoryUsage
+    * .getUsed` at 100 ms. The pre-r13 metric summed PER-POOL peak
+    * usage — maxima taken at DIFFERENT instants (Eden's peak is just
+    * before a young GC empties it into Old), so the sum can exceed
+    * Xmx itself: the r12 artifact reported an 11.3 GB "peak" and this
+    * round a 10.4 GB one under a HARD 8 GiB cap. The r12 "peak heap
+    * grew 5.8→11.3 GB across 1→10 GB inputs" curve was this artifact
+    * too — pool peaks track GC cadence, not live set. */
+  private val peakSampled = new java.util.concurrent.atomic.AtomicLong
+  private def startHeapSampler(): Thread = {
+    val mx = java.lang.management.ManagementFactory.getMemoryMXBean
+    val t = new Thread(() => {
+      try while (true) {
+        peakSampled.updateAndGet(p => math.max(p, mx.getHeapMemoryUsage.getUsed))
+        Thread.sleep(100L)
+      } catch { case _: InterruptedException => }
+    }, "graft-heap-sampler")
+    t.setDaemon(true); t.start(); t
   }
 
   def main(args: Array[String]): Unit = {
+    startHeapSampler()
     val n = args.headOption.map(_.toLong).getOrElse(4000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -176,7 +190,8 @@ object IngestSoak {
       s""""gen_sec":${fmt(genSec)},"bulk_sec":${fmt(bulkSec)},""" +
       s""""rows_per_sec":$rate,"geom_sec":${fmt(geomSec)},""" +
       s""""replicate_sec":${fmt(replSec)},"replicate_diffs":32,""" +
-      s""""peak_heap_mb":${peakHeapMb()},""" +
+      s""""peak_heap_mb":${peakSampled.get() / (1024 * 1024)},""" +
+      s""""heap_cap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},""" +
       s""""baseline_rows_per_sec":"3000-4600 (README.md:74, single thread)"}"""
     Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_INGEST_OUT", "BENCH_r10_ingest.json")), json + "\n")

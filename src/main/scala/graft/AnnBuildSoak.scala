@@ -176,8 +176,10 @@ object AnnBuildSoak {
       }.sorted
       val serveP50 = serveRuns(serveRuns.length / 2)
 
-      val idxBytes = Files.walk(work.resolve("idx")).filter(Files.isRegularFile(_))
-        .mapToLong(Files.size(_)).sum()
+      val idxWalk = Files.walk(work.resolve("idx"))
+      val idxBytes =
+        try idxWalk.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+        finally idxWalk.close()
       val json =
         s"""{"metric":"ann_build_soak","n":$n,"n_base":$nBase,"n_arrivals":$nArr,""" +
         s""""dim":$Dim,"k":$TrainK,"n_buckets":$nb,"gen_s":${f"$genS%.1f"},""" +

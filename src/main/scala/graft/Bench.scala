@@ -108,8 +108,9 @@ object Bench {
     // proof): stage-level memory/disk spill bytes, snapshotted around
     // each query so a constrained-heap run documents WHERE the
     // operators spill instead of asserting they don't. Listener events
-    // are async, so per-query attribution can shift by one trailing
-    // stage — totals are exact.
+    // are async, so the bus is DRAINED before every snapshot
+    // (ListenerFlush) — per-query attribution is exact, not
+    // one-trailing-stage fuzzy.
     val spillMem = new java.util.concurrent.atomic.AtomicLong
     val spillDisk = new java.util.concurrent.atomic.AtomicLong
     // scan-side accounting (r12 VERDICT item 6): bytes/records read
@@ -183,6 +184,7 @@ object Bench {
           cleanups.remove(name).foreach(_.apply())
           t
         }
+        org.apache.spark.graftbridge.ListenerFlush.waitUntilEmpty(spark.sparkContext)
         val (m0, d0) = (spillMem.get(), spillDisk.get())
         val (b0, r0) = (inputBytes.get(), inputRecs.get())
         val base = (1 to runsPerQuery).map(_ => sample())
@@ -191,6 +193,7 @@ object Bench {
         val spread = (base.max - base.min) / math.max(median(base), 1e-9)
         out += name -> (if (spread <= SpreadThreshold || base.size >= maxRuns) base
           else base ++ (base.size until maxRuns).map(_ => sample()))
+        org.apache.spark.graftbridge.ListenerFlush.waitUntilEmpty(spark.sparkContext)
         spills += name -> (spillMem.get() - m0, spillDisk.get() - d0)
         inputs += name -> (inputBytes.get() - b0, inputRecs.get() - r0,
           out(name).length)
@@ -237,8 +240,11 @@ object Bench {
       .mkString("{", ",", "}")
     // per-sample averages: the accumulated window covers the timed
     // samples only (warmup excluded by the snapshot placement)
+    // divide bytes by run count BEFORE flooring to KB (flooring first
+    // zeroed any query reading < nRuns MB total — r13 ADVICE); KB
+    // resolution keeps small-tier I/O visible
     val inp = inputs.map { case (k, (b, r, nRuns)) =>
-      s""""$k":{"read_mb_per_run":${b / (1024 * 1024) / math.max(1, nRuns)},""" +
+      s""""$k":{"read_kb_per_run":${b / math.max(1, nRuns) / 1024},""" +
         s""""records_per_run":${r / math.max(1, nRuns)}}""" }
       .mkString("{", ",", "}")
     val heapMax = Runtime.getRuntime.maxMemory() / (1024 * 1024)

@@ -195,6 +195,21 @@ object PlanAudit {
       "with broadcast off the rewritten candidates meet in a cell-keyed shuffle equi-join — identical physical shape to the hand-built join_bbox_grid",
       conf = Map(graft.plans.GridBboxJoinRule.SkipBytesKey -> "0",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    // EP3: SQL text lowers to the same physical plans as the DSL —
+    // including the injected optimizer rule firing on a SQL-typed join
+    Check("sql_bbox_auto", "optimizer rewrites the SQL-typed theta join to grid cells", "graft_cx",
+      "a psql-style user types the naive overlap join as SQL text; GridBboxJoinRule plans it identically to the DataFrame form",
+      conf = Map(graft.plans.GridBboxJoinRule.SkipBytesKey -> "0")),
+    Check("sql_bbox_auto", "no nested loop after SQL-typed rewrite", "ABSENT:REGEX:BroadcastNestedLoopJoin|CartesianProduct",
+      "the SQL parse path must not bypass the rule: no nested-loop node survives at any broadcast setting",
+      conf = Map(graft.plans.GridBboxJoinRule.SkipBytesKey -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Check("sql_envelope_join", "SQL containment join broadcasts the envelope VALUES", "BroadcastNestedLoopJoin",
+      "the README's envelope-containment query typed as SQL plans exactly like join_range_bbox: 4-row inline VALUES broadcast, fact side never shuffles"),
+    Check("sql_area_filter", "injected bbox_area expression reachable from SQL", "bbox_area",
+      "the custom Catalyst expression appears in the SQL-typed plan — the hstore/PostGIS extension analog is the session function registry"),
+    Check("sql_map_contains", "SQL property-bag predicate stays code-generated", "EXECUTED:*(1)",
+      "map_contains_key typed as SQL text compiles into whole-stage codegen like the DSL form"),
     Check("join_band_auto", "optimizer blocks the BETWEEN join on cells", "graft_pcell",
       "the point-in-interval (IP-range / price-band lookup) shape: BandJoinRule adds floor(p/w) to the point side and explodes intervals to covered cells — the cell columns are the rewrite's signature",
       conf = Map(graft.plans.BandJoinRule.SkipBytesKey -> "0",
@@ -263,7 +278,8 @@ object PlanAudit {
             graft.operators.Spatial.joinBboxGridG(s, d, graft.operators.Spatial.GridDeg)),
         "join_bbox_auto" -> graft.operators.Spatial.joinBboxAutoPlan _,
         "join_band_auto" -> graft.operators.Spatial.joinBandAutoPlan _,
-        "join_interval_auto" -> graft.operators.Spatial.joinIntervalAutoPlan _)
+        "join_interval_auto" -> graft.operators.Spatial.joinIntervalAutoPlan _,
+        "sql_bbox_auto" -> graft.operators.SqlSurface.sqlBboxAutoPlan _)
     def build(name: String) =
       planOnly.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
     val audited = checks.map(_.query).distinct

@@ -38,7 +38,7 @@ object SparkEntry {
       graft.streaming.EventStreams.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       Pipeline.queries ++ Sampling.queries ++ Layout.queries ++ BloomJoin.queries ++
-      Retrieval.queries ++ Main.queries
+      Retrieval.queries ++ Main.queries ++ SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -48,5 +48,5 @@ object SparkEntry {
       graft.streaming.EventStreams.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       Pipeline.oracles ++ Sampling.oracles ++ Layout.oracles ++ BloomJoin.oracles ++
-      Retrieval.oracles ++ Main.oracles
+      Retrieval.oracles ++ Main.oracles ++ SqlSurface.oracles
 }

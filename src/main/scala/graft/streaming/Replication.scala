@@ -217,10 +217,18 @@ object Replication {
     * goes stale and the next acquirer steals the lock. Tunable per
     * deployment via system properties (read once per JVM — every
     * contender on a share must agree on the horizon). */
-  val HeartbeatMillis: Long =
-    sys.props.get("graft.lease.heartbeat.ms").map(_.toLong).getOrElse(2000L)
-  val StaleAfterMillis: Long =
-    sys.props.get("graft.lease.stale.ms").map(_.toLong).getOrElse(30000L)
+  private def longProp(key: String, default: Long): Long =
+    sys.props.get(key).map { v =>
+      scala.util.Try(v.trim.toLong).getOrElse {
+        // a malformed tunable must not turn into an opaque
+        // ExceptionInInitializerError at first use (r13 ADVICE)
+        System.err.println(s"[graft] malformed $key='$v' — using $default")
+        default
+      }
+    }.getOrElse(default)
+
+  val HeartbeatMillis: Long = longProp("graft.lease.heartbeat.ms", 2000L)
+  val StaleAfterMillis: Long = longProp("graft.lease.stale.ms", 30000L)
 
   /** `LOCK ... NOWAIT` analog with LEASE TAKEOVER, two layers deep.
     *

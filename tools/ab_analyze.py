@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Analyze the interleaved A/B drift experiment (tools/ab_drift.sh).
+
+Reads /tmp/ab_ra.jsonl (r12 HEAD) and /tmp/ab_rb.jsonl (r13 HEAD):
+one bench JSON line per run, interleaved A/B/A/B in one session.
+Emits AB_DRIFT_r14.json with paired per-run totals, per-query paired
+medians, and the verdict: 'drift' if the paired delta is within the
+paired noise envelope, else 'regression' with the offending queries.
+"""
+import json
+import statistics
+import sys
+
+
+def med(v):
+    return statistics.median(v)
+
+
+def load(path):
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
+
+
+def main():
+    ra = load("/tmp/ab_ra.jsonl")
+    rb = load("/tmp/ab_rb.jsonl")
+    n = min(len(ra), len(rb))
+    if n == 0:
+        sys.exit("no A/B runs found")
+    ra, rb = ra[:n], rb[:n]
+
+    tot_a = [r["value"] for r in ra]
+    tot_b = [r["value"] for r in rb]
+    # paired per-run delta: positive = r13 slower
+    d_tot = [b - a for a, b in zip(tot_a, tot_b)]
+    rel = med(d_tot) / med(tot_a)
+
+    # per-query paired medians over the headline set both heads share
+    qs = sorted(set(ra[0]["queries"]) & set(rb[0]["queries"]))
+    per_q = {}
+    for q in qs:
+        va = [r["queries"][q] for r in ra]
+        vb = [r["queries"][q] for r in rb]
+        if any(x < 0 for x in va + vb):
+            continue
+        dq = [b - a for a, b in zip(va, vb)]
+        # paired noise: MAD of the per-pair deltas (cancels slow drift)
+        m = med(dq)
+        noise = med([abs(x - m) for x in dq])
+        per_q[q] = {
+            "a_median": round(med(va), 3),
+            "b_median": round(med(vb), 3),
+            "paired_delta_median": round(m, 3),
+            "paired_delta_mad": round(noise, 3),
+            "significant": abs(m) > max(3 * noise, 0.02),
+        }
+
+    sig_slow = {q: v for q, v in per_q.items()
+                if v["significant"] and v["paired_delta_median"] > 0}
+    sig_fast = {q: v for q, v in per_q.items()
+                if v["significant"] and v["paired_delta_median"] < 0}
+    verdict = ("regression" if abs(rel) > 0.03 and len(sig_slow) > 2
+               else "drift_confirmed")
+
+    out = {
+        "design": "interleaved A/B/A/B, one session, warm cache, "
+                  "r12 HEAD (86aebbb) vs r13 HEAD (72cd8f6)",
+        "pairs": n,
+        "totals_a": [round(x, 3) for x in tot_a],
+        "totals_b": [round(x, 3) for x in tot_b],
+        "paired_total_delta": [round(x, 3) for x in d_tot],
+        "total_a_median": round(med(tot_a), 3),
+        "total_b_median": round(med(tot_b), 3),
+        "relative_delta": round(rel, 4),
+        "verdict": verdict,
+        "significant_slower_queries": sig_slow,
+        "significant_faster_queries": sig_fast,
+        "per_query": per_q,
+    }
+    with open("AB_DRIFT_r14.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"pairs={n} A={med(tot_a):.2f}s B={med(tot_b):.2f}s "
+          f"rel={rel:+.1%} verdict={verdict}")
+    for q, v in sorted(sig_slow.items()):
+        print(f"  SLOWER {q}: {v['a_median']} -> {v['b_median']}")
+    for q, v in sorted(sig_fast.items()):
+        print(f"  FASTER {q}: {v['a_median']} -> {v['b_median']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,28 @@ def connect(sf_dir):
     return con
 
 
+def input_fingerprint(sf_dir):
+    """Cheap content fingerprint of the oracle's input tables: path +
+    size + mtime of every table parquet (parts for Spark-written
+    dirs). Any rewrite of the test data changes the fingerprint and
+    invalidates cached oracle results for that sf_dir."""
+    import hashlib
+    h = hashlib.sha256()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        files = sorted(glob.glob(f"{p}/*.parquet")) if os.path.isdir(p) \
+            else ([p] if os.path.exists(p) else [])
+        for f in files:
+            st = os.stat(f)
+            h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
+def cache_key(name, sql, fp):
+    import hashlib
+    return hashlib.sha256(f"{name}\x01{sql}\x01{fp}".encode()).hexdigest()
+
+
 def main():
     # optional: --timeout-sec N caps each ORACLE's DuckDB run (a
     # watchdog thread calls con.interrupt()); an oracle that exceeds
@@ -121,11 +143,24 @@ def main():
     # an exclusion with a reason is RECORDED in the --json manifest
     # (status "excluded"), never silently omitted: the per-tier gate
     # artifact must account for all declared queries in one parse.
+    # --cache[=dir]: memoize each oracle's DuckDB result digest keyed by
+    # (query name, oracle SQL, input-table fingerprint). A re-sweep
+    # recomputes only what changed — the sf5 gate's ~2000 s of DuckDB
+    # ground-truth (curate_full 1398 s + top_overlap 580 s) is paid once
+    # per (SQL, data) pair, not per re-verification. The SPARK side
+    # always re-runs and re-hashes: only the ground-truth recomputation
+    # is memoized, and any edit to the oracle SQL or the input parquet
+    # invalidates the entry by construction of the key.
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     timeout = None
     skip = {}
     json_out = None
+    cache_dir = None
     for a in sys.argv[1:]:
+        if a == "--cache":
+            cache_dir = os.path.expanduser("~/.cache/graft_oracle")
+        if a.startswith("--cache="):
+            cache_dir = a.split("=", 1)[1]
         if a.startswith("--timeout-sec="):
             timeout = float(a.split("=", 1)[1])
         if a.startswith("--skip="):
@@ -140,6 +175,10 @@ def main():
             json_out = a.split("=", 1)[1]
     out_dir = args[0]
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+    fp = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        fp = input_fingerprint(sf_dir)
     con = connect(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
@@ -166,9 +205,19 @@ def main():
             records[name] = {"status": "no_oracle", "rows": n_got}
             n_noora += 1
             continue
+        cache_path = None
+        cache_hit = False
+        if cache_dir:
+            cache_path = os.path.join(
+                cache_dir, cache_key(name, oracles[name], fp) + ".json")
+            if os.path.exists(cache_path):
+                ent = json.load(open(cache_path))
+                exp_cols = ent["exp_cols"]
+                exp_hash, n_exp = ent["exp_hash"], ent["n_exp"]
+                cache_hit = True
         timer = None
         timed_out = [False]
-        if timeout:
+        if timeout and not cache_hit:
             import threading
             c = con
             def interrupt(c=c):
@@ -177,9 +226,21 @@ def main():
             timer = threading.Timer(timeout, interrupt)
             timer.start()
         try:
-            cur = con.execute(oracles[name])
-            exp_cols = [d[0] for d in con.description]
-            exp_hash, n_exp = rows_hash(iter_duck_rows(cur), exp_cols)
+            if not cache_hit:
+                import time as _time
+                t0 = _time.monotonic()
+                cur = con.execute(oracles[name])
+                exp_cols = [d[0] for d in con.description]
+                exp_hash, n_exp = rows_hash(iter_duck_rows(cur), exp_cols)
+                if cache_path:
+                    tmp = cache_path + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump({"name": name, "sf_dir": sf_dir,
+                                   "exp_cols": exp_cols, "exp_hash": exp_hash,
+                                   "n_exp": n_exp,
+                                   "duckdb_seconds": round(
+                                       _time.monotonic() - t0, 3)}, f)
+                    os.replace(tmp, cache_path)
         except Exception as e:
             if timer:
                 timer.cancel()
@@ -218,10 +279,11 @@ def main():
         ok_rows = n_got == n_exp
         ok_hash = ok_schema and ok_rows and got_hash == exp_hash
         if ok_hash:
-            print(f"PASS  {name}: rows={n_got}")
+            print(f"PASS  {name}: rows={n_got}"
+                  + (" (oracle cached)" if cache_hit else ""))
             records[name] = {"status": "pass", "rows_match": True,
                              "schema_match": True, "hash_match": True,
-                             "rows": n_got}
+                             "rows": n_got, "oracle_cached": cache_hit}
             n_pass += 1
         else:
             n_fail += 1

@@ -176,6 +176,67 @@ object AnnBuildSoak {
       }.sorted
       val serveP50 = serveRuns(serveRuns.length / 2)
 
+      // ---- serve latency decomposition (r14 VERDICT item 3): where
+      // does the p50 go at an online query stream? Three layers:
+      //   1. PLANNING: cold runs above rebuild+reanalyze the DataFrame
+      //      per query; a long-lived serve session reuses one Dataset
+      //      (AQE plan finalized once) — the cold−reused delta is the
+      //      per-query planning tax a naive client pays.
+      //   2. DRIVER SUBMIT: reused wall − in-job wall = scheduler/
+      //      DAG-submit overhead outside any Spark job.
+      //   3. EXECUTION: per-stage wall and summed executor task time
+      //      (task_time / cores = the ideal-parallel floor — the part
+      //      that scales with the index; everything above it is
+      //      per-query constant that amortizes at higher qps or
+      //      disappears behind a reused-plan serve loop).
+      val jobStarts = new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]
+      val jobWallMs = new java.util.concurrent.atomic.AtomicLong
+      val stageWallMs = new java.util.concurrent.atomic.AtomicLong
+      val taskTimeMs = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStarts.put(j.jobId, j.time)
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobStarts.remove(j.jobId)
+          if (t0 != null) jobWallMs.addAndGet(j.time - t0)
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          for (s <- si.submissionTime; c <- si.completionTime)
+            stageWallMs.addAndGet(c - s)
+          taskTimeMs.addAndGet(si.taskMetrics.executorRunTime)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def drain(): Unit =
+        org.apache.spark.graftbridge.ListenerFlush.waitUntilEmpty(spark.sparkContext)
+      val servedOnce = Similarity.frozenInt8Serve(pt.read(spark), qcells)
+      servedOnce.collect() // finalize the AQE plan outside timing
+      val reusedRuns = (1 to 7).map { _ =>
+        drain()
+        val (j0, s0, t0) = (jobWallMs.get, stageWallMs.get, taskTimeMs.get)
+        val (rows, t) = timed { servedOnce.collect() }
+        require(rows.length == 5 * NQueries, s"serve returned ${rows.length} rows")
+        drain()
+        (t, (jobWallMs.get - j0) / 1e3, (stageWallMs.get - s0) / 1e3,
+          (taskTimeMs.get - t0) / 1e3)
+      }.sortBy(_._1)
+      spark.sparkContext.removeSparkListener(listener)
+      val (reusedP50, jobsW, stageW, taskT) = reusedRuns(reusedRuns.length / 2)
+      val cores = spark.sparkContext.defaultParallelism
+      val breakdown =
+        s"""{"cold_plan_p50_s":${f"$serveP50%.3f"},""" +
+        s""""reused_plan_p50_s":${f"$reusedP50%.3f"},""" +
+        s""""planning_overhead_p50_s":${f"${serveP50 - reusedP50}%.3f"},""" +
+        s""""jobs_wall_p50_s":${f"$jobsW%.3f"},""" +
+        s""""driver_submit_overhead_p50_s":${f"${reusedP50 - jobsW}%.3f"},""" +
+        s""""stage_wall_p50_s":${f"$stageW%.3f"},""" +
+        s""""executor_task_time_p50_s":${f"$taskT%.3f"},""" +
+        s""""ideal_parallel_task_s":${f"${taskT / cores}%.3f"},"cores":$cores}"""
+
       val idxWalk = Files.walk(work.resolve("idx"))
       val idxBytes =
         try idxWalk.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
@@ -189,6 +250,7 @@ object AnnBuildSoak {
         s""""fold_rows_per_s":${(nArr / foldS).toLong},""" +
         s""""compact_s":${f"$compactS%.1f"},""" +
         s""""serve_p50_s":${f"$serveP50%.3f"},"nprobe":$NProbe,""" +
+        s""""serve_breakdown":$breakdown,""" +
         s""""n_queries":$NQueries,"index_bytes":$idxBytes}"""
       Files.writeString(java.nio.file.Paths.get(out), json + "\n")
       println(json)

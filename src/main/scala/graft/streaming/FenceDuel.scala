@@ -125,7 +125,62 @@ object FenceDuel {
           }
         } finally s.stop()
 
+      // Chaos-duel contestant (`graft.streaming.ChaosDuel` orchestrates
+      // N of these × M rounds with randomized SIGKILL / SIGSTOP+steal
+      // injection): per round, race the other writers for the lease and
+      // commit the round's batch exactly once. The committed-already
+      // check runs UNDER the lease, so a predecessor that was SIGKILLed
+      // between its manifest swap and its DONE marker cannot cause a
+      // double commit — the successor reads the committed state first.
+      // Exits 0 after its last round; FencedCommitException (lease
+      // stolen mid-commit) retries the round under a fresh lease.
+      case "chaos_writer" =>
+        val id = args(2).toInt
+        val rounds = args(3).toInt
+        val start = args.lift(4).map(_.toInt).getOrElse(0)
+        val s = session()
+        try {
+          for (k <- start until rounds) {
+            await(s"ROUND_${k}_GO")
+            var done = false
+            while (!done) {
+              if (Files.exists(marker(s"ROUND_${k}_DONE"))) done = true
+              else try Replication.withWriterLease(leaseDir) { lease =>
+                val pt = table(dir)
+                  .withFence(() => lease.check(), Some(lease.generation))
+                try {
+                  val already = pt.exists &&
+                    pt.read(s).filter(col("round") === k).limit(1).count() > 0L
+                  if (!already) {
+                    val base = k.toLong * 1000L + id.toLong * 100L
+                    pt.appendInto(s,
+                      s.range(base, base + 10L).select(col("id"),
+                        lit(s"w$id").as("writer"), lit(k).as("round")),
+                      Some(s"w$id" -> k.toLong))
+                    drop(s"ROUND_${k}_WIN_w$id")
+                  }
+                  drop(s"ROUND_${k}_DONE")
+                  done = true
+                } catch {
+                  case _: PartitionedTable.FencedCommitException =>
+                    // stolen mid-commit: record the refusal (the chaos
+                    // orchestrator asserts the freeze victim WAS fenced)
+                    // and retry the round under a fresh lease
+                    drop(s"FENCED_w${id}_r$k")
+                } finally pt.clearFence()
+              } catch {
+                case e: IllegalStateException
+                  if e.getMessage.contains("already in progress") =>
+                  Thread.sleep(30L) // NOWAIT-refused: spin politely
+              }
+            }
+          }
+          0
+        } finally s.stop()
+
       case "stealer" =>
+        val stealIdx = args.lift(2).filter(_.forall(_.isDigit))
+          .map(_.toLong).getOrElse(0L)
         val lock = leaseDir.resolve("LOCK")
         val parts = new String(Files.readAllBytes(lock), "UTF-8")
           .trim.split("\\s+")
@@ -149,7 +204,10 @@ object FenceDuel {
           val s = session()
           try {
             val pt = table(dir).withFence(() => check(), Some(gen))
-            try { pt.appendInto(s, batch(s, 300L, "S"), Some("stealer" -> 0L)); 0 }
+            // per-steal base id + txn version so a chaos run's repeated
+            // steals each land (same (app, ver) would no-op as replay)
+            try { pt.appendInto(s, batch(s, 300L + stealIdx * 10L, "S"),
+              Some("stealer" -> stealIdx)); 0 }
             finally pt.clearFence()
           } finally s.stop()
         }

@@ -174,8 +174,18 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     * the schema line). */
   private def schemaToRecord(spark: SparkSession,
       mutationSchema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
-    if (storedSchema.isDefined) mutationSchema
-    else {
+    if (storedSchema.isDefined) {
+      // union with the RECORDED schema, never replace: a mutation that
+      // touches only buckets with no existing files (fresh bucket of an
+      // append) reads nothing back, so its own schema can be NARROWER
+      // than the table union — recording it verbatim would silently
+      // drop the missing columns from every later explicit-schema read
+      // of the untouched buckets (r14 fix; spec-pinned)
+      val stored = storedSchema.get
+      org.apache.spark.sql.types.StructType(
+        mutationSchema.fields ++
+          stored.fields.filterNot(f => mutationSchema.fieldNames.contains(f.name)))
+    } else {
       val m = manifest
       if (m.isEmpty) mutationSchema
       else {

@@ -322,6 +322,9 @@ object Replication {
     def leaseStale(bytes: Array[Byte], mtime: Long): Boolean = {
       val now = System.currentTimeMillis
       val parts = new String(bytes, "UTF-8").trim.split("\\s+")
+      // clean-handoff tombstone: immediately acquirable, and its
+      // recorded generation seeds the successor's (see release below)
+      if (parts.lift(2).contains("released")) return true
       try {
         val alive = ProcessHandle.of(parts(0).toLong)
           .map[java.lang.Boolean](_.isAlive).orElse(false)
@@ -389,9 +392,39 @@ object Replication {
     try body(new WriterLease(lock, nonce, generation, lost)) finally {
       hb.interrupt(); hb.join(HeartbeatMillis * 5)
       if (pathNonce()) {
-        try Files.deleteIfExists(lock) catch { case _: Exception => () }
+        // Leave a RELEASED tombstone carrying the fencing generation,
+        // never delete: deleting reset the epoch to 1 on the next
+        // clean acquisition while any table that had accepted a
+        // takeover's higher token remembered it — every later lease's
+        // commit was then refused FOREVER (the mirror image of the
+        // reference's "forever locked" caveat, changesetmd.py:163-164;
+        // found by the r14 chaos duel, ChaosDuelSpec). The tombstone
+        // (pid 0, marker "released") is immediately acquirable and
+        // seeds the successor's generation at predecessor + 1, keeping
+        // the epoch monotone across clean handoffs too.
+        try {
+          ch.truncate(0L)
+          ch.write(java.nio.ByteBuffer.wrap(
+            (s"0 ${System.currentTimeMillis} released " +
+              s"$generation").getBytes("UTF-8")), 0L)
+          ch.force(true)
+        } catch { case _: Exception =>
+          try Files.deleteIfExists(lock) catch { case _: Exception => () }
+        }
       }
       try ch.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** A lease directory with NO live holder: the lock file is absent or
+    * holds the clean-handoff tombstone. (The tombstone is not a held
+    * lock — it exists to carry the fencing generation forward.) */
+  def lockReleased(dir: Path): Boolean = {
+    val lock = dir.resolve("LOCK")
+    !Files.exists(lock) || {
+      try new String(Files.readAllBytes(lock), "UTF-8").trim
+        .split("\\s+").lift(2).contains("released")
+      catch { case _: Exception => false }
     }
   }
 
@@ -582,7 +615,7 @@ object Replication {
       try { catchUp(spark, base, tableDir, state, batchSize = 2); false }
       catch { case _: Exception => true }
     val offsetAfterFailure = StateDoc.read(state).lastSequence
-    val lockReleased = !Files.exists(tableDir.getParent.resolve("LOCK"))
+    val lockReleased = Replication.lockReleased(tableDir.getParent)
     OsmXml.writeFixture(base.resolve(sequencePath(3L)), OsmXml.diffFixture(3L))
     val appliedAfterRepair = catchUp(spark, base, tableDir, state, batchSize = 2)
     val finalOffset = StateDoc.read(state).lastSequence

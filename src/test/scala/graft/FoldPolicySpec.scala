@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.FoldPolicy
+
+/** Pins the fold-cadence policy to the MAINTAIN_r13.json measurements:
+  * the rent-or-buy trigger lands where the measured serve-tax curve
+  * and fold cost say it should. */
+class FoldPolicySpec extends AnyFunSuite {
+
+  // MAINTAIN_r13.json sf0.1 bm25: serve 0.77 s @0 segs, 2.313 @8, 5.661 @32
+  val curveSf01 = Seq(0 -> 0.77, 8 -> 2.313, 32 -> 5.661)
+  // MAINTAIN_r13.json sf1 bm25: 1.123 @0, 2.793 @8, 5.715 @32
+  val curveSf1 = Seq(0 -> 1.123, 8 -> 2.793, 32 -> 5.715)
+
+  test("tax estimate recovers the measured near-linear slope") {
+    val t01 = FoldPolicy.estimateTaxPerSegment(curveSf01)
+    assert(t01 > 0.13 && t01 < 0.17, s"sf0.1 slope $t01")
+    val t1 = FoldPolicy.estimateTaxPerSegment(curveSf1)
+    assert(t1 > 0.12 && t1 < 0.16, s"sf1 slope $t1")
+  }
+
+  test("steady-state trigger on the measured sf0.1 curve: fold at ~6 segments") {
+    // fold cost 2.563 s (epoch_fold_sec), tax ~0.150 s/segment/serve:
+    // accrued tax k(k+1)/2 * 0.150 crosses 2.563 at k=6 (3.15 s >= 2.563)
+    val tax = FoldPolicy.estimateTaxPerSegment(curveSf01)
+    val k = FoldPolicy.steadyStateTrigger(2.563, tax)
+    assert(k === 6, s"trigger $k")
+    // sf1: fold cost 7.75 s, tax ~0.138 -> trigger at k=11
+    val k1 = FoldPolicy.steadyStateTrigger(7.75,
+      FoldPolicy.estimateTaxPerSegment(curveSf1))
+    assert(k1 === 11, s"sf1 trigger $k1")
+  }
+
+  test("policy accrues tax only when serves happen (write-only epochs never fold)") {
+    val p = new FoldPolicy(2.563, 0.15)
+    (1 to 100).foreach(_ => p.onSegment())
+    assert(!p.shouldFold) // 100 segments, zero serves: no one paid a tax
+    assert(p.unfoldedSegments === 100)
+  }
+
+  test("serve-heavy epoch folds exactly at the rent-or-buy point") {
+    val p = new FoldPolicy(2.563, 0.15)
+    var folds = 0
+    for (_ <- 1 to 6) {
+      p.onSegment()
+      p.onServe() // one serve per segment interval
+      if (p.shouldFold) { folds += 1; p.onFold() }
+    }
+    assert(folds === 1)
+    assert(p.unfoldedSegments === 0) // reset after the fold
+  }
+
+  test("online estimates converge toward observed timings") {
+    val p = new FoldPolicy(2.563, 0.15, alpha = 0.5)
+    // observed serves imply a steeper tax (0.30 s/segment)
+    p.onSegment(); p.onSegment()
+    p.onServe(observedServeSec = Some(0.77 + 2 * 0.30), baselineServeSec = 0.77)
+    assert(p.estimatedTaxPerSegment > 0.15 && p.estimatedTaxPerSegment <= 0.30)
+    // observed folds imply a cheaper fold (1.0 s)
+    p.onFold(observedFoldSec = Some(1.0))
+    assert(p.estimatedFoldCost < 2.563 && p.estimatedFoldCost >= 1.0)
+    // steeper tax + cheaper fold => earlier trigger than the seed's 6
+    val k = FoldPolicy.steadyStateTrigger(
+      p.estimatedFoldCost, p.estimatedTaxPerSegment)
+    assert(k < 6, s"trigger $k")
+  }
+}

@@ -24,7 +24,7 @@ class LockSpec extends AnyFunSuite {
       s"${deadPid()} ${System.currentTimeMillis}".getBytes("UTF-8"))
     val ran = Replication.withWriterLock(dir) { true }
     assert(ran)
-    assert(!Files.exists(dir.resolve("LOCK")), "lock released after the stolen run")
+    assert(Replication.lockReleased(dir), "lock released after the stolen run")
   }
 
   test("a silent holder (live pid, heartbeat past the horizon) is stolen") {
@@ -42,7 +42,7 @@ class LockSpec extends AnyFunSuite {
       true
     }
     assert(refused)
-    assert(!Files.exists(dir.resolve("LOCK")))
+    assert(Replication.lockReleased(dir))
   }
 
   test("a FRESH unreadable lock file is treated as held — a transient read must not be stolen") {
@@ -59,7 +59,7 @@ class LockSpec extends AnyFunSuite {
     Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis - Replication.StaleAfterMillis - 60000))
     assert(Replication.withWriterLock(dir) { true })
-    assert(!Files.exists(lock))
+    assert(Replication.lockReleased(dir))
   }
 
   test("N contenders racing on one stale lock: mutual exclusion holds, exactly one body at a time") {
@@ -84,7 +84,7 @@ class LockSpec extends AnyFunSuite {
     threads.foreach(_.start()); start.countDown(); threads.foreach(_.join(30000))
     assert(!overlapped.get, "two writers were inside the lock simultaneously")
     assert(ran.get >= 1, "the stale lock was never taken over")
-    assert(!Files.exists(dir.resolve("LOCK")), "last holder released")
+    assert(Replication.lockReleased(dir), "last holder released")
   }
 
   test("release is idempotent against a successor: a finished run never deletes the next holder's lock") {

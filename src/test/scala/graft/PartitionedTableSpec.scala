@@ -475,4 +475,29 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(g.lastTxn("sinkA") === Some(1L) && g.lastTxn("merger") === Some(7L))
     assert(g.mergeInto(spark, b0, txn = Some("merger" -> 7L)) === Nil)
   }
+
+  test("narrow append into only-fresh buckets must not narrow the recorded union schema") {
+    // r14 fix: an append whose touched buckets have NO existing files
+    // reads nothing back, so merged.schema is just the batch's — if
+    // that were recorded verbatim, columns living only in untouched
+    // buckets would vanish from every later explicit-schema read
+    val dir = Files.createTempDirectory("graft_pt_schema")
+    val t = new PartitionedTable(dir, "id", nBuckets = 4)
+    // pick one id per bucket with the table's own bucket function
+    val byBucket = spark.range(0, 64)
+      .select(col("id"), pmod(hash(col("id")), lit(4)).as("b"))
+      .collect().groupBy(_.getInt(1)).map { case (b, rs) => b -> rs.head.getLong(0) }
+    val wideId = byBucket(0)
+    val narrowId = byBucket(1) // lands in a bucket the wide write never touched
+    t.appendInto(spark, Seq((wideId, "keepme")).toDF("id", "extra"),
+      txn = Some("w" -> 0L))
+    t.appendInto(spark, Seq(narrowId).toDF("id"), txn = Some("w" -> 1L))
+    val out = t.read(spark)
+    assert(out.columns.toSet === Set("id", "extra"),
+      s"recorded schema narrowed to ${out.columns.mkString(",")}")
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows(wideId) === "keepme", "wide bucket's column value lost")
+    assert(rows(narrowId) === null)
+  }
 }

@@ -20,9 +20,10 @@ def load(path):
     rows = []
     with open(path) as f:
         for line in f:
-            line = line.strip()
-            if line:
-                rows.append(json.loads(line))
+            # sbt prefixes runMain stdout with "[info] "
+            i = line.find("{")
+            if i >= 0:
+                rows.append(json.loads(line[i:]))
     return rows
 
 

@@ -24,8 +24,9 @@ for d in ra rb; do
   (cd "$AB/$d" && sbt -batch compile >"/tmp/ab_compile_$d.log" 2>&1)
 done
 
-# warm the page cache once for both sides
-find "$SF" -name '*.parquet' -exec cat {} + >/dev/null
+# warm the page cache once for both sides (tables are directories of
+# part files on ScaleGen tiers)
+find "$SF" -type f -exec cat {} + >/dev/null || true
 
 rm -f /tmp/ab_ra.jsonl /tmp/ab_rb.jsonl
 for i in $(seq 1 "$PAIRS"); do

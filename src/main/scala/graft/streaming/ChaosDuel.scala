@@ -152,26 +152,35 @@ object ChaosDuel {
       }
 
       if (k >= freezeFromRound && !freezeDone) {
-        // catch whichever writer currently holds the lease
+        // catch whichever writer currently holds the lease (tight
+        // 1 ms poll; the tombstone keeps the file present between
+        // holds with pid 0, so only a live holder's pid matches)
         val caughtAt = System.currentTimeMillis + 15000L
         var caught: Option[Long] = None
         while (caught.isEmpty && System.currentTimeMillis < caughtAt &&
           !Files.exists(marker(s"ROUND_${k}_DONE"))) {
           caught = holderPid(leaseDir)
-            .filter(p => procs.values.exists(_.pid == p))
-          if (caught.isEmpty) Thread.sleep(5L)
+            .filter(p => p > 0 && procs.values.exists(_.pid == p))
+          if (caught.isEmpty) Thread.sleep(1L)
         }
+        System.err.println(s"[chaos] round $k freeze-catch: $caught")
         caught.foreach { pid =>
           if (signal(pid, "STOP")) {
-            // frozen: let the heartbeat go stale, then steal
+            // frozen: let the heartbeat go stale, then steal. The
+            // STOP may have landed just after the hold ended (the
+            // kill fork/exec race) — verify the frozen pid still owns
+            // the payload before counting the injection.
             Thread.sleep(staleMs + 4L * hbMs)
-            if (holderPid(leaseDir).contains(pid)) {
+            val still = holderPid(leaseDir)
+            System.err.println(s"[chaos] round $k post-stale holder: $still (want $pid)")
+            if (still.contains(pid)) {
               freezes += 1
               val st = launch(work, hbMs, staleMs,
                 Seq("stealer", tableDir.toString, steals.toString),
                 s"stealer$steals")
-              if (st.waitFor(120L, TimeUnit.SECONDS) && st.exitValue == 0)
-                steals += 1
+              val ok = st.waitFor(120L, TimeUnit.SECONDS) && st.exitValue == 0
+              System.err.println(s"[chaos] round $k stealer exit ok=$ok")
+              if (ok) steals += 1
               freezeDone = true
             }
             signal(pid, "CONT")

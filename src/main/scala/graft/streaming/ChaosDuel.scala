@@ -152,38 +152,37 @@ object ChaosDuel {
       }
 
       if (k >= freezeFromRound && !freezeDone) {
-        // catch whichever writer currently holds the lease (tight
-        // 1 ms poll; the tombstone keeps the file present between
-        // holds with pid 0, so only a live holder's pid matches)
-        val caughtAt = System.currentTimeMillis + 15000L
-        var caught: Option[Long] = None
-        while (caught.isEmpty && System.currentTimeMillis < caughtAt &&
+        // Freeze-while-holding races a ~300 ms hold: the 1 ms payload
+        // poll catches fast, but kill -STOP's fork/exec can land
+        // after the hold ended. So VERIFY the freeze immediately — a
+        // frozen holder cannot release, so if the payload still names
+        // the pid right after the STOP landed it is frozen mid-hold —
+        // and on a miss CONT and retry within the same round instead
+        // of discovering the miss a staleness-horizon later.
+        val window = System.currentTimeMillis + 15000L
+        while (!freezeDone && System.currentTimeMillis < window &&
           !Files.exists(marker(s"ROUND_${k}_DONE"))) {
-          caught = holderPid(leaseDir)
-            .filter(p => p > 0 && procs.values.exists(_.pid == p))
-          if (caught.isEmpty) Thread.sleep(1L)
-        }
-        System.err.println(s"[chaos] round $k freeze-catch: $caught")
-        caught.foreach { pid =>
-          if (signal(pid, "STOP")) {
-            // frozen: let the heartbeat go stale, then steal. The
-            // STOP may have landed just after the hold ended (the
-            // kill fork/exec race) — verify the frozen pid still owns
-            // the payload before counting the injection.
-            Thread.sleep(staleMs + 4L * hbMs)
-            val still = holderPid(leaseDir)
-            System.err.println(s"[chaos] round $k post-stale holder: $still (want $pid)")
-            if (still.contains(pid)) {
-              freezes += 1
-              val st = launch(work, hbMs, staleMs,
-                Seq("stealer", tableDir.toString, steals.toString),
-                s"stealer$steals")
-              val ok = st.waitFor(120L, TimeUnit.SECONDS) && st.exitValue == 0
-              System.err.println(s"[chaos] round $k stealer exit ok=$ok")
-              if (ok) steals += 1
-              freezeDone = true
-            }
-            signal(pid, "CONT")
+          holderPid(leaseDir)
+            .filter(p => p > 0 && procs.values.exists(_.pid == p)) match {
+            case None => Thread.sleep(1L)
+            case Some(pid) =>
+              if (signal(pid, "STOP")) {
+                if (holderPid(leaseDir).contains(pid)) {
+                  System.err.println(s"[chaos] round $k froze holder $pid")
+                  // heartbeat halted mid-hold: let it go stale, steal
+                  Thread.sleep(staleMs + 4L * hbMs)
+                  freezes += 1
+                  val st = launch(work, hbMs, staleMs,
+                    Seq("stealer", tableDir.toString, steals.toString),
+                    s"stealer$steals")
+                  val ok = st.waitFor(120L, TimeUnit.SECONDS) && st.exitValue == 0
+                  System.err.println(s"[chaos] round $k stealer exit ok=$ok")
+                  if (ok) steals += 1
+                  freezeDone = true
+                } else System.err.println(
+                  s"[chaos] round $k STOP landed after $pid released; retrying")
+                signal(pid, "CONT")
+              }
           }
         }
       }

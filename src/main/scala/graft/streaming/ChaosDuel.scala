@@ -138,6 +138,10 @@ object ChaosDuel {
     val freezeFromRound = (2 * rounds) / 3
     var freezeDone = false
 
+    // whatever happens below, never leak writer JVMs (a failed run
+    // once left parked children behind for hours)
+    val writerExits = try {
+
     for (k <- 0 until rounds) {
       drop(s"ROUND_${k}_GO")
 
@@ -171,6 +175,10 @@ object ChaosDuel {
                   System.err.println(s"[chaos] round $k froze holder $pid")
                   // heartbeat halted mid-hold: let it go stale, steal
                   Thread.sleep(staleMs + 4L * hbMs)
+                  val payload = try new String(Files.readAllBytes(
+                    leaseDir.resolve("LOCK")), "UTF-8") catch { case _: Exception => "?" }
+                  System.err.println(s"[chaos] round $k pre-steal payload: '$payload' " +
+                    s"(now=${System.currentTimeMillis})")
                   freezes += 1
                   val st = launch(work, hbMs, staleMs,
                     Seq("stealer", tableDir.toString, steals.toString),
@@ -193,7 +201,8 @@ object ChaosDuel {
     procs.values.foreach { p =>
       require(p.waitFor(240L, TimeUnit.SECONDS), "writer did not exit")
     }
-    val writerExits = procs.values.map(_.exitValue).toSeq
+    procs.values.map(_.exitValue).toSeq
+    } finally procs.values.foreach(p => if (p.isAlive) p.destroyForcibly())
 
     // ---- global invariants from the final state ----------------------
     val violations = mutable.ArrayBuffer[String]()

@@ -77,8 +77,19 @@ object FenceDuel {
     val leaseDir = dir.resolveSibling("lease")
     def marker(name: String) = dir.resolveSibling(name)
     def drop(name: String): Unit = Files.writeString(marker(name), "1")
-    def await(name: String): Unit =
-      while (!Files.exists(marker(name))) Thread.sleep(50L)
+    // self-terminating wait: an orphaned child (orchestrator died or
+    // forgot us) must not park forever — a leaked 1 GB JVM per lost
+    // marker adds up fast on a shared box
+    def await(name: String): Unit = {
+      val deadline = System.currentTimeMillis + 600000L
+      while (!Files.exists(marker(name))) {
+        if (System.currentTimeMillis > deadline) {
+          System.err.println(s"orphaned: marker $name never appeared in 10 min")
+          sys.exit(5)
+        }
+        Thread.sleep(50L)
+      }
+    }
 
     val code: Int = role match {
       case "holder" =>
@@ -182,12 +193,27 @@ object FenceDuel {
         val stealIdx = args.lift(2).filter(_.forall(_.isDigit))
           .map(_.toLong).getOrElse(0L)
         val lock = leaseDir.resolve("LOCK")
-        val parts = new String(Files.readAllBytes(lock), "UTF-8")
-          .trim.split("\\s+")
-        val hbAge = System.currentTimeMillis - parts(1).toLong
-        if (hbAge <= Replication.StaleAfterMillis) {
-          System.err.println(s"lease heartbeat only ${hbAge}ms old: a " +
-            "cross-host contender must NOT steal a fresh lease")
+        // Patience loop: a real cross-host contender WAITS for the
+        // horizon rather than giving up on one fresh read — a frozen
+        // holder's heartbeat cannot refresh, so staleness is a matter
+        // of time; a LIVE holder keeps refreshing and the loop times
+        // out with the correct refusal.
+        var parts = Array.empty[String]
+        var hbAge = 0L
+        val patience = System.currentTimeMillis +
+          Replication.StaleAfterMillis + 30000L
+        var stale = false
+        while (!stale && System.currentTimeMillis < patience) {
+          parts = new String(Files.readAllBytes(lock), "UTF-8")
+            .trim.split("\\s+")
+          hbAge = System.currentTimeMillis - parts(1).toLong
+          stale = hbAge > Replication.StaleAfterMillis
+          if (!stale) Thread.sleep(500L)
+        }
+        if (!stale) {
+          System.err.println(s"lease heartbeat only ${hbAge}ms old after " +
+            "waiting out the horizon: a cross-host contender must NOT " +
+            "steal a live lease")
           5
         } else {
           val gen = parts.lift(3).map(_.toLong).getOrElse(0L) + 1L

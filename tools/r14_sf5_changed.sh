@@ -10,7 +10,7 @@
 set -uo pipefail
 cd /root/repo
 Q="sql_readme_1,sql_readme_2,sql_readme_3,sql_readme_4,sql_map_contains,sql_lookup_like,sql_envelope_join,sql_area_filter,sql_bbox_auto,\
-sink_insert,sink_upsert,sink_time_travel,sink_change_feed,events_sink,\
+sink_insert,sink_upsert,sink_time_travel,sink_change_feed,\
 stream_single_writer,stream_failure_isolation,stream_microbatch,stream_source_v2,stream_table_txn,stream_upsert_sink,stream_change_feed,\
 dedup_incremental,dedup_incremental_bucketed,stream_dedup_admission,stream_dedup_maintain,\
 stream_ann_serve,stream_ann_maintain,stream_bm25_serve,stream_bm25_maintain,\

@@ -44,11 +44,19 @@ object SqlSurface {
     * bulk fixture) and install the engine's SQL functions + rules —
     * the `CREATE EXTENSION` + table-create step of the reference's
     * setup (`changesetmd.py:35-50`), as one call. */
-  def fixtureViews(s: SparkSession): Unit = {
-    graft.functions.GraftExtensions.register(s)
+  /** The XML fixture is identical for every query invocation — write
+    * it ONCE per JVM (r14 ADVICE: per-call temp dirs accumulated and
+    * re-paid identical I/O across the 9 sql_* gate entries × every
+    * bench/verify run); only the view REGISTRATION is per-session. */
+  private lazy val fixturePath: java.nio.file.Path = {
     val p = Files.createTempDirectory("graft_sql_xml").resolve("dump.osm.xml")
     OsmXml.writeFixture(p, OsmXml.bulkFixture)
-    val raw = OsmXml.scan(s, p.toString)
+    p
+  }
+
+  def fixtureViews(s: SparkSession): Unit = {
+    graft.functions.GraftExtensions.register(s)
+    val raw = OsmXml.scan(s, fixturePath.toString)
     OsmXml.changesets(raw).createOrReplaceTempView("osm_changeset")
     OsmXml.comments(raw).createOrReplaceTempView("osm_changeset_comment")
   }

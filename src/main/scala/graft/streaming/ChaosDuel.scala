@@ -183,7 +183,13 @@ object ChaosDuel {
                   val st = launch(work, hbMs, staleMs,
                     Seq("stealer", tableDir.toString, steals.toString),
                     s"stealer$steals")
-                  val ok = st.waitFor(120L, TimeUnit.SECONDS) && st.exitValue == 0
+                  val finished = st.waitFor(120L, TimeUnit.SECONDS)
+                  // a timed-out stealer must die NOW: left running it
+                  // would leak a JVM past the finally sweep (it's not
+                  // in procs) and could commit after ok=false, tripping
+                  // the row-count invariants spuriously (r14 ADVICE)
+                  if (!finished) st.destroyForcibly()
+                  val ok = finished && st.exitValue == 0
                   System.err.println(s"[chaos] round $k stealer exit ok=$ok")
                   if (ok) steals += 1
                   freezeDone = true

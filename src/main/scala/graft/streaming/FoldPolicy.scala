@@ -78,6 +78,8 @@ object FoldPolicy {
     * artifact's `serve_sec_by_unfolded_segments` points. */
   def estimateTaxPerSegment(curve: Seq[(Int, Double)]): Double = {
     require(curve.size >= 2, "need at least two curve points")
+    require(curve.map(_._1).distinct.size >= 2,
+      "need at least two DISTINCT segment counts (den=0 otherwise)")
     val n = curve.size.toDouble
     val mx = curve.map(_._1).sum / n
     val my = curve.map(_._2).sum / n

@@ -181,21 +181,48 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       // than the table union — recording it verbatim would silently
       // drop the missing columns from every later explicit-schema read
       // of the untouched buckets (r14 fix; spec-pinned)
-      val stored = storedSchema.get
-      org.apache.spark.sql.types.StructType(
-        mutationSchema.fields ++
-          stored.fields.filterNot(f => mutationSchema.fieldNames.contains(f.name)))
+      unionByName(mutationSchema, storedSchema.get)
     } else {
       val m = manifest
       if (m.isEmpty) mutationSchema
       else {
         val paths = m.toSeq.sortBy(_._1).map { case (_, v) => dir.resolve(v).toString }
         val full = spark.read.option("mergeSchema", "true").parquet(paths: _*).schema
-        org.apache.spark.sql.types.StructType(
-          mutationSchema.fields ++
-            full.fields.filterNot(f => mutationSchema.fieldNames.contains(f.name)))
+        unionByName(mutationSchema, full)
       }
     }
+
+  /** Name-keyed schema union with TYPE reconciliation: a name that
+    * exists on both sides must carry the SAME dataType (nullability-
+    * insensitive, same catalogString rule as the mergeInto additive-
+    * only check at :465) — the stored field wins on nullability, and
+    * a genuine type conflict fails fast. Pre-r15 the mutation's type
+    * was recorded VERBATIM, so a fresh-bucket append (which reads no
+    * existing rows back and therefore bypasses the mergeInto check)
+    * carrying e.g. int for a column older buckets store as long
+    * silently narrowed the recorded schema — later explicit-schema
+    * reads of those buckets would truncate or fail (r14 ADVICE;
+    * spec-pinned). */
+  private def unionByName(
+      mutation: org.apache.spark.sql.types.StructType,
+      stored: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val storedByName = stored.fields.map(f => f.name -> f).toMap
+    val merged = mutation.fields.map { mf =>
+      storedByName.get(mf.name) match {
+        case Some(sf) =>
+          require(sf.dataType.catalogString == mf.dataType.catalogString,
+            s"schema evolution on $keyCol-table ${dir.getFileName}: column ${mf.name} " +
+              s"is ${sf.dataType.simpleString} in the recorded schema but " +
+              s"${mf.dataType.simpleString} in the batch — additive columns " +
+              "only, type changes need a rewrite")
+          sf.copy(nullable = sf.nullable || mf.nullable)
+        case None => mf
+      }
+    }
+    StructType(merged ++
+      stored.fields.filterNot(f => mutation.fieldNames.contains(f.name)))
+  }
 
   private def writeManifest(m: Map[Int, String], commit: Long,
                             txn: Map[String, Long], attemptRel: Option[String],

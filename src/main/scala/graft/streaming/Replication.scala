@@ -402,17 +402,30 @@ object Replication {
         // (pid 0, marker "released") is immediately acquirable and
         // seeds the successor's generation at predecessor + 1, keeping
         // the epoch monotone across clean handoffs too.
-        try {
-          ch.truncate(0L)
-          ch.write(java.nio.ByteBuffer.wrap(
-            (s"0 ${System.currentTimeMillis} released " +
-              s"$generation").getBytes("UTF-8")), 0L)
-          ch.force(true)
-        } catch { case _: Exception =>
-          try Files.deleteIfExists(lock) catch { case _: Exception => () }
-        }
+        writeTombstone(lock, ch, generation)
       }
       try ch.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** Write the RELEASED tombstone through the heartbeat channel, with
+    * a PATH-based fallback: the heartbeat interrupt can land mid-
+    * refresh and close the SHARED channel (FileChannel is an
+    * InterruptibleChannel), so the channel write can throw
+    * ClosedChannelException on a perfectly clean release. Pre-r15 the
+    * fallback DELETED the lock file — reintroducing the epoch-reset
+    * bug the tombstone exists to fix, one generation per interrupted
+    * release (r14 ADVICE; spec: LockSpec closed-channel fallback). */
+  private[graft] def writeTombstone(lock: Path,
+      ch: java.nio.channels.FileChannel, generation: Long): Unit = {
+    val bytes =
+      s"0 ${System.currentTimeMillis} released $generation".getBytes("UTF-8")
+    try {
+      ch.truncate(0L)
+      ch.write(java.nio.ByteBuffer.wrap(bytes), 0L)
+      ch.force(true)
+    } catch { case _: Exception =>
+      try Files.write(lock, bytes) catch { case _: Exception => () }
     }
   }
 

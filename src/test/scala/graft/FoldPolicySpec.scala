@@ -65,4 +65,11 @@ class FoldPolicySpec extends AnyFunSuite {
       p.estimatedFoldCost, p.estimatedTaxPerSegment)
     assert(k < 6, s"trigger $k")
   }
+
+  test("tax estimate refuses a degenerate curve (all points at one segment count)") {
+    // den=0 would otherwise yield NaN/Infinity silently (r14 ADVICE)
+    intercept[IllegalArgumentException] {
+      FoldPolicy.estimateTaxPerSegment(Seq(8 -> 1.0, 8 -> 2.0))
+    }
+  }
 }

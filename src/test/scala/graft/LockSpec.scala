@@ -87,6 +87,29 @@ class LockSpec extends AnyFunSuite {
     assert(Replication.lockReleased(dir), "last holder released")
   }
 
+  test("tombstone survives a closed channel: the fallback writes by PATH, never deletes") {
+    // the heartbeat interrupt can close the shared FileChannel
+    // (InterruptibleChannel) mid-release; the old fallback DELETED the
+    // LOCK file, resetting the fencing epoch (r14 ADVICE). The fallback
+    // must land the same released-tombstone bytes path-based.
+    val dir = lockDir()
+    val lock = dir.resolve("LOCK")
+    val ch = java.nio.channels.FileChannel.open(lock,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    ch.close() // simulate ClosedByInterruptException's aftermath
+    Replication.writeTombstone(lock, ch, generation = 7L)
+    assert(Files.exists(lock), "fallback must not delete the lock file")
+    val parts = new String(Files.readAllBytes(lock), "UTF-8").trim.split("\\s+")
+    assert(parts.lift(2).contains("released"))
+    assert(parts.lift(3).contains("7"), "tombstone must carry the generation")
+    assert(Replication.lockReleased(dir))
+    // and the successor seeds at predecessor + 1 off the fallback tombstone
+    Replication.withWriterLease(dir) { lease =>
+      assert(lease.generation === 8L)
+    }
+  }
+
   test("release is idempotent against a successor: a finished run never deletes the next holder's lock") {
     val dir = lockDir()
     assert(Replication.withWriterLock(dir) { true })

@@ -500,4 +500,28 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(rows(wideId) === "keepme", "wide bucket's column value lost")
     assert(rows(narrowId) === null)
   }
+
+  test("fresh-bucket append with a CONFLICTING type for a stored column is refused at the record point") {
+    // a fresh-bucket append reads no existing rows back, so the
+    // mergeInto-time additive-only check never sees the conflict —
+    // pre-r15 the batch's type was recorded VERBATIM, silently
+    // narrowing the schema for every later explicit-schema read of
+    // the old buckets (r14 ADVICE)
+    val dir = Files.createTempDirectory("graft_pt_typeconf")
+    val t = new PartitionedTable(dir, "id", nBuckets = 4)
+    val byBucket = spark.range(0, 64)
+      .select(col("id"), pmod(hash(col("id")), lit(4)).as("b"))
+      .collect().groupBy(_.getInt(1)).map { case (b, rs) => b -> rs.head.getLong(0) }
+    t.appendInto(spark, Seq((byBucket(0), "x")).toDF("id", "v"),
+      txn = Some("w" -> 0L))
+    val e = intercept[IllegalArgumentException] {
+      t.appendInto(spark, Seq((byBucket(1), 123)).toDF("id", "v"),
+        txn = Some("w" -> 1L))
+    }
+    assert(e.getMessage.contains("additive columns only"))
+    // the refused commit must not have landed and the schema is intact
+    assert(t.read(spark).columns.toSet === Set("id", "v"))
+    assert(t.read(spark).count() === 1)
+    assert(t.read(spark).select("v").head().getString(0) === "x")
+  }
 }

@@ -237,6 +237,58 @@ object AnnBuildSoak {
         s""""executor_task_time_p50_s":${f"$taskT%.3f"},""" +
         s""""ideal_parallel_task_s":${f"${taskT / cores}%.3f"},"cores":$cores}"""
 
+      // ---- batched serve throughput (r14 VERDICT item 4): the
+      // ServeSession architecture — index pinned as an in-memory
+      // relation at session open, queries arriving as a parameter
+      // relation, ONE probe per batch — measured at 16/256/4096
+      // queries per probe. The breakdown above says the per-probe
+      // cost is driver-side constant (planning + submit), so qps
+      // should scale near-linearly with batch size until executor
+      // work dominates. graft.operators.AnnServeSession is the API
+      // form of exactly this path (semantics pinned in
+      // ServeSessionSpec); this block pins the numbers at 5 M
+      // vectors.
+      val pinned = pt.read(spark)
+        .select(col("vec_id"), col("cell"), col("c_scale"), col("cq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned.count()
+      val maxB = 4096
+      val qAll = e.filter(col("vec_id") < maxB)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), Similarity.collectVector(r, 1)))
+      val qfeatAll = e.filter(col("vec_id") < maxB)
+        .select(col("vec_id").as("query_id"), qsc.as("q_scale"), qq.as("qq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      qfeatAll.count()
+      val serveBatched = Seq(16, 256, 4096).map { b =>
+        val pdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(qAll.take(b).toSeq.flatMap {
+            case (qid, qv) => probeCells(qv, supers, groups, NProbe).map(c =>
+              org.apache.spark.sql.Row(qid, c)) }, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("qcell",
+              org.apache.spark.sql.types.LongType))))
+        val qc = pdf.join(qfeatAll, "query_id")
+        qc.count() // materialize the batch outside the serve clock
+        val runs = (1 to 5).map { _ =>
+          // a NEW serve Dataset per probe — each real batch differs,
+          // so per-probe planning belongs inside the clock; the pinned
+          // index keeps that planning file-listing-free
+          val (n5, t) = timed {
+            Similarity.frozenInt8Serve(pinned, qc).count()
+          }
+          require(n5 == 5L * b, s"batched serve returned $n5 rows for $b")
+          t
+        }.sorted
+        val p50 = runs(runs.length / 2)
+        println(f"[annsoak] serve_batched b=$b p50=$p50%.3f s qps=${b / p50}%.0f")
+        s"""{"batch":$b,"p50_s":${f"$p50%.3f"},"qps":${(b / p50).toLong}}"""
+      }
+      pinned.unpersist()
+      qfeatAll.unpersist()
+
       val idxWalk = Files.walk(work.resolve("idx"))
       val idxBytes =
         try idxWalk.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
@@ -251,6 +303,7 @@ object AnnBuildSoak {
         s""""compact_s":${f"$compactS%.1f"},""" +
         s""""serve_p50_s":${f"$serveP50%.3f"},"nprobe":$NProbe,""" +
         s""""serve_breakdown":$breakdown,""" +
+        s""""serve_batched":[${serveBatched.mkString(",")}],""" +
         s""""n_queries":$NQueries,"index_bytes":$idxBytes}"""
       Files.writeString(java.nio.file.Paths.get(out), json + "\n")
       println(json)

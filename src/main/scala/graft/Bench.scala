@@ -211,9 +211,14 @@ object Bench {
     // bench metric (`ingest_bulk`, VERDICT r4 item 8) so the
     // 3,000–4,600 rows/s baseline comparison is pinned by the harness.
     // Kept OUT of `total`, which stays the headline-query sum
-    // (comparable across rounds).
-    val (ingestRows, ingestSec) = xmlIngestBench(spark)
-    runs += "ingest_bulk" -> Seq(ingestSec)
+    // (comparable across rounds). Same 3-sample + MAD discipline as
+    // every other row (r14 VERDICT item 5 — it was the one
+    // headline-adjacent metric reported at n=1); the reported rate
+    // uses the MEDIAN run.
+    val ingestSamples = (1 to 3).map(_ => xmlIngestBench(spark))
+    val ingestRows = ingestSamples.head._1
+    val ingestSec = median(ingestSamples.map(_._2))
+    runs += "ingest_bulk" -> ingestSamples.map(_._2)
     val medians = runs.map { case (k, v) =>
       k -> (if (v.exists(_ < 0)) -1.0 else median(v)) }
 
@@ -289,6 +294,8 @@ object Bench {
     val (rows, _) = graft.sources.BulkLoad.run(
       spark, dir.toString + "/part*.osm.xml", out)
     val sec = (System.nanoTime() - t0) / 1e9
+    // 3 samples per bench run now (r15): don't accumulate temp trees
+    graft.streaming.PartitionedTable.deleteRecursively(dir)
     (rows, sec)
   }
 }

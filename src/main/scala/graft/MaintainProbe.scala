@@ -162,6 +162,65 @@ object MaintainProbe {
         println(f"[maintain] $tag serve-vs-segments: " +
           serveBySeg.map { case (n, t) => f"S$n=$t%.2f" }.mkString(" ") +
           f" post_fold=$servePost%.2f files/bucket<=$maxFiles segs_left=$segsLeft")
+        // ---- POLICY-DRIVEN maintain loop (r15: FoldPolicy wired) ----
+        // the serve-interleaved cadence the gate entries never see:
+        // one serve per landed segment, the rent-or-buy policy seeded
+        // from THIS tier's just-measured curve (tax = least-squares
+        // slope of serve-vs-segments, fold cost = the measured epoch
+        // fold), folds going through the loops' real machinery
+        // (PolicyFolder → foldSegments). The first fold must land at
+        // the analytic steadyStateTrigger; later folds use the
+        // policy's own EWMA-updated estimates from observed timings.
+        val idxP = Retrieval.buildMaintained(spark, wd.resolve("bm25pol"),
+          docs.filter(!Retrieval.isArrival(col("doc_id"))))
+        val polSegDir = wd.resolve("bm25polsegs")
+        java.nio.file.Files.createDirectories(polSegDir)
+        val pPol = (0 until segN).map { k =>
+          Retrieval.writeSegment(polSegDir.resolve("p"), k.toLong,
+            Retrieval.postingsOf(arrSeg.filter(col("__seg") === k).drop("__seg")))
+        }
+        val dPol = (0 until segN).map { k =>
+          Retrieval.writeSegment(polSegDir.resolve("d"), k.toLong,
+            Retrieval.doclensOf(arrSeg.filter(col("__seg") === k).drop("__seg")))
+        }
+        val taxSeed = math.max(1e-3,
+          graft.streaming.FoldPolicy.estimateTaxPerSegment(serveBySeg))
+        val policy = new graft.streaming.FoldPolicy(
+          initialFoldCostSec = secFoldServe, initialTaxPerSegmentSec = taxSeed)
+        val analyticK = graft.streaming.FoldPolicy
+          .steadyStateTrigger(secFoldServe, taxSeed)
+        val pUnfolded = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        val dUnfolded = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        val foldAt = scala.collection.mutable.ArrayBuffer[Int]()
+        val foldSecs = scala.collection.mutable.ArrayBuffer[Double]()
+        var polTxn = 20L
+        var curSeg = 0
+        val folder = new graft.streaming.PolicyFolder(policy, () => {
+          val (_, fs) = timeIt(Retrieval.foldSegments(spark, idxP,
+            pUnfolded.toSeq, dUnfolded.toSeq, polTxn))
+          polTxn += 1
+          pUnfolded.clear(); dUnfolded.clear()
+          foldAt += curSeg
+          foldSecs += fs
+        })
+        def serveP(): Double = timeIt(
+          Retrieval.serveWithSegments(spark, idxP, pUnfolded.toSeq,
+            dUnfolded.toSeq, qterms)
+            .write.mode("overwrite").format("noop").save())._2
+        val base0 = serveP() // zero-segment baseline on THIS index
+        val polServeSecs = (0 until segN).map { k =>
+          curSeg = k + 1
+          pUnfolded += pPol(k); dUnfolded += dPol(k)
+          folder.onSegment()
+          val sec = serveP()
+          folder.onServe(Some(sec), base0)
+          sec
+        }
+        folder.finish()
+        println(f"[maintain] $tag policy-loop: analytic_k=$analyticK " +
+          s"fold_at=${foldAt.mkString(",")} " +
+          f"realized=${folder.realizedFolds} seed_fold=$secFoldServe%.2f " +
+          f"seed_tax=$taxSeed%.3f")
         println(f"[maintain] $tag bm25: standing=$standingP%,d batch=$batchPRows%,d " +
           f"buckets=${idx.postings.nBuckets} touched=${touchedP.size} " +
           f"seg=$secSeg%.2f fold=$secFold%.2f direct=${secP + secDl}%.2f")
@@ -177,7 +236,14 @@ object MaintainProbe {
            |"epoch_fold_sec":${s3(secFoldServe)},
            |"serve_sec_post_fold":${s3(servePost)},
            |"postings_files_per_bucket_max_post_optimize":$maxFiles,
-           |"segments_after_prune":$segsLeft},
+           |"segments_after_prune":$segsLeft,
+           |"policy_loop":{"seed_fold_cost_sec":${s3(secFoldServe)},
+           |"seed_tax_sec_per_segment":${s3(taxSeed)},
+           |"analytic_trigger":$analyticK,
+           |"fold_at_segments":[${foldAt.mkString(",")}],
+           |"fold_secs":[${foldSecs.map(s3).mkString(",")}],
+           |"realized_folds":${folder.realizedFolds},
+           |"serve_secs":[${polServeSecs.map(s3).mkString(",")}]}},
            |"ann":{"standing_rows":$standingV,"batch_rows":$batchVRows,
            |"buckets":$nbV,"touched_buckets":${touchedV.size},
            |"segment_write_sec":${s3(secVSeg)},"fold_sec":${s3(secVFold)},

@@ -1123,6 +1123,22 @@ object Dedup {
       val bandSegs = new graft.streaming.SubBatchState[String]
       val setSegs = new graft.streaming.SubBatchState[String]
       val results = new graft.streaming.SubBatchState[DataFrame]
+      // fold cadence through the rent-or-buy policy (r15): this
+      // write-only admission epoch accrues no serve tax, so the only
+      // fold is the close fold — same cadence as pre-r15, now the
+      // policy's call; a serve-interleaved deployment folds mid-epoch
+      var foldTxn = 1L
+      val folder = new graft.streaming.PolicyFolder(
+        graft.streaming.PolicyFolder.defaultPolicy(), () => {
+          if (bandSegs.nonEmpty)
+            bandsPt.appendInto(s, s.read.parquet(bandSegs.values: _*),
+              Some("admbands" -> foldTxn))
+          if (setSegs.nonEmpty)
+            setsPt.mergeInto(s, s.read.parquet(setSegs.values: _*),
+              Some("admsets" -> foldTxn))
+          foldTxn += 1
+          bandSegs.clear(); setSegs.clear()
+        })
       val stream = s.readStream.schema(batchDocs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString + "/batch*.parquet")
@@ -1160,20 +1176,16 @@ object Dedup {
               .join(admitted, Seq("doc_id"), "left_semi")
               .write.mode("overwrite").parquet(sSeg.toString)
             setSegs.put(k, sSeg.toString)
+            folder.onSegment()
           }
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // deferred OPTIMIZE: fold the epoch's admissions into the
-      // bucketed base in one commit per table
-      if (bandSegs.nonEmpty)
-        bandsPt.appendInto(s, s.read.parquet(bandSegs.values: _*),
-          Some("admbands" -> 1L))
-      if (setSegs.nonEmpty)
-        setsPt.mergeInto(s, s.read.parquet(setSegs.values: _*),
-          Some("admsets" -> 1L))
+      // deferred OPTIMIZE: the policy's close fold lands the epoch's
+      // admissions in the bucketed base in one commit per table
+      folder.finish()
       bandsPt.compact(s)
       setsPt.compact(s)
       if (results.isEmpty)

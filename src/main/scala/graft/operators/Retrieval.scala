@@ -91,6 +91,12 @@ object Retrieval {
       .select(col("doc_id").as("query_id"), explode(gramArr).as("g"))
       .distinct()
 
+  /** Same term table over an ARBITRARY (query_id, text) relation — the
+    * serve-session entry, where queries arrive as a batch rather than
+    * as corpus doc ids (r15: graft.operators.Bm25ServeSession). */
+  private[graft] def queryGramsOfRelation(queries: DataFrame): DataFrame =
+    queries.select(col("query_id"), explode(gramArr).as("g")).distinct()
+
   /** Ad-hoc BM25 top-k over an arbitrary corpus (spec entry point). */
   private[graft] def bm25TopkOf(docs: DataFrame, ids: Seq[Long],
       k: Int = 10): DataFrame =
@@ -636,6 +642,23 @@ object Retrieval {
       java.nio.file.Files.createDirectories(dSegDir)
       val pSegs = new graft.streaming.SubBatchState[java.nio.file.Path]
       val dSegs = new graft.streaming.SubBatchState[java.nio.file.Path]
+      // fold cadence is the rent-or-buy POLICY's call (r15): this
+      // write-only epoch accrues no serve tax, so the policy's only
+      // fold is the close fold — the pre-r15 once-per-epoch cadence as
+      // the policy's degenerate case. A serve-interleaved deployment
+      // of this same loop folds mid-epoch (graft.MaintainProbe's
+      // policy loop measures where).
+      var foldTxn = 1L
+      val folder = new graft.streaming.PolicyFolder(
+        graft.streaming.PolicyFolder.defaultPolicy(), () => {
+          foldSegments(s, idx, pSegs.values, dSegs.values, foldTxn)
+          foldTxn += 1
+          // age-out: folded segments are dead — the stores only ever
+          // hold UNFOLDED segments, so the union read path shrinks
+          // back to the bucketed base after every fold
+          pruneSegments(pSegs.values ++ dSegs.values)
+          pSegs.clear(); dSegs.clear()
+        })
       val stream = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString + "/arrive*.parquet")
@@ -652,21 +675,20 @@ object Retrieval {
             val batch = mb.filter(col("sub_batch") === k)
             pSegs.put(k, writeSegment(pSegDir, k.toLong, postingsOf(batch)))
             dSegs.put(k, writeSegment(dSegDir, k.toLong, doclensOf(batch)))
+            folder.onSegment()
           }
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // the deferred OPTIMIZE: one fold of all segments into the
-      // bucketed base (the per-epoch O(standing) rewrite, amortized
-      // over every batch the epoch delivered), then file compaction
-      foldSegments(s, idx, pSegs.values, dSegs.values, 1L)
+      // the deferred OPTIMIZE: the policy's close fold lands all
+      // remaining segments in the bucketed base (the per-epoch
+      // O(standing) rewrite, amortized over every batch the epoch
+      // delivered), then file compaction
+      folder.finish()
       idx.postings.compact(s)
       idx.doclens.compact(s)
-      // age-out: folded segments are dead — steady-state segment
-      // count returns to zero after every epoch fold
-      pruneSegments(pSegs.values ++ dSegs.values)
       serveMaintained(s, idx, queryGramsOf(docs)).localCheckpoint(true)
       // the fence dies with the lease scope, exception or not — the
       // finally matches Replication.catchUp's discipline

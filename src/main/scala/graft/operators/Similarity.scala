@@ -1345,6 +1345,19 @@ object Similarity {
       val segDir = workDir.resolve("segs")
       java.nio.file.Files.createDirectories(segDir)
       val segs = new graft.streaming.SubBatchState[String]
+      // fold cadence through the rent-or-buy policy (r15): write-only
+      // epoch ⇒ the close fold is the only one, same cadence as
+      // pre-r15; a serve-interleaved deployment folds mid-epoch
+      var foldTxn = 1L
+      val folder = new graft.streaming.PolicyFolder(
+        graft.streaming.PolicyFolder.defaultPolicy(), () => {
+          if (segs.nonEmpty) {
+            pt.appendInto(s, s.read.parquet(segs.values: _*),
+              Some("annidx" -> foldTxn))
+            foldTxn += 1
+            segs.clear()
+          }
+        })
       val stream = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString + "/arrive*.parquet")
@@ -1357,15 +1370,14 @@ object Similarity {
             rowsOf(mb.filter(col("sub_batch") === k).drop("sub_batch"))
               .write.mode("overwrite").parquet(seg.toString)
             segs.put(k, seg.toString)
+            folder.onSegment()
           }
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      if (segs.nonEmpty)
-        pt.appendInto(s, s.read.parquet(segs.values: _*),
-          Some("annidx" -> 1L))
+      folder.finish()
       pt.compact(s)
       val qcells = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"),

@@ -109,8 +109,11 @@ object ChaosDuel {
   // ---- the duel ------------------------------------------------------
 
   def run(work: Path, nWriters: Int, rounds: Int, seed: Long,
-      hbMs: Long = 300L, staleMs: Long = 2500L): Result = {
+      hbMs: Long = 300L, staleMs: Long = 2500L,
+      nKills: Int = 1, nFreezes: Int = 1): Result = {
     require(nWriters >= 2 && rounds >= 3)
+    require(nKills >= 1 && nFreezes >= 1 &&
+      nKills < rounds - 1 && nFreezes < rounds - 2)
     val tableDir = work.resolve("table")
     val leaseDir = work.resolve("lease")
     def marker(n: String) = work.resolve(n)
@@ -134,8 +137,19 @@ object ChaosDuel {
     var kills = 0
     var freezes = 0
     var steals = 0
-    val killRound = rounds / 3
-    val freezeFromRound = (2 * rounds) / 3
+    // adversary SCHEDULE: the r14 single-shot placements (kill at
+    // rounds/3, freeze window from 2·rounds/3) when one of each is
+    // asked for — the ChaosDuelSpec configuration — and a seeded
+    // randomized schedule for the soak (r14 VERDICT item 6): nKills
+    // distinct kill rounds, nFreezes freeze targets; a freeze target
+    // that misses its hold retries on subsequent rounds exactly like
+    // the single-shot form did.
+    val killRounds: Set[Int] =
+      if (nKills <= 1) Set(rounds / 3)
+      else rnd.shuffle((1 until rounds).toList).take(nKills).toSet
+    var freezeTargets: List[Int] =
+      if (nFreezes <= 1) List((2 * rounds) / 3)
+      else rnd.shuffle((2 until rounds).toList).take(nFreezes).sorted
     var freezeDone = false
 
     // whatever happens below, never leak writer JVMs (a failed run
@@ -145,7 +159,7 @@ object ChaosDuel {
     for (k <- 0 until rounds) {
       drop(s"ROUND_${k}_GO")
 
-      if (k == killRound) {
+      if (killRounds.contains(k)) {
         // land the SIGKILL anywhere inside the round
         Thread.sleep(50L + rnd.nextInt(400).toLong)
         val victim = rnd.nextInt(nWriters)
@@ -155,7 +169,8 @@ object ChaosDuel {
         procs(victim) = launchWriter(victim, k)
       }
 
-      if (k >= freezeFromRound && !freezeDone) {
+      freezeDone = false
+      if (freezeTargets.nonEmpty && k >= freezeTargets.head) {
         // Freeze-while-holding races a ~300 ms hold: the 1 ms payload
         // poll catches fast, but kill -STOP's fork/exec can land
         // after the hold ended. So VERIFY the freeze immediately — a
@@ -199,6 +214,11 @@ object ChaosDuel {
               }
           }
         }
+        // this target landed: move to the next planned freeze. A
+        // window that closed without catching a holder keeps the
+        // target, retrying on the next round (old single-shot
+        // semantics, generalized).
+        if (freezeDone) freezeTargets = freezeTargets.tail
       }
 
       awaitMarker(s"ROUND_${k}_DONE", 240000L)
@@ -311,8 +331,11 @@ object ChaosDuel {
     val rounds = args.lift(1).map(_.toInt).getOrElse(9)
     val seed = args.lift(2).map(_.toLong).getOrElse(14L)
     val artifact = args.lift(3)
+    val nKills = args.lift(4).map(_.toInt).getOrElse(1)
+    val nFreezes = args.lift(5).map(_.toInt).getOrElse(1)
     val work = Files.createTempDirectory("graft_chaos")
-    val r = run(work, nWriters, rounds, seed)
+    val r = run(work, nWriters, rounds, seed, nKills = nKills,
+      nFreezes = nFreezes)
     val json =
       s"""{"metric":"chaos_fence_duel","writers":${r.writers},"rounds":${r.rounds},""" +
       s""""seed":${r.seed},"kills":${r.kills},"freezes":${r.freezes},""" +

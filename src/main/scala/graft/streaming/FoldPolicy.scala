@@ -71,6 +71,61 @@ final class FoldPolicy(
   def estimatedTaxPerSegment: Double = tax
 }
 
+/** Threads a [[FoldPolicy]] through an LSM maintain loop's actual
+  * fold machinery (r14 VERDICT item 3 — the policy used to be
+  * spec-only). The loop calls `onSegment()` when a micro-batch lands
+  * a segment, `onServe(...)` when a query reads base ∪ segments, and
+  * `finish()` at epoch close; `foldNow` is the loop's own fold —
+  * land every currently-unfolded segment in the bucketed base and
+  * clear the segment store.
+  *
+  * Cadence semantics: a WRITE-ONLY epoch (the gate entries' shape —
+  * no queries between triggers) accrues no tax, so the only fold is
+  * the `finish()` close fold: exactly the pre-r15 one-fold-per-epoch
+  * behavior, now as the policy's degenerate case rather than a
+  * hardcoded constant. A serve-interleaved deployment (the
+  * MaintainProbe policy loop) folds mid-epoch at the rent-or-buy
+  * points. Mid-epoch folds assume the stream has committed past the
+  * folded sub-batches (true under AvailableNow with segment-named
+  * overwrites): a replay of an already-FOLDED sub-batch would
+  * re-land it — replay idempotence holds within a fold epoch, same
+  * as the pre-r15 single-epoch scope. */
+final class PolicyFolder(val policy: FoldPolicy, foldNow: () => Unit) {
+  private var folds = 0
+
+  private def timedFold(): Unit = {
+    val t0 = System.nanoTime()
+    foldNow()
+    policy.onFold(Some((System.nanoTime() - t0) / 1e9))
+    folds += 1
+  }
+
+  /** A micro-batch landed one more unfolded segment. */
+  def onSegment(): Unit = policy.onSegment()
+
+  /** A query was served over base + unfolded segments; fold right
+    * after the serve if the accrued tax has reached the fold price. */
+  def onServe(observedServeSec: Option[Double] = None,
+      baselineServeSec: Double = 0.0): Unit = {
+    policy.onServe(observedServeSec, baselineServeSec)
+    if (policy.shouldFold && policy.unfoldedSegments > 0) timedFold()
+  }
+
+  /** Epoch close: land any unfolded remainder. */
+  def finish(): Unit = if (policy.unfoldedSegments > 0) timedFold()
+
+  def realizedFolds: Int = folds
+}
+
+object PolicyFolder {
+  /** The maintain loops' default seed — the MAINTAIN_r13.json sf0.1
+    * bm25 measurements (fold 2.6 s, serve tax ≈0.15 s/segment/query;
+    * `FoldPolicy.steadyStateTrigger` = 6). A deployment's own EWMA
+    * updates take over from the first observed fold/serve. */
+  def defaultPolicy(): FoldPolicy = new FoldPolicy(
+    initialFoldCostSec = 2.6, initialTaxPerSegmentSec = 0.15)
+}
+
 object FoldPolicy {
 
   /** Least-squares slope of the measured serve-vs-segments curve —

@@ -33,4 +33,9 @@ final class SubBatchState[V] {
     * sub-batch `k` must see: exactly what it saw the first time. */
   def earlier(k: Int): Seq[V] =
     m.asScala.toSeq.filter(_._1 < k).sortBy(_._1).map(_._2)
+
+  /** Drop all entries — called when a policy-triggered fold lands the
+    * tracked segments in the bucketed base, so the store only ever
+    * holds UNFOLDED segments (r15: FoldPolicy wiring). */
+  def clear(): Unit = m.clear()
 }

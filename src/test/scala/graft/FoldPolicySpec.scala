@@ -66,6 +66,52 @@ class FoldPolicySpec extends AnyFunSuite {
     assert(k < 6, s"trigger $k")
   }
 
+  test("PolicyFolder: write-only epoch through the wired folder = exactly one close fold (the gate loops' shape)") {
+    var folds = 0
+    val f = new graft.streaming.PolicyFolder(
+      graft.streaming.PolicyFolder.defaultPolicy(), () => folds += 1)
+    (1 to 32).foreach(_ => f.onSegment())
+    assert(folds === 0, "no serve paid a tax; nothing to amortize")
+    f.finish()
+    assert(folds === 1, "the close fold lands the epoch's segments")
+    assert(f.policy.unfoldedSegments === 0)
+    f.finish()
+    assert(folds === 1, "finish is idempotent when nothing is unfolded")
+  }
+
+  test("PolicyFolder: 1-serve-per-segment epoch first folds exactly at the analytic trigger") {
+    // the MAINTAIN-curve seed (fold 2.6 s, tax 0.15): the realized
+    // loop's FIRST fold must land at steadyStateTrigger — the pin the
+    // r14 verdict asked for; later folds use EWMA-updated estimates
+    val p = graft.streaming.PolicyFolder.defaultPolicy()
+    val expected = FoldPolicy.steadyStateTrigger(
+      p.estimatedFoldCost, p.estimatedTaxPerSegment)
+    assert(expected === 6)
+    var cur = 0
+    val foldAt = scala.collection.mutable.ArrayBuffer[Int]()
+    val f = new graft.streaming.PolicyFolder(p, () => foldAt += cur)
+    (1 to 32).foreach { k =>
+      cur = k
+      f.onSegment()
+      f.onServe() // unobserved serve: estimates stay at the seed
+    }
+    f.finish()
+    assert(foldAt.head === expected,
+      s"first realized fold at ${foldAt.head}, analytic $expected")
+    assert(f.realizedFolds === foldAt.size)
+    assert(f.realizedFolds >= 2, "a 32-segment serve-heavy epoch folds more than once")
+  }
+
+  test("raw policy under a fixed seed folds on the repeating analytic schedule") {
+    val p = new FoldPolicy(2.6, 0.15)
+    val foldAt = scala.collection.mutable.ArrayBuffer[Int]()
+    (1 to 32).foreach { k =>
+      p.onSegment(); p.onServe()
+      if (p.shouldFold) { foldAt += k; p.onFold(None) } // None: seed stays
+    }
+    assert(foldAt.toSeq === Seq(6, 12, 18, 24, 30))
+  }
+
   test("tax estimate refuses a degenerate curve (all points at one segment count)") {
     // den=0 would otherwise yield NaN/Infinity silently (r14 ADVICE)
     intercept[IllegalArgumentException] {

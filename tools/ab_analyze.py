@@ -28,8 +28,16 @@ def load(path):
 
 
 def main():
-    ra = load("/tmp/ab_ra.jsonl")
-    rb = load("/tmp/ab_rb.jsonl")
+    # argv: [fileA fileB outFile "design note"] — defaults preserve the
+    # r14 drift experiment's invocation
+    fa = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ab_ra.jsonl"
+    fb = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ab_rb.jsonl"
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "AB_DRIFT_r14.json"
+    design = sys.argv[4] if len(sys.argv) > 4 else (
+        "interleaved A/B/A/B, one session, warm cache, "
+        "r12 HEAD (86aebbb) vs r13 HEAD (72cd8f6)")
+    ra = load(fa)
+    rb = load(fb)
     n = min(len(ra), len(rb))
     if n == 0:
         sys.exit("no A/B runs found")
@@ -69,8 +77,7 @@ def main():
                else "drift_confirmed")
 
     out = {
-        "design": "interleaved A/B/A/B, one session, warm cache, "
-                  "r12 HEAD (86aebbb) vs r13 HEAD (72cd8f6)",
+        "design": design,
         "pairs": n,
         "totals_a": [round(x, 3) for x in tot_a],
         "totals_b": [round(x, 3) for x in tot_b],
@@ -83,7 +90,7 @@ def main():
         "significant_faster_queries": sig_fast,
         "per_query": per_q,
     }
-    with open("AB_DRIFT_r14.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"pairs={n} A={med(tot_a):.2f}s B={med(tot_b):.2f}s "
           f"rel={rel:+.1%} verdict={verdict}")

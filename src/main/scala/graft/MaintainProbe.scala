@@ -73,7 +73,7 @@ object MaintainProbe {
         val (seg, secSeg) = timeIt(Retrieval.writeSegment(segDir, 0L, batchP))
         // the deferred per-epoch fold (one bucketed-base rewrite)
         val (_, secFold) = timeIt(Retrieval.foldSegments(spark, idx,
-          Seq(seg), Seq.empty, 1L))
+          Seq(0 -> seg), Seq.empty, 1L))
         // ablation: the DIRECT bucketed merge per batch — gram keys
         // are uniform, so this touches ~every bucket and its cost
         // tracks the STANDING index, which is why the streaming loop
@@ -146,7 +146,7 @@ object MaintainProbe {
         serveSec(0) // warm the serve path (codegen) outside the samples
         val serveBySeg = Seq(0, 8, 32).map(n => n -> serveSec(n))
         val (_, secFoldServe) = timeIt(Retrieval.foldSegments(spark, idxS,
-          pSegs, dSegs, 9L))
+          pSegs.zipWithIndex.map(_.swap), dSegs.zipWithIndex.map(_.swap), 9L))
         idxS.postings.compact(spark)
         idxS.doclens.compact(spark)
         Retrieval.pruneSegments(pSegs ++ dSegs)
@@ -168,9 +168,12 @@ object MaintainProbe {
         // from THIS tier's just-measured curve (tax = least-squares
         // slope of serve-vs-segments, fold cost = the measured epoch
         // fold), folds going through the loops' real machinery
-        // (PolicyFolder → foldSegments). The first fold must land at
-        // the analytic steadyStateTrigger; later folds use the
-        // policy's own EWMA-updated estimates from observed timings.
+        // (PolicyFolder → foldSegments). The first fold lands NEAR the
+        // analytic steadyStateTrigger — not exactly at it: onServe
+        // EWMA-updates the tax from the very first observed serve (and
+        // base0 ages as folds grow the base), so the realized trigger
+        // legitimately drifts from the frozen-estimate analytic k (the
+        // exact pin with frozen estimates lives in FoldPolicySpec).
         val idxP = Retrieval.buildMaintained(spark, wd.resolve("bm25pol"),
           docs.filter(!Retrieval.isArrival(col("doc_id"))))
         val polSegDir = wd.resolve("bm25polsegs")
@@ -189,8 +192,8 @@ object MaintainProbe {
           initialFoldCostSec = secFoldServe, initialTaxPerSegmentSec = taxSeed)
         val analyticK = graft.streaming.FoldPolicy
           .steadyStateTrigger(secFoldServe, taxSeed)
-        val pUnfolded = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-        val dUnfolded = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        val pUnfolded = scala.collection.mutable.ArrayBuffer[(Int, java.nio.file.Path)]()
+        val dUnfolded = scala.collection.mutable.ArrayBuffer[(Int, java.nio.file.Path)]()
         val foldAt = scala.collection.mutable.ArrayBuffer[Int]()
         val foldSecs = scala.collection.mutable.ArrayBuffer[Double]()
         var polTxn = 20L
@@ -204,13 +207,13 @@ object MaintainProbe {
           foldSecs += fs
         })
         def serveP(): Double = timeIt(
-          Retrieval.serveWithSegments(spark, idxP, pUnfolded.toSeq,
-            dUnfolded.toSeq, qterms)
+          Retrieval.serveWithSegments(spark, idxP, pUnfolded.toSeq.map(_._2),
+            dUnfolded.toSeq.map(_._2), qterms)
             .write.mode("overwrite").format("noop").save())._2
         val base0 = serveP() // zero-segment baseline on THIS index
         val polServeSecs = (0 until segN).map { k =>
           curSeg = k + 1
-          pUnfolded += pPol(k); dUnfolded += dPol(k)
+          pUnfolded += (k -> pPol(k)); dUnfolded += (k -> dPol(k))
           folder.onSegment()
           val sec = serveP()
           folder.onServe(Some(sec), base0)

@@ -1130,12 +1130,21 @@ object Dedup {
       var foldTxn = 1L
       val folder = new graft.streaming.PolicyFolder(
         graft.streaming.PolicyFolder.defaultPolicy(), () => {
-          if (bandSegs.nonEmpty)
-            bandsPt.appendInto(s, s.read.parquet(bandSegs.values: _*),
-              Some("admbands" -> foldTxn))
-          if (setSegs.nonEmpty)
-            setsPt.mergeInto(s, s.read.parquet(setSegs.values: _*),
-              Some("admsets" -> foldTxn))
+          // replay-safe fold (r15 VERDICT item 5): already-folded
+          // sub-batches are filtered on their txn markers; this fold's
+          // ids commit atomically with the data
+          val liveB = bandSegs.entries
+            .filterNot { case (k, _) => bandsPt.lastTxn(s"admbands.seg$k").isDefined }
+          val liveS = setSegs.entries
+            .filterNot { case (k, _) => setsPt.lastTxn(s"admsets.seg$k").isDefined }
+          if (liveB.nonEmpty)
+            bandsPt.appendInto(s, s.read.parquet(liveB.map(_._2): _*),
+              Some("admbands" -> foldTxn),
+              liveB.map { case (k, _) => s"admbands.seg$k" -> foldTxn }.toMap)
+          if (liveS.nonEmpty)
+            setsPt.mergeInto(s, s.read.parquet(liveS.map(_._2): _*),
+              Some("admsets" -> foldTxn),
+              liveS.map { case (k, _) => s"admsets.seg$k" -> foldTxn }.toMap)
           foldTxn += 1
           bandSegs.clear(); setSegs.clear()
         })
@@ -1146,6 +1155,12 @@ object Dedup {
         .foreachBatch { (mb: DataFrame, _: Long) =>
           val subs = mb.select(col("sub_batch")).distinct()
             .collect().map(_.getInt(0)).sorted
+            // a replay of a sub-batch a mid-epoch fold already landed
+            // skips ENTIRELY: its admission verdict is already in
+            // `results` (first delivery), and recomputing it against a
+            // corpus that now CONTAINS its own admitted rows would
+            // mis-flag them as duplicates of themselves
+            .filter(k => bandsPt.lastTxn(s"admbands.seg$k").isEmpty)
           subs.foreach { k =>
             val base = minhashBaseOf(mb.filter(col("sub_batch") === k))
               .localCheckpoint(true)

@@ -528,18 +528,37 @@ object Retrieval {
   }
 
   /** The deferred OPTIMIZE: fold accumulated segments into the
-    * bucketed base tables in ONE commit per table. */
+    * bucketed base tables in ONE commit per table. Segments arrive
+    * keyed by SUB-BATCH id, and the fold is REPLAY-SAFE structurally
+    * (r15 VERDICT item 5): each fold commit records one
+    * `<app>.seg<k>` txn marker per folded sub-batch — atomically with
+    * the data, in the same manifest swap — and segments whose id the
+    * table has already folded are FILTERED OUT here. A replay of an
+    * already-folded sub-batch under AvailableNow (its segment file
+    * re-landed after the mid-epoch fold that consumed it) therefore
+    * no-ops at the next fold instead of re-landing rows, whatever the
+    * loop around this call does. */
   private[graft] def foldSegments(s: SparkSession, idx: MaintainedIndex,
-      postingSegs: Seq[java.nio.file.Path], doclenSegs: Seq[java.nio.file.Path],
+      postingSegs: Seq[(Int, java.nio.file.Path)],
+      doclenSegs: Seq[(Int, java.nio.file.Path)],
       ver: Long): Unit = {
-    // distinct: a replayed micro-batch re-registers its segment path;
-    // the segment itself was overwritten in place, so fold it once
-    val ps = postingSegs.map(_.toString).distinct
-    val ds = doclenSegs.map(_.toString).distinct
+    // distinctBy id: a replayed micro-batch re-registers its segment
+    // path; the segment itself was overwritten in place, so fold once
+    def fresh(t: graft.streaming.PartitionedTable, app: String,
+        segs: Seq[(Int, java.nio.file.Path)]): Seq[(Int, String)] =
+      segs.distinctBy(_._1)
+        .filterNot { case (k, _) => t.lastTxn(s"$app.seg$k").isDefined }
+        .map { case (k, p) => k -> p.toString }
+    val ps = fresh(idx.postings, "bm25idx", postingSegs)
+    val ds = fresh(idx.doclens, "bm25dl", doclenSegs)
     if (ps.nonEmpty)
-      idx.postings.appendInto(s, s.read.parquet(ps: _*), Some("bm25idx" -> ver))
+      idx.postings.appendInto(s, s.read.parquet(ps.map(_._2): _*),
+        Some("bm25idx" -> ver),
+        ps.map { case (k, _) => s"bm25idx.seg$k" -> ver }.toMap)
     if (ds.nonEmpty)
-      idx.doclens.mergeInto(s, s.read.parquet(ds: _*), Some("bm25dl" -> ver))
+      idx.doclens.mergeInto(s, s.read.parquet(ds.map(_._2): _*),
+        Some("bm25dl" -> ver),
+        ds.map { case (k, _) => s"bm25dl.seg$k" -> ver }.toMap)
   }
 
   /** Serve from the maintained state: postings read through the
@@ -651,7 +670,7 @@ object Retrieval {
       var foldTxn = 1L
       val folder = new graft.streaming.PolicyFolder(
         graft.streaming.PolicyFolder.defaultPolicy(), () => {
-          foldSegments(s, idx, pSegs.values, dSegs.values, foldTxn)
+          foldSegments(s, idx, pSegs.entries, dSegs.entries, foldTxn)
           foldTxn += 1
           // age-out: folded segments are dead — the stores only ever
           // hold UNFOLDED segments, so the union read path shrinks
@@ -672,10 +691,16 @@ object Retrieval {
           val subs = mb.select(col("sub_batch")).distinct()
             .collect().map(_.getInt(0)).sorted
           subs.foreach { k =>
-            val batch = mb.filter(col("sub_batch") === k)
-            pSegs.put(k, writeSegment(pSegDir, k.toLong, postingsOf(batch)))
-            dSegs.put(k, writeSegment(dSegDir, k.toLong, doclensOf(batch)))
-            folder.onSegment()
+            // a replay of a sub-batch a mid-epoch fold already landed
+            // must NOT re-enter the segment store (the fold markers
+            // are the structural guard in foldSegments; this check
+            // just skips the dead segment write)
+            if (idx.postings.lastTxn(s"bm25idx.seg$k").isEmpty) {
+              val batch = mb.filter(col("sub_batch") === k)
+              pSegs.put(k, writeSegment(pSegDir, k.toLong, postingsOf(batch)))
+              dSegs.put(k, writeSegment(dSegDir, k.toLong, doclensOf(batch)))
+              folder.onSegment()
+            }
           }
           ()
         }

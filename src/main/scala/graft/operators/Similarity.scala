@@ -1259,12 +1259,21 @@ object Similarity {
     * the maintained table and the spec's direct projection provably
     * serve the same relation. */
   private[graft] def frozenInt8Serve(indexRows: DataFrame,
-      qcells: DataFrame): DataFrame = {
+      qcells: DataFrame, excludeSelf: Boolean = true): DataFrame = {
     val qdot = graft.functions.DotI8.dotI8(col("cq"), col("qq"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_q").desc, col("vec_id").asc)
-    indexRows.join(broadcast(qcells),
-        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+    // excludeSelf is the CORPUS-QUERY convention (query ids ARE corpus
+    // vec_ids, so a vector must not match itself). An AD-HOC query
+    // batch must pass false: its query_id namespace is the caller's,
+    // and a collision with a corpus vec_id would silently drop that
+    // vector from the candidate set (r15 ADVICE; ServeSessionSpec
+    // pins the colliding-id case).
+    val joinCond =
+      if (excludeSelf)
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id")
+      else col("cell") === col("qcell")
+    indexRows.join(broadcast(qcells), joinCond)
       .select(col("query_id"), col("vec_id"), col("cell"),
         cosQ(qdot).as("cos_q"))
       .withColumn("rnk", row_number().over(w))
@@ -1351,12 +1360,20 @@ object Similarity {
       var foldTxn = 1L
       val folder = new graft.streaming.PolicyFolder(
         graft.streaming.PolicyFolder.defaultPolicy(), () => {
-          if (segs.nonEmpty) {
-            pt.appendInto(s, s.read.parquet(segs.values: _*),
-              Some("annidx" -> foldTxn))
+          // replay-safe fold (r15 VERDICT item 5): sub-batches the
+          // table has already folded are filtered on their txn
+          // markers, and this fold's sub-batch ids commit atomically
+          // with the data — a replayed already-folded segment can
+          // never re-land
+          val live = segs.entries
+            .filterNot { case (k, _) => pt.lastTxn(s"annidx.seg$k").isDefined }
+          if (live.nonEmpty) {
+            pt.appendInto(s, s.read.parquet(live.map(_._2): _*),
+              Some("annidx" -> foldTxn),
+              live.map { case (k, _) => s"annidx.seg$k" -> foldTxn }.toMap)
             foldTxn += 1
-            segs.clear()
           }
+          segs.clear()
         })
       val stream = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1366,11 +1383,15 @@ object Similarity {
           val subs = mb.select(col("sub_batch")).distinct()
             .collect().map(_.getInt(0)).sorted
           subs.foreach { k =>
-            val seg = segDir.resolve(f"seg$k%04d")
-            rowsOf(mb.filter(col("sub_batch") === k).drop("sub_batch"))
-              .write.mode("overwrite").parquet(seg.toString)
-            segs.put(k, seg.toString)
-            folder.onSegment()
+            // an already-FOLDED sub-batch replay skips the segment
+            // write (the fold's marker filter is the structural guard)
+            if (pt.lastTxn(s"annidx.seg$k").isEmpty) {
+              val seg = segDir.resolve(f"seg$k%04d")
+              rowsOf(mb.filter(col("sub_batch") === k).drop("sub_batch"))
+                .write.mode("overwrite").parquet(seg.toString)
+              segs.put(k, seg.toString)
+              folder.onSegment()
+            }
           }
           ()
         }

@@ -202,8 +202,16 @@ object ChaosDuel {
                   // a timed-out stealer must die NOW: left running it
                   // would leak a JVM past the finally sweep (it's not
                   // in procs) and could commit after ok=false, tripping
-                  // the row-count invariants spuriously (r14 ADVICE)
-                  if (!finished) st.destroyForcibly()
+                  // the row-count invariants spuriously (r14 ADVICE).
+                  // destroyForcibly is ASYNC — await the kill before
+                  // the steals accounting, or the dying stealer can
+                  // still publish its commit after ok=false is recorded
+                  // (r15 ADVICE)
+                  if (!finished) {
+                    st.destroyForcibly()
+                    require(st.waitFor(30L, TimeUnit.SECONDS),
+                      s"stealer$steals survived destroyForcibly")
+                  }
                   val ok = finished && st.exitValue == 0
                   System.err.println(s"[chaos] round $k stealer exit ok=$ok")
                   if (ok) steals += 1

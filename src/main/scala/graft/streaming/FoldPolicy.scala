@@ -85,11 +85,11 @@ final class FoldPolicy(
   * behavior, now as the policy's degenerate case rather than a
   * hardcoded constant. A serve-interleaved deployment (the
   * MaintainProbe policy loop) folds mid-epoch at the rent-or-buy
-  * points. Mid-epoch folds assume the stream has committed past the
-  * folded sub-batches (true under AvailableNow with segment-named
-  * overwrites): a replay of an already-FOLDED sub-batch would
-  * re-land it — replay idempotence holds within a fold epoch, same
-  * as the pre-r15 single-epoch scope. */
+  * points. Mid-epoch folds are replay-safe STRUCTURALLY (r16): each
+  * fold records its sub-batch ids as txn markers atomically with the
+  * data commit, and the fold path filters already-folded ids — a
+  * replayed sub-batch can never re-land, whatever the loop does
+  * (spec: FoldReplaySpec). */
 final class PolicyFolder(val policy: FoldPolicy, foldNow: () => Unit) {
   private var folds = 0
 

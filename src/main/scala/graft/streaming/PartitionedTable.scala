@@ -380,7 +380,8 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     * 100 TB initial load takes. Empty input commits nothing and
     * records no txn (same contract as the probe path). */
   private def freshWrite(spark: SparkSession, rows: DataFrame,
-      txn: Option[(String, Long)]): Seq[Int] = {
+      txn: Option[(String, Long)],
+      alsoRecord: Map[String, Long] = Map.empty): Seq[Int] = {
     val m = manifest // empty; nextCommit still counts snapshots
     val commit = nextCommit(m)
     val commitRel = attemptDir(commit)
@@ -397,7 +398,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       return Nil
     }
     writeManifest(written.map(b => b -> s"$commitRel/__b=$b").toMap, commit,
-      txns ++ txn, Some(commitRel), schemaToRecord(spark, rows.schema))
+      txns ++ txn ++ alsoRecord, Some(commitRel), schemaToRecord(spark, rows.schema))
     written
   }
 
@@ -409,9 +410,19 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     * `txn = Some(appId -> version)` makes the write IDEMPOTENT per
     * writer: a version ≤ the recorded one for `appId` is a replay
     * (checkpoint recovery re-delivering a micro-batch) and no-ops;
-    * otherwise the version commits atomically WITH the data. */
+    * otherwise the version commits atomically WITH the data.
+    *
+    * `alsoRecord` commits EXTRA txn records atomically with the same
+    * manifest swap — the LSM fold path's replay guard (r15 VERDICT):
+    * a fold that lands several sub-batches records one
+    * `<app>.seg<k>` marker per folded sub-batch, so "this sub-batch's
+    * rows are in the base" and "the rows are in the base" can never
+    * be observed apart, and a replayed already-folded sub-batch is
+    * refused STRUCTURALLY (Retrieval.foldSegments filters on the
+    * markers) instead of by loop discipline. */
   def mergeInto(spark: SparkSession, updates: DataFrame,
-                txn: Option[(String, Long)] = None): Seq[Int] = {
+                txn: Option[(String, Long)] = None,
+                alsoRecord: Map[String, Long] = Map.empty): Seq[Int] = {
     if (txn.exists { case (a, v) => lastTxn(a).exists(_ >= v) }) return Nil
     // FRESH-TABLE fast path (the bulk-load shape): with no committed
     // buckets there is nothing to merge against and nothing to probe —
@@ -421,7 +432,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     // measured OOM at 40 M rows / 8 GiB heap); the fast path writes
     // single-pass and derives the manifest from the written __b= dirs
     // (the deleteKeys listing pattern).
-    if (manifest.isEmpty) return freshWrite(spark, updates, txn)
+    if (manifest.isEmpty) return freshWrite(spark, updates, txn, alsoRecord)
     val withBucket = updates.withColumn("__b", bucketExpr).cache()
     val touched = withBucket.select("__b").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
@@ -473,7 +484,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     // partitionBy writes one __b=<n> dir per touched bucket under the
     // commit dir; repoint only those buckets, one atomic manifest swap
     writeManifest(m ++ touched.map(b => b -> s"$commitRel/__b=$b"), commit,
-      txns ++ txn, Some(commitRel), schemaToRecord(spark, merged.schema))
+      txns ++ txn ++ alsoRecord, Some(commitRel), schemaToRecord(spark, merged.schema))
     touched
   }
 
@@ -484,11 +495,12 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     * rows (additive columns null-fill both ways) and rewritten in one
     * job; same commit protocol. */
   def appendInto(spark: SparkSession, rows: DataFrame,
-                 txn: Option[(String, Long)] = None): Seq[Int] = {
+                 txn: Option[(String, Long)] = None,
+                 alsoRecord: Map[String, Long] = Map.empty): Seq[Int] = {
     if (txn.exists { case (a, v) => lastTxn(a).exists(_ >= v) }) return Nil
     // same fresh-table single-pass fast path as mergeInto: with no
     // committed buckets, append == first write
-    if (manifest.isEmpty) return freshWrite(spark, rows, txn)
+    if (manifest.isEmpty) return freshWrite(spark, rows, txn, alsoRecord)
     val withBucket = rows.withColumn("__b", bucketExpr).cache()
     val touched = withBucket.select("__b").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
@@ -508,7 +520,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       .parquet(dir.resolve(commitRel).toString)
     withBucket.unpersist()
     writeManifest(m ++ touched.map(b => b -> s"$commitRel/__b=$b"), commit,
-      txns ++ txn, Some(commitRel), schemaToRecord(spark, merged.schema))
+      txns ++ txn ++ alsoRecord, Some(commitRel), schemaToRecord(spark, merged.schema))
     touched
   }
 

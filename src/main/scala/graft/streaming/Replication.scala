@@ -425,7 +425,22 @@ object Replication {
       ch.write(java.nio.ByteBuffer.wrap(bytes), 0L)
       ch.force(true)
     } catch { case _: Exception =>
-      try Files.write(lock, bytes) catch { case _: Exception => () }
+      // the fallback must NOT go through an InterruptibleChannel: the
+      // releasing thread often still CARRIES the pending interrupt that
+      // closed the shared channel in the first place, and Files.write
+      // opens another interruptible channel — it would throw
+      // ClosedByInterruptException immediately, leaving the stale
+      // heartbeat payload and costing the successor a full staleness-
+      // horizon wait on a clean release (r15 ADVICE). Clear the
+      // interrupt for the write, restore it after (the owner of the
+      // interrupt protocol is the caller), and write via FileOutputStream
+      // whose write path is not interrupt-sensitive.
+      val wasInterrupted = Thread.interrupted()
+      try {
+        val os = new java.io.FileOutputStream(lock.toFile, false)
+        try { os.write(bytes); os.getFD.sync() } finally os.close()
+      } catch { case _: Exception => () }
+      finally if (wasInterrupted) Thread.currentThread().interrupt()
     }
   }
 

@@ -29,6 +29,11 @@ final class SubBatchState[V] {
   /** All values in ascending sub-batch order. */
   def values: Seq[V] = m.asScala.toSeq.sortBy(_._1).map(_._2)
 
+  /** All (sub-batch id, value) pairs in ascending id order — the fold
+    * path's shape, where each landed segment carries the id the
+    * replay-guard markers are keyed by (r15 VERDICT item 5). */
+  def entries: Seq[(Int, V)] = m.asScala.toSeq.sortBy(_._1)
+
   /** Values of STRICTLY earlier sub-batches — the state a replayed
     * sub-batch `k` must see: exactly what it saw the first time. */
   def earlier(k: Int): Seq[V] =

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Retrieval
+import graft.streaming.PartitionedTable
+
+/** Mid-epoch fold REPLAY idempotence, structural form (r15 VERDICT
+  * item 5): a fold commit records its sub-batch ids as txn markers
+  * atomically with the data, so a replay of an already-FOLDED
+  * sub-batch (AvailableNow re-delivering a micro-batch whose segment
+  * a mid-epoch fold already consumed) is refused at the next fold —
+  * final state identical to the no-replay run, however the loop
+  * around the fold behaves. Pre-r16 this property was documented as
+  * configurational (FoldPolicy.scala caveat, now deleted); this spec
+  * makes it load-bearing. */
+class FoldReplaySpec extends AnyFunSuite {
+  private val spark = TestSpark.session
+  private val d = "/root/testdata/sf0.001"
+
+  test("replaying an already-folded sub-batch re-lands NOTHING (bm25 maintained index)") {
+    val docs = Tables.documents(spark, d)
+    val isArr = Retrieval.isArrival(col("doc_id"))
+    val wd = java.nio.file.Files.createTempDirectory("graft_foldreplay")
+    try {
+      val idx = Retrieval.buildMaintained(spark, wd.resolve("idx"),
+        docs.filter(!isArr))
+      val segDir = wd.resolve("segs")
+      java.nio.file.Files.createDirectories(segDir)
+      val arrivals = docs.filter(isArr)
+        .withColumn("sub_batch", Retrieval.arrivalSubBatch(col("doc_id")))
+      def landSeg(k: Int): (Int, java.nio.file.Path) = {
+        val batch = arrivals.filter(col("sub_batch") === k).drop("sub_batch")
+        k -> Retrieval.writeSegment(segDir, k.toLong, Retrieval.postingsOf(batch))
+      }
+      def landDl(k: Int): (Int, java.nio.file.Path) = {
+        val batch = arrivals.filter(col("sub_batch") === k).drop("sub_batch")
+        k -> Retrieval.writeSegment(segDir.resolve("d"), k.toLong,
+          Retrieval.doclensOf(batch))
+      }
+
+      // epoch: sub-batches 0 and 1 land, MID-EPOCH fold consumes them
+      Retrieval.foldSegments(spark, idx,
+        Seq(landSeg(0), landSeg(1)), Seq(landDl(0), landDl(1)), ver = 1L)
+      val pRows = idx.postings.read(spark).count()
+      val dRows = idx.doclens.read(spark).count()
+      assert(idx.postings.lastTxn("bm25idx.seg0").contains(1L))
+      assert(idx.postings.lastTxn("bm25idx.seg1").contains(1L))
+
+      // REPLAY: the engine re-delivers sub-batch 0 — the loop (or a
+      // buggy one) re-lands its segment and the close fold runs with
+      // it AND the genuinely-new sub-batch 2
+      Retrieval.foldSegments(spark, idx,
+        Seq(landSeg(0), landSeg(2)), Seq(landDl(0), landDl(2)), ver = 2L)
+
+      // sub-batch 0's rows appear exactly ONCE: the second fold landed
+      // only sub-batch 2 (postings are append-only, so a re-land would
+      // inflate the row count by |seg0|)
+      val seg0Rows = Retrieval.postingsOf(
+        arrivals.filter(col("sub_batch") === 0).drop("sub_batch")).count()
+      val seg2Rows = Retrieval.postingsOf(
+        arrivals.filter(col("sub_batch") === 2).drop("sub_batch")).count()
+      assert(seg0Rows > 0 && seg2Rows > 0, "fixture needs non-empty sub-batches")
+      assert(idx.postings.read(spark).count() === pRows + seg2Rows,
+        "replayed sub-batch 0 must not re-land into the append-only postings")
+      assert(idx.postings.lastTxn("bm25idx.seg2").contains(2L))
+
+      // a PURE replay fold (every id already folded) commits nothing:
+      // no new snapshot, txn versions unchanged
+      val snapsBefore = idx.postings.snapshots
+      Retrieval.foldSegments(spark, idx,
+        Seq(landSeg(1), landSeg(2)), Seq(landDl(1), landDl(2)), ver = 3L)
+      assert(idx.postings.snapshots === snapsBefore,
+        "an all-replay fold must be a structural no-op")
+      assert(idx.postings.lastTxn("bm25idx").contains(2L))
+
+      // the maintained state equals the one-shot build over the same
+      // docs (base + sub-batches 0..2, each exactly once)
+      val served = Retrieval.serveMaintained(spark, idx,
+        Retrieval.queryGramsOf(docs))
+      val full = docs.filter(!isArr)
+        .unionByName(arrivals.filter(col("sub_batch") <= 2).drop("sub_batch"))
+      val oneShot = Retrieval.bm25TopkOf(full, Retrieval.QueryDocs)
+      assert(served.collect().map(_.mkString("|")).toSet ===
+        oneShot.collect().map(_.mkString("|")).toSet)
+      val _ = dRows
+    } finally PartitionedTable.deleteRecursively(wd)
+  }
+
+  test("replay markers guard the ANN maintained table's fold path too") {
+    val e = Tables.embeddings(spark, d)
+    val wd = java.nio.file.Files.createTempDirectory("graft_foldreplay_ann")
+    try {
+      val pt = new PartitionedTable(wd.resolve("idx"), "cell", 4)
+      import spark.implicits._
+      def seg(k: Int): String = {
+        val p = wd.resolve(f"seg$k%04d")
+        e.filter(col("vec_id") % 3 === k).select(col("vec_id"),
+          (col("vec_id") % 7).as("cell"), lit(1.0).as("c_scale"),
+          array(lit(1L)).as("cq"))
+          .write.mode("overwrite").parquet(p.toString)
+        p.toString
+      }
+      pt.appendInto(spark, spark.read.parquet(seg(0)), Some("annidx" -> 1L),
+        Map("annidx.seg0" -> 1L))
+      val n0 = pt.read(spark).count()
+      // the guard the loop's fold closure applies: seg0 is filtered out
+      val live = Seq(0 -> seg(0), 1 -> seg(1))
+        .filterNot { case (k, _) => pt.lastTxn(s"annidx.seg$k").isDefined }
+      assert(live.map(_._1) === Seq(1))
+      pt.appendInto(spark, spark.read.parquet(live.map(_._2): _*),
+        Some("annidx" -> 2L),
+        live.map { case (k, _) => s"annidx.seg$k" -> 2L }.toMap)
+      val seg1Rows = spark.read.parquet(seg(1)).count()
+      assert(pt.read(spark).count() === n0 + seg1Rows)
+      assert(pt.lastTxn("annidx.seg0").contains(1L))
+      assert(pt.lastTxn("annidx.seg1").contains(2L))
+    } finally PartitionedTable.deleteRecursively(wd)
+  }
+}

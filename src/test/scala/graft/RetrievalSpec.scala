@@ -150,7 +150,7 @@ class RetrievalSpec extends AnyFunSuite {
       assert(segRows === Retrieval.postingsOf(batch).count()) // overwritten, not doubled
       // both registrations reach the fold; it must land the rows once
       val before = idx.postings.read(spark).count()
-      Retrieval.foldSegments(spark, idx, Seq(s1, s2), Seq.empty, 1L)
+      Retrieval.foldSegments(spark, idx, Seq(0 -> s1, 0 -> s2), Seq.empty, 1L)
       assert(idx.postings.read(spark).count() === before + segRows)
     } finally {
       graft.streaming.PartitionedTable.deleteRecursively(dir)
@@ -198,7 +198,8 @@ class RetrievalSpec extends AnyFunSuite {
       // (a) between-folds read path answers the one-shot build
       assert(served(pSegs, dSegs) === oneShot)
       // epoch fold + OPTIMIZE + age-out
-      Retrieval.foldSegments(spark, idx, pSegs, dSegs, 1L)
+      Retrieval.foldSegments(spark, idx, pSegs.zipWithIndex.map(_.swap),
+        dSegs.zipWithIndex.map(_.swap), 1L)
       idx.postings.compact(spark)
       idx.doclens.compact(spark)
       Retrieval.pruneSegments(pSegs ++ dSegs)
@@ -249,7 +250,7 @@ class RetrievalSpec extends AnyFunSuite {
           (s"${ProcessHandle.current.pid} ${System.currentTimeMillis} " +
             s"stolen-nonce ${lease.generation + 1}").getBytes("UTF-8"))
         val refusal = intercept[java.util.ConcurrentModificationException] {
-          Retrieval.foldSegments(spark, idx, Seq(seg), Seq.empty, 1L)
+          Retrieval.foldSegments(spark, idx, Seq(0 -> seg), Seq.empty, 1L)
         }
         // the refusal is the TERMINAL fence type — retryingCommit must
         // rethrow it immediately, never rebase-and-retry a dead lease
@@ -258,7 +259,7 @@ class RetrievalSpec extends AnyFunSuite {
         intercept[graft.streaming.PartitionedTable.FencedCommitException] {
           graft.streaming.PartitionedTable.retryingCommit() {
             retries += 1
-            Retrieval.foldSegments(spark, idx, Seq(seg), Seq.empty, 1L)
+            Retrieval.foldSegments(spark, idx, Seq(0 -> seg), Seq.empty, 1L)
           }
         }
         assert(retries === 1, s"fence refusal was retried $retries times")

@@ -61,4 +61,110 @@ class ServeSessionSpec extends AnyFunSuite {
       assert(served.filter(col("rnk") === 1).count() === 4)
     } finally session.close()
   }
+
+  test("ad-hoc ANN serve does NOT self-exclude: a query_id colliding with a corpus vec_id keeps that vector as a candidate") {
+    val session = ServeSession.ann(spark, d)
+    try {
+      // an ad-hoc batch whose caller-chosen query_id COLLIDES with a
+      // corpus vec_id — pre-r16 the kernel's vec_id =!= query_id
+      // silently dropped vector 10 from its own candidate set
+      // (r15 ADVICE, medium)
+      val batch = Tables.embeddings(spark, d)
+        .filter(col("vec_id") === 10L)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val served = session.serve(batch).collect()
+      assert(served.exists(r => r.getLong(1) == 10L),
+        "colliding corpus vector must stay in the ad-hoc candidate set")
+      // corpus-id serve (serveIds) keeps the one-shot self-exclusion
+      val byId = session.serveIds(Seq(10L)).collect()
+      assert(byId.nonEmpty && !byId.exists(r => r.getLong(1) == 10L),
+        "serveIds must self-exclude like the one-shot entries")
+    } finally session.close()
+  }
+
+  // ---- the consistency contract vs the maintain loops (r15 VERDICT
+  // item 1): a session pins ONE manifest snapshot; folds, compaction
+  // and vacuum running underneath never change what it serves, and
+  // refresh() re-pins to the post-fold state ≡ a fresh one-shot.
+
+  test("maintained ANN session: pinned across fold+compact+vacuum; refresh == post-fold one-shot") {
+    import graft.streaming.PartitionedTable
+    val e = Tables.embeddings(spark, d)
+    val isArr = Retrieval.isArrival(col("vec_id"))
+    val (supers, groups) = Similarity.twoLevelIndexOf(
+      Similarity.collectCentroidsOf(e.filter(!isArr)))
+    def idxRowsOf(df: DataFrame): DataFrame = {
+      val (sc, q) = Similarity.quantizeCols(col("embedding"))
+      df.select(col("vec_id"),
+        graft.functions.ImiCell2.cell(col("embedding"), supers, groups).as("cell"),
+        sc.as("c_scale"), q.as("cq"))
+    }
+    def qcellsOf(q: DataFrame): DataFrame = {
+      val (sc, qq) = Similarity.quantizeCols(col("embedding"))
+      q.select(col("query_id"),
+        graft.functions.ImiCell2.cell(col("embedding"), supers, groups).as("qcell"),
+        sc.as("q_scale"), qq.as("qq"))
+    }
+    val wd = java.nio.file.Files.createTempDirectory("graft_srvmaint")
+    try {
+      val pt = new PartitionedTable(wd.resolve("idx"), "cell", 8)
+      pt.appendInto(spark, idxRowsOf(e.filter(!isArr)), Some("t" -> 0L))
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val sess = ServeSession.annMaintained(spark, pt, qcellsOf)
+      try {
+        val s0 = sess.pinnedSnapshot
+        val r0 = rowsOf(sess.serveIds(queries))
+        // the maintain loop mutates the SAME table underneath: a fold
+        // (arrivals land in the base), a compaction, and a vacuum that
+        // respects the retention horizon covering the pinned snapshot
+        pt.appendInto(spark, idxRowsOf(e.filter(isArr)), Some("t" -> 1L))
+        pt.compact(spark)
+        pt.vacuum(retainSnapshots = pt.snapshots.size)
+        assert(sess.pinnedSnapshot === s0)
+        assert(rowsOf(sess.serveIds(queries)) === r0,
+          "a pinned session must keep serving exactly its snapshot across folds")
+        // refresh re-pins to the post-fold state — a fresh one-shot
+        val s1 = sess.refresh()
+        assert(s1 > s0)
+        val oneShot = Similarity.frozenInt8Serve(pt.read(spark), qcellsOf(queries))
+        assert(rowsOf(sess.serveIds(queries)) === rowsOf(oneShot))
+        // refresh when already current is a stable no-op
+        assert(sess.refresh() === s1)
+        // after refresh, sweeping the OLD snapshot past the horizon
+        // does not disturb the session (it no longer references it)
+        pt.vacuum(retainSnapshots = 1)
+        assert(rowsOf(sess.serveIds(queries)) === rowsOf(oneShot))
+      } finally sess.close()
+    } finally PartitionedTable.deleteRecursively(wd)
+  }
+
+  test("maintained BM25 session: pinned across append+compact; refresh == post-fold serve") {
+    import graft.streaming.PartitionedTable
+    val docs = Tables.documents(spark, d)
+    val isArr = Retrieval.isArrival(col("doc_id"))
+    val wd = java.nio.file.Files.createTempDirectory("graft_srvbm25")
+    try {
+      val idx = Retrieval.buildMaintained(spark, wd.resolve("idx"),
+        docs.filter(!isArr))
+      val queries = docs.filter(col("doc_id").isInCollection(Retrieval.QueryDocs))
+        .select(col("doc_id").as("query_id"), col("text"))
+      val sess = ServeSession.bm25Maintained(spark, idx.postings, idx.doclens)
+      try {
+        val p0 = sess.pinnedSnapshots
+        val r0 = rowsOf(sess.serve(queries))
+        Retrieval.appendArrivals(spark, idx, docs.filter(isArr), 1L)
+        idx.postings.compact(spark)
+        idx.doclens.compact(spark)
+        assert(sess.pinnedSnapshots === p0)
+        assert(rowsOf(sess.serve(queries)) === r0,
+          "a pinned session must keep serving exactly its snapshots across folds")
+        val p1 = sess.refresh()
+        assert(p1 !== p0)
+        val fresh = Retrieval.serveMaintained(spark, idx,
+          Retrieval.queryGramsOfRelation(queries))
+        assert(rowsOf(sess.serve(queries)) === rowsOf(fresh))
+      } finally sess.close()
+    } finally PartitionedTable.deleteRecursively(wd)
+  }
 }

@@ -129,13 +129,20 @@ object Bench {
       }
     })
 
+    // SPARK_GRAFT_ONLY (r16): resolved before the warmups so a
+    // targeted single-query invocation skips the bucketed-table ETL
+    // it would never read — selection only, measured code unchanged
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // warm the session (codegen, parquet footers) outside timing
     Tables.lineitem(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
     // the bucketed LAYOUT is write-time ETL, not query work: build it
     // once here so join_bucketed times the read-only co-located join
     val (bktOrders, bktLineitem) =
-      graft.operators.Relational.buildBucketedTables(spark, sfDir)
+      if (only.forall(_.contains("join_bucketed")))
+        graft.operators.Relational.buildBucketedTables(spark, sfDir)
+      else ("", "")
     // per-run cleanup hooks (run OUTSIDE timing): a query that stages
     // an invocation-scoped cache registers its release here, so run 2
     // never reuses run 1's cache (leaked caches flatten medians) and
@@ -202,11 +209,18 @@ object Bench {
         out += name -> Seq(-1.0)
       }
     }
-    headline.foreach(benchInto(runs))
+    // SPARK_GRAFT_ONLY: targeted subset for PAIRED experiments
+    // (r16 — the join_inner_hash attribution A/B runs one query per
+    // invocation to pair at the query level instead of ~2 min apart
+    // inside a full bench). Selection only: warmup, sampling, and the
+    // measured code are byte-identical to the full run.
+    def selected(names: Seq[String]): Seq[String] =
+      only.fold(names)(o => names.filter(o))
+    selected(headline).foreach(benchInto(runs))
     // deliberately-kept baseline forms: measured, reported under
     // "ablations", excluded from `total` so the headline curve is the
     // production path
-    ablations.foreach(benchInto(ablRuns))
+    selected(ablations).foreach(benchInto(ablRuns))
     // distributed XML bulk-load throughput (EP1 analog) — a named
     // bench metric (`ingest_bulk`, VERDICT r4 item 8) so the
     // 3,000–4,600 rows/s baseline comparison is pinned by the harness.
@@ -215,10 +229,14 @@ object Bench {
     // every other row (r14 VERDICT item 5 — it was the one
     // headline-adjacent metric reported at n=1); the reported rate
     // uses the MEDIAN run.
-    val ingestSamples = (1 to 3).map(_ => xmlIngestBench(spark))
+    val ingestSamples =
+      if (only.forall(_.contains("ingest_bulk")))
+        (1 to 3).map(_ => xmlIngestBench(spark))
+      else Seq((0L, 0.0))
     val ingestRows = ingestSamples.head._1
     val ingestSec = median(ingestSamples.map(_._2))
-    runs += "ingest_bulk" -> ingestSamples.map(_._2)
+    if (only.forall(_.contains("ingest_bulk")))
+      runs += "ingest_bulk" -> ingestSamples.map(_._2)
     val medians = runs.map { case (k, v) =>
       k -> (if (v.exists(_ < 0)) -1.0 else median(v)) }
 

@@ -224,6 +224,90 @@ object MaintainProbe {
           s"fold_at=${foldAt.mkString(",")} " +
           f"realized=${folder.realizedFolds} seed_fold=$secFoldServe%.2f " +
           f"seed_tax=$taxSeed%.3f")
+        // ---- TIERED policy loop (r16): same serve-interleaved cadence
+        // through the two-level policy — mid-epoch folds go to flat-
+        // priced RUNS (O(segments since last run fold)), the
+        // O(standing) base rewrite is paid only when the run tax has
+        // accrued to it or at epoch close. The artifact claim: per-fold
+        // mid-epoch cost stays FLAT across the epoch, vs the
+        // single-level loop's fold cost growing with every fold
+        // (MAINTAIN_r15 sf1: 8.2 → 27.6 s within one epoch).
+        val idxT = Retrieval.buildMaintained(spark, wd.resolve("bm25tier"),
+          docs.filter(!Retrieval.isArrival(col("doc_id"))))
+        val tierSegDir = wd.resolve("bm25tiersegs")
+        java.nio.file.Files.createDirectories(tierSegDir)
+        val pTier = (0 until segN).map { k =>
+          Retrieval.writeSegment(tierSegDir.resolve("p"), k.toLong,
+            Retrieval.postingsOf(arrSeg.filter(col("__seg") === k).drop("__seg")))
+        }
+        val dTier = (0 until segN).map { k =>
+          Retrieval.writeSegment(tierSegDir.resolve("d"), k.toLong,
+            Retrieval.doclensOf(arrSeg.filter(col("__seg") === k).drop("__seg")))
+        }
+        val pRuns = scala.collection.mutable.ArrayBuffer[(Seq[Int], java.nio.file.Path)]()
+        val dRuns = scala.collection.mutable.ArrayBuffer[(Seq[Int], java.nio.file.Path)]()
+        val pLoose = scala.collection.mutable.ArrayBuffer[(Int, java.nio.file.Path)]()
+        val dLoose = scala.collection.mutable.ArrayBuffer[(Int, java.nio.file.Path)]()
+        val tFoldLevel = scala.collection.mutable.ArrayBuffer[String]()
+        val tFoldAt = scala.collection.mutable.ArrayBuffer[Int]()
+        val tFoldSecs = scala.collection.mutable.ArrayBuffer[Double]()
+        var runSeqT = 0
+        var tierTxn = 40L
+        var curSegT = 0
+        val tPolicy = new graft.streaming.TieredFoldPolicy(
+          initialRunFoldCostSec = math.max(0.05, secSeg),
+          initialBaseFoldCostSec = secFoldServe,
+          initialTaxPerLeafSec = taxSeed)
+        val tFolder = new graft.streaming.TieredPolicyFolder(tPolicy,
+          () => {
+            val (_, fs) = timeIt {
+              if (pLoose.nonEmpty)
+                pRuns += graft.streaming.LsmFold.mergeRun(spark,
+                  wd.resolve("bm25tierruns/p"), runSeqT, pLoose.toSeq)
+              if (dLoose.nonEmpty)
+                dRuns += graft.streaming.LsmFold.mergeRun(spark,
+                  wd.resolve("bm25tierruns/d"), runSeqT, dLoose.toSeq)
+              runSeqT += 1
+              pLoose.clear(); dLoose.clear()
+            }
+            tFoldLevel += "run"; tFoldAt += curSegT; tFoldSecs += fs
+          },
+          () => {
+            val (_, fs) = timeIt {
+              val pParts = pRuns.toSeq ++ pLoose.toSeq.map { case (k, p) => (Seq(k), p) }
+              val dParts = dRuns.toSeq ++ dLoose.toSeq.map { case (k, p) => (Seq(k), p) }
+              graft.streaming.LsmFold.foldToBase(spark, idxT.postings,
+                "bm25idx", pParts, tierTxn, merge = false)
+              graft.streaming.LsmFold.foldToBase(spark, idxT.doclens,
+                "bm25dl", dParts, tierTxn, merge = true)
+              tierTxn += 1
+              pRuns.clear(); dRuns.clear(); pLoose.clear(); dLoose.clear()
+            }
+            tFoldLevel += "base"; tFoldAt += curSegT; tFoldSecs += fs
+          })
+        def serveT(): Double = timeIt(
+          Retrieval.serveWithSegments(spark, idxT,
+            (pRuns.map(_._2) ++ pLoose.map(_._2)).toSeq,
+            (dRuns.map(_._2) ++ dLoose.map(_._2)).toSeq, qterms)
+            .write.mode("overwrite").format("noop").save())._2
+        val base0T = serveT()
+        val tServeSecs = (0 until segN).map { k =>
+          curSegT = k + 1
+          pLoose += (k -> pTier(k)); dLoose += (k -> dTier(k))
+          tFolder.onSegment()
+          val sec = serveT()
+          tFolder.onServe(Some(sec), base0T)
+          sec
+        }
+        tFolder.finish()
+        val runSecs = tFoldLevel.zip(tFoldSecs).filter(_._1 == "run").map(_._2)
+        println(f"[maintain] $tag tiered-loop: run_folds=${tFolder.realizedRunFolds} " +
+          f"base_folds=${tFolder.realizedBaseFolds} " +
+          s"fold_at=${tFoldAt.mkString(",")} levels=${tFoldLevel.mkString(",")} " +
+          s"fold_secs=${tFoldSecs.map(s3).mkString(",")}" +
+          (if (runSecs.nonEmpty)
+            f" run_fold_max=${runSecs.max}%.2f run_fold_min=${runSecs.min}%.2f"
+          else ""))
         println(f"[maintain] $tag bm25: standing=$standingP%,d batch=$batchPRows%,d " +
           f"buckets=${idx.postings.nBuckets} touched=${touchedP.size} " +
           f"seg=$secSeg%.2f fold=$secFold%.2f direct=${secP + secDl}%.2f")
@@ -246,7 +330,16 @@ object MaintainProbe {
            |"fold_at_segments":[${foldAt.mkString(",")}],
            |"fold_secs":[${foldSecs.map(s3).mkString(",")}],
            |"realized_folds":${folder.realizedFolds},
-           |"serve_secs":[${polServeSecs.map(s3).mkString(",")}]}},
+           |"serve_secs":[${polServeSecs.map(s3).mkString(",")}]},
+           |"policy_loop_tiered":{"seed_run_fold_sec":${s3(math.max(0.05, secSeg))},
+           |"seed_base_fold_sec":${s3(secFoldServe)},
+           |"seed_tax_sec_per_leaf":${s3(taxSeed)},
+           |"fold_at_segments":[${tFoldAt.mkString(",")}],
+           |"fold_levels":[${tFoldLevel.map(l => s""""$l"""").mkString(",")}],
+           |"fold_secs":[${tFoldSecs.map(s3).mkString(",")}],
+           |"realized_run_folds":${tFolder.realizedRunFolds},
+           |"realized_base_folds":${tFolder.realizedBaseFolds},
+           |"serve_secs":[${tServeSecs.map(s3).mkString(",")}]}},
            |"ann":{"standing_rows":$standingV,"batch_rows":$batchVRows,
            |"buckets":$nbV,"touched_buckets":${touchedV.size},
            |"segment_write_sec":${s3(secVSeg)},"fold_sec":${s3(secVFold)},

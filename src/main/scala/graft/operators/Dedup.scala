@@ -1128,25 +1128,44 @@ object Dedup {
       // fold is the close fold — same cadence as pre-r15, now the
       // policy's call; a serve-interleaved deployment folds mid-epoch
       var foldTxn = 1L
-      val folder = new graft.streaming.PolicyFolder(
-        graft.streaming.PolicyFolder.defaultPolicy(), () => {
-          // replay-safe fold (r15 VERDICT item 5): already-folded
-          // sub-batches are filtered on their txn markers; this fold's
-          // ids commit atomically with the data
-          val liveB = bandSegs.entries
-            .filterNot { case (k, _) => bandsPt.lastTxn(s"admbands.seg$k").isDefined }
-          val liveS = setSegs.entries
-            .filterNot { case (k, _) => setsPt.lastTxn(s"admsets.seg$k").isDefined }
-          if (liveB.nonEmpty)
-            bandsPt.appendInto(s, s.read.parquet(liveB.map(_._2): _*),
-              Some("admbands" -> foldTxn),
-              liveB.map { case (k, _) => s"admbands.seg$k" -> foldTxn }.toMap)
-          if (liveS.nonEmpty)
-            setsPt.mergeInto(s, s.read.parquet(liveS.map(_._2): _*),
-              Some("admsets" -> foldTxn),
-              liveS.map { case (k, _) => s"admsets.seg$k" -> foldTxn }.toMap)
-          foldTxn += 1
+      // TIERED fold (r16): mid-epoch folds merge loose segments into
+      // flat-priced RUNS; the O(standing) base rewrite happens once at
+      // epoch close (or when run tax accrues to it). Base folds are
+      // replay-safe structurally: LsmFold records sub-batch ids as txn
+      // markers atomically with the commit and filters already-folded
+      // ids (FoldReplaySpec).
+      val bRunDir = streamDir.resolveSibling("bruns")
+      val sRunDir = streamDir.resolveSibling("sruns")
+      val bRuns = scala.collection.mutable.ArrayBuffer[(Seq[Int], java.nio.file.Path)]()
+      val sRuns = scala.collection.mutable.ArrayBuffer[(Seq[Int], java.nio.file.Path)]()
+      var runSeq = 0
+      def partsOf(st: graft.streaming.SubBatchState[String]): Seq[(Int, java.nio.file.Path)] =
+        st.entries.map { case (k, p) => k -> java.nio.file.Paths.get(p) }
+      val folder = new graft.streaming.TieredPolicyFolder(
+        graft.streaming.TieredPolicyFolder.defaultPolicy(),
+        () => { // fold-to-RUN
+          val be = partsOf(bandSegs); val se = partsOf(setSegs)
+          if (be.nonEmpty) {
+            bRuns += graft.streaming.LsmFold.mergeRun(s, bRunDir, runSeq, be)
+            graft.streaming.LsmFold.prune(be.map(_._2))
+          }
+          if (se.nonEmpty) {
+            sRuns += graft.streaming.LsmFold.mergeRun(s, sRunDir, runSeq, se)
+            graft.streaming.LsmFold.prune(se.map(_._2))
+          }
+          runSeq += 1
           bandSegs.clear(); setSegs.clear()
+        },
+        () => { // fold-to-BASE
+          val bParts = bRuns.toSeq ++ partsOf(bandSegs).map { case (k, p) => (Seq(k), p) }
+          val sParts = sRuns.toSeq ++ partsOf(setSegs).map { case (k, p) => (Seq(k), p) }
+          graft.streaming.LsmFold.foldToBase(s, bandsPt, "admbands",
+            bParts, foldTxn, merge = false)
+          graft.streaming.LsmFold.foldToBase(s, setsPt, "admsets",
+            sParts, foldTxn, merge = true)
+          foldTxn += 1
+          graft.streaming.LsmFold.prune(bParts.map(_._2) ++ sParts.map(_._2))
+          bRuns.clear(); sRuns.clear(); bandSegs.clear(); setSegs.clear()
         })
       val stream = s.readStream.schema(batchDocs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1156,16 +1175,24 @@ object Dedup {
           val subs = mb.select(col("sub_batch")).distinct()
             .collect().map(_.getInt(0)).sorted
             // a replay of a sub-batch a mid-epoch fold already landed
-            // skips ENTIRELY: its admission verdict is already in
-            // `results` (first delivery), and recomputing it against a
-            // corpus that now CONTAINS its own admitted rows would
-            // mis-flag them as duplicates of themselves
-            .filter(k => bandsPt.lastTxn(s"admbands.seg$k").isEmpty)
+            // (base markers or a live run) skips ENTIRELY: its
+            // admission verdict is already in `results` (first
+            // delivery), and recomputing it against a corpus that now
+            // CONTAINS its own admitted rows would mis-flag them as
+            // duplicates of themselves
+            .filter(k => bandsPt.lastTxn(s"admbands.seg$k").isEmpty &&
+              !bRuns.exists(_._1.contains(k)))
           subs.foreach { k =>
             val base = minhashBaseOf(mb.filter(col("sub_batch") === k))
               .localCheckpoint(true)
-            val earlierB = bandSegs.earlier(k)
-            val earlierS = setSegs.earlier(k)
+            // the admission corpus is base ∪ RUNS ∪ strictly-earlier
+            // loose segments: a mid-epoch run fold moves earlier
+            // sub-batches out of the segment store without landing
+            // them in the base, and they must stay visible (runs only
+            // ever hold earlier sub-batches — a fresh k is never in
+            // a run by the landing guard above)
+            val earlierB = bRuns.toSeq.map(_._2.toString) ++ bandSegs.earlier(k)
+            val earlierS = sRuns.toSeq.map(_._2.toString) ++ setSegs.earlier(k)
             val corpusBands =
               if (earlierB.isEmpty) bandsPt.read(s)
               else bandsPt.read(s).unionByName(s.read.parquet(earlierB: _*))

@@ -544,21 +544,12 @@ object Retrieval {
       ver: Long): Unit = {
     // distinctBy id: a replayed micro-batch re-registers its segment
     // path; the segment itself was overwritten in place, so fold once
-    def fresh(t: graft.streaming.PartitionedTable, app: String,
-        segs: Seq[(Int, java.nio.file.Path)]): Seq[(Int, String)] =
-      segs.distinctBy(_._1)
-        .filterNot { case (k, _) => t.lastTxn(s"$app.seg$k").isDefined }
-        .map { case (k, p) => k -> p.toString }
-    val ps = fresh(idx.postings, "bm25idx", postingSegs)
-    val ds = fresh(idx.doclens, "bm25dl", doclenSegs)
-    if (ps.nonEmpty)
-      idx.postings.appendInto(s, s.read.parquet(ps.map(_._2): _*),
-        Some("bm25idx" -> ver),
-        ps.map { case (k, _) => s"bm25idx.seg$k" -> ver }.toMap)
-    if (ds.nonEmpty)
-      idx.doclens.mergeInto(s, s.read.parquet(ds.map(_._2): _*),
-        Some("bm25dl" -> ver),
-        ds.map { case (k, _) => s"bm25dl.seg$k" -> ver }.toMap)
+    graft.streaming.LsmFold.foldToBase(s, idx.postings, "bm25idx",
+      postingSegs.distinctBy(_._1).map { case (k, p) => (Seq(k), p) },
+      ver, merge = false)
+    graft.streaming.LsmFold.foldToBase(s, idx.doclens, "bm25dl",
+      doclenSegs.distinctBy(_._1).map { case (k, p) => (Seq(k), p) },
+      ver, merge = true)
   }
 
   /** Serve from the maintained state: postings read through the
@@ -661,22 +652,47 @@ object Retrieval {
       java.nio.file.Files.createDirectories(dSegDir)
       val pSegs = new graft.streaming.SubBatchState[java.nio.file.Path]
       val dSegs = new graft.streaming.SubBatchState[java.nio.file.Path]
-      // fold cadence is the rent-or-buy POLICY's call (r15): this
-      // write-only epoch accrues no serve tax, so the policy's only
-      // fold is the close fold — the pre-r15 once-per-epoch cadence as
-      // the policy's degenerate case. A serve-interleaved deployment
-      // of this same loop folds mid-epoch (graft.MaintainProbe's
-      // policy loop measures where).
+      // fold cadence is the TIERED rent-or-buy policy's call (r16):
+      // this write-only epoch accrues no serve tax, so the policy's
+      // only fold is the close fold straight to base — the
+      // pre-r15 once-per-epoch cadence as the policy's degenerate
+      // case. A serve-interleaved deployment of this same loop folds
+      // mid-epoch to flat-priced RUNS and pays the O(standing) base
+      // rewrite once per epoch (graft.MaintainProbe's tiered policy
+      // loop measures both levels).
+      val pRunDir = workDir.resolve("pruns")
+      val dRunDir = workDir.resolve("druns")
+      val pRuns = scala.collection.mutable.ArrayBuffer[(Seq[Int], java.nio.file.Path)]()
+      val dRuns = scala.collection.mutable.ArrayBuffer[(Seq[Int], java.nio.file.Path)]()
+      var runSeq = 0
       var foldTxn = 1L
-      val folder = new graft.streaming.PolicyFolder(
-        graft.streaming.PolicyFolder.defaultPolicy(), () => {
-          foldSegments(s, idx, pSegs.entries, dSegs.entries, foldTxn)
-          foldTxn += 1
-          // age-out: folded segments are dead — the stores only ever
-          // hold UNFOLDED segments, so the union read path shrinks
-          // back to the bucketed base after every fold
-          pruneSegments(pSegs.values ++ dSegs.values)
+      val folder = new graft.streaming.TieredPolicyFolder(
+        graft.streaming.TieredPolicyFolder.defaultPolicy(),
+        () => { // fold-to-RUN: merge loose segments, O(these rows)
+          val pe = pSegs.entries; val de = dSegs.entries
+          if (pe.nonEmpty)
+            pRuns += graft.streaming.LsmFold.mergeRun(s, pRunDir, runSeq, pe)
+          if (de.nonEmpty)
+            dRuns += graft.streaming.LsmFold.mergeRun(s, dRunDir, runSeq, de)
+          runSeq += 1
+          pruneSegments(pe.map(_._2) ++ de.map(_._2))
           pSegs.clear(); dSegs.clear()
+        },
+        () => { // fold-to-BASE: runs + loose segments, one commit/table
+          val pParts = pRuns.toSeq ++
+            pSegs.entries.map { case (k, p) => (Seq(k), p) }
+          val dParts = dRuns.toSeq ++
+            dSegs.entries.map { case (k, p) => (Seq(k), p) }
+          graft.streaming.LsmFold.foldToBase(s, idx.postings, "bm25idx",
+            pParts, foldTxn, merge = false)
+          graft.streaming.LsmFold.foldToBase(s, idx.doclens, "bm25dl",
+            dParts, foldTxn, merge = true)
+          foldTxn += 1
+          // age-out: folded parts are dead — the stores only ever
+          // hold UNFOLDED parts, so the union read path shrinks
+          // back to the bucketed base after every base fold
+          pruneSegments(pParts.map(_._2) ++ dParts.map(_._2))
+          pRuns.clear(); dRuns.clear(); pSegs.clear(); dSegs.clear()
         })
       val stream = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", "1")
@@ -692,10 +708,10 @@ object Retrieval {
             .collect().map(_.getInt(0)).sorted
           subs.foreach { k =>
             // a replay of a sub-batch a mid-epoch fold already landed
-            // must NOT re-enter the segment store (the fold markers
-            // are the structural guard in foldSegments; this check
-            // just skips the dead segment write)
-            if (idx.postings.lastTxn(s"bm25idx.seg$k").isEmpty) {
+            // (to base — structural txn markers — or into a live run)
+            // must NOT re-enter the segment store
+            if (idx.postings.lastTxn(s"bm25idx.seg$k").isEmpty &&
+                !pRuns.exists(_._1.contains(k))) {
               val batch = mb.filter(col("sub_batch") === k)
               pSegs.put(k, writeSegment(pSegDir, k.toLong, postingsOf(batch)))
               dSegs.put(k, writeSegment(dSegDir, k.toLong, doclensOf(batch)))

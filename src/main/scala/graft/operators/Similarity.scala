@@ -1354,26 +1354,40 @@ object Similarity {
       val segDir = workDir.resolve("segs")
       java.nio.file.Files.createDirectories(segDir)
       val segs = new graft.streaming.SubBatchState[String]
-      // fold cadence through the rent-or-buy policy (r15): write-only
-      // epoch ⇒ the close fold is the only one, same cadence as
-      // pre-r15; a serve-interleaved deployment folds mid-epoch
+      // fold cadence through the TIERED rent-or-buy policy (r16):
+      // write-only epoch ⇒ the close fold (straight to base) is the
+      // only one, same cadence as pre-r15; a serve-interleaved
+      // deployment folds mid-epoch to flat-priced RUNS and pays the
+      // O(standing) base rewrite once per epoch. Folds are
+      // replay-safe structurally: LsmFold records sub-batch ids as
+      // txn markers atomically with the base commit and filters
+      // already-folded ids (FoldReplaySpec).
+      val runDir = workDir.resolve("runs")
+      val runs = scala.collection.mutable.ArrayBuffer[(Seq[Int], java.nio.file.Path)]()
+      var runSeq = 0
       var foldTxn = 1L
-      val folder = new graft.streaming.PolicyFolder(
-        graft.streaming.PolicyFolder.defaultPolicy(), () => {
-          // replay-safe fold (r15 VERDICT item 5): sub-batches the
-          // table has already folded are filtered on their txn
-          // markers, and this fold's sub-batch ids commit atomically
-          // with the data — a replayed already-folded segment can
-          // never re-land
-          val live = segs.entries
-            .filterNot { case (k, _) => pt.lastTxn(s"annidx.seg$k").isDefined }
-          if (live.nonEmpty) {
-            pt.appendInto(s, s.read.parquet(live.map(_._2): _*),
-              Some("annidx" -> foldTxn),
-              live.map { case (k, _) => s"annidx.seg$k" -> foldTxn }.toMap)
-            foldTxn += 1
+      def segParts: Seq[(Int, java.nio.file.Path)] =
+        segs.entries.map { case (k, p) => k -> java.nio.file.Paths.get(p) }
+      val folder = new graft.streaming.TieredPolicyFolder(
+        graft.streaming.TieredPolicyFolder.defaultPolicy(),
+        () => { // fold-to-RUN
+          val se = segParts
+          if (se.nonEmpty) {
+            runs += graft.streaming.LsmFold.mergeRun(s, runDir, runSeq, se)
+            runSeq += 1
+            graft.streaming.LsmFold.prune(se.map(_._2))
           }
           segs.clear()
+        },
+        () => { // fold-to-BASE
+          val parts = runs.toSeq ++ segParts.map { case (k, p) => (Seq(k), p) }
+          if (parts.nonEmpty) {
+            graft.streaming.LsmFold.foldToBase(s, pt, "annidx", parts,
+              foldTxn, merge = false)
+            foldTxn += 1
+            graft.streaming.LsmFold.prune(parts.map(_._2))
+          }
+          runs.clear(); segs.clear()
         })
       val stream = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1383,9 +1397,11 @@ object Similarity {
           val subs = mb.select(col("sub_batch")).distinct()
             .collect().map(_.getInt(0)).sorted
           subs.foreach { k =>
-            // an already-FOLDED sub-batch replay skips the segment
-            // write (the fold's marker filter is the structural guard)
-            if (pt.lastTxn(s"annidx.seg$k").isEmpty) {
+            // an already-FOLDED sub-batch replay (base markers or a
+            // live run) skips the segment write (LsmFold's marker
+            // filter is the structural guard)
+            if (pt.lastTxn(s"annidx.seg$k").isEmpty &&
+                !runs.exists(_._1.contains(k))) {
               val seg = segDir.resolve(f"seg$k%04d")
               rowsOf(mb.filter(col("sub_batch") === k).drop("sub_batch"))
                 .write.mode("overwrite").parquet(seg.toString)

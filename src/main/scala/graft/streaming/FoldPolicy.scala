@@ -126,6 +126,151 @@ object PolicyFolder {
     initialFoldCostSec = 2.6, initialTaxPerSegmentSec = 0.15)
 }
 
+/** Two-level (TIERED) fold-cadence policy — the r15 VERDICT item 3
+  * answer to the single-level LSM's scale wall: MAINTAIN_r15 measured
+  * per-fold cost growing 8.2 → 27.6 s WITHIN one sf1 epoch, because
+  * every mid-epoch fold rewrote the whole standing base. Classic
+  * size-tiered compaction splits the price:
+  *
+  *   - fold-to-RUN: merge the loose segments into one run file set —
+  *     O(epoch arrivals), FLAT across the epoch. Removes
+  *     (segments − 1) leaves from the union read path.
+  *   - fold-to-BASE: land runs + segments in the bucketed base —
+  *     O(standing index), the expensive rewrite, paid once per epoch
+  *     close or when the RUN leaves themselves have accrued its price.
+  *
+  * Rent-or-buy per level: the tax attributable to loose segments
+  * accrues against the (cheap) run-fold price; the tax attributable
+  * to runs accrues against the (expensive) base-fold price. Each
+  * level independently keeps its total cost within 2× of the
+  * clairvoyant schedule for the leaves it owns. A write-only epoch
+  * accrues no tax at either level, so the only fold is the `finish()`
+  * close fold straight to base — the same degenerate cadence as the
+  * single-level [[FoldPolicy]], gate behavior unchanged.
+  *
+  * Estimation is online (EWMA per cost, shared per-leaf tax), seeded
+  * from probe curves exactly like [[FoldPolicy]]. */
+final class TieredFoldPolicy(
+    initialRunFoldCostSec: Double,
+    initialBaseFoldCostSec: Double,
+    initialTaxPerLeafSec: Double,
+    alpha: Double = 0.3) {
+  require(initialRunFoldCostSec > 0 && initialBaseFoldCostSec > 0 &&
+    initialTaxPerLeafSec >= 0)
+  require(alpha > 0 && alpha <= 1)
+
+  private var runCost = initialRunFoldCostSec
+  private var baseCost = initialBaseFoldCostSec
+  private var tax = initialTaxPerLeafSec
+  private var segments = 0
+  private var runs = 0
+  private var segTaxSec = 0.0
+  private var runTaxSec = 0.0
+
+  /** A micro-batch landed as one more loose segment. */
+  def onSegment(): Unit = segments += 1
+
+  /** A query was served over base + runs + segments; accrue the tax
+    * it paid, attributed per leaf level. */
+  def onServe(observedServeSec: Option[Double] = None,
+      baselineServeSec: Double = 0.0): Unit = {
+    observedServeSec.foreach { obs =>
+      val leaves = segments + runs
+      if (leaves > 0) {
+        val perLeaf = math.max(0.0, (obs - baselineServeSec) / leaves)
+        tax = (1 - alpha) * tax + alpha * perLeaf
+      }
+    }
+    segTaxSec += segments * tax
+    runTaxSec += runs * tax
+  }
+
+  /** Fold loose segments to a run once THEIR accrued tax reaches the
+    * run-fold price (≥2 segments — folding one is a pure rename). */
+  def shouldFoldToRun: Boolean = segments > 1 && segTaxSec >= runCost
+
+  /** Fold everything to base once the RUN leaves' accrued tax reaches
+    * the base-fold price — the O(standing) rewrite triggers only when
+    * queries have actually paid for it. */
+  def shouldFoldToBase: Boolean = runs > 0 && runTaxSec >= baseCost
+
+  def onFoldToRun(observedFoldSec: Option[Double] = None): Unit = {
+    observedFoldSec.foreach(f => runCost = (1 - alpha) * runCost + alpha * f)
+    runs += 1
+    segments = 0
+    segTaxSec = 0.0
+  }
+
+  def onFoldToBase(observedFoldSec: Option[Double] = None): Unit = {
+    observedFoldSec.foreach(f => baseCost = (1 - alpha) * baseCost + alpha * f)
+    runs = 0
+    segments = 0
+    segTaxSec = 0.0
+    runTaxSec = 0.0
+  }
+
+  def unfoldedSegments: Int = segments
+  def unfoldedRuns: Int = runs
+  def unfoldedLeaves: Int = segments + runs
+  def estimatedRunFoldCost: Double = runCost
+  def estimatedBaseFoldCost: Double = baseCost
+  def estimatedTaxPerLeaf: Double = tax
+}
+
+/** Threads a [[TieredFoldPolicy]] through a maintain loop's two fold
+  * closures. `foldToRun` merges the CURRENT loose segments into a new
+  * run (LsmFold.mergeRun) and clears the segment store; `foldToBase`
+  * lands runs + loose segments in the bucketed base
+  * (LsmFold.foldToBase) and clears both stores. The folder times each
+  * fold into the policy's online estimates. `finish()` closes the
+  * epoch with one base fold — the write-only degenerate case is then
+  * exactly the pre-r16 one-close-fold cadence. */
+final class TieredPolicyFolder(val policy: TieredFoldPolicy,
+    foldToRun: () => Unit, foldToBase: () => Unit) {
+  private var rFolds = 0
+  private var bFolds = 0
+
+  private def timedRun(): Unit = {
+    val t0 = System.nanoTime()
+    foldToRun()
+    policy.onFoldToRun(Some((System.nanoTime() - t0) / 1e9))
+    rFolds += 1
+  }
+
+  private def timedBase(): Unit = {
+    val t0 = System.nanoTime()
+    foldToBase()
+    policy.onFoldToBase(Some((System.nanoTime() - t0) / 1e9))
+    bFolds += 1
+  }
+
+  def onSegment(): Unit = policy.onSegment()
+
+  def onServe(observedServeSec: Option[Double] = None,
+      baselineServeSec: Double = 0.0): Unit = {
+    policy.onServe(observedServeSec, baselineServeSec)
+    if (policy.shouldFoldToBase) timedBase()
+    else if (policy.shouldFoldToRun) timedRun()
+  }
+
+  /** Epoch close: land any unfolded remainder in the base. */
+  def finish(): Unit = if (policy.unfoldedLeaves > 0) timedBase()
+
+  def realizedRunFolds: Int = rFolds
+  def realizedBaseFolds: Int = bFolds
+}
+
+object TieredPolicyFolder {
+  /** Default seed: run folds priced at the measured O(batch) segment
+    * write scale (MAINTAIN_r13 sf0.1 segment_write ≈ 0.4 s), base
+    * folds at the measured epoch fold (2.6 s), tax per leaf from the
+    * serve-vs-segments slope (0.15 s). A deployment's own EWMA takes
+    * over from the first observed fold/serve. */
+  def defaultPolicy(): TieredFoldPolicy = new TieredFoldPolicy(
+    initialRunFoldCostSec = 0.4, initialBaseFoldCostSec = 2.6,
+    initialTaxPerLeafSec = 0.15)
+}
+
 object FoldPolicy {
 
   /** Least-squares slope of the measured serve-vs-segments curve —

@@ -118,4 +118,74 @@ class FoldPolicySpec extends AnyFunSuite {
       FoldPolicy.estimateTaxPerSegment(Seq(8 -> 1.0, 8 -> 2.0))
     }
   }
+
+  // ---- TIERED policy (r16): run folds flat, base fold priced apart --
+
+  test("tiered: write-only epoch = exactly one close fold, straight to base (gate loops unchanged)") {
+    var runFolds = 0
+    var baseFolds = 0
+    val f = new graft.streaming.TieredPolicyFolder(
+      graft.streaming.TieredPolicyFolder.defaultPolicy(),
+      () => runFolds += 1, () => baseFolds += 1)
+    (1 to 32).foreach(_ => f.onSegment())
+    assert(runFolds === 0 && baseFolds === 0,
+      "no serve paid a tax; nothing to amortize at either level")
+    f.finish()
+    assert(runFolds === 0 && baseFolds === 1,
+      "the close fold lands everything in the base in one commit")
+    assert(f.policy.unfoldedLeaves === 0)
+    f.finish()
+    assert(baseFolds === 1, "finish is idempotent when nothing is unfolded")
+  }
+
+  test("tiered: serve-interleaved epoch folds to cheap RUNS mid-epoch; the base fold waits for the RUN tax") {
+    // frozen estimates (unobserved serves/folds would still EWMA — pass
+    // the raw policy directly): run fold 0.4 s, base fold 2.6 s, tax
+    // 0.15/leaf. Segment tax crosses 0.4 at 2 segments (0.15·1 + 0.15·2
+    // = 0.45) → run folds every ~2 segments; base fold fires only once
+    // the RUNS' own accrued tax reaches 2.6 — never on segment tax.
+    val p = new graft.streaming.TieredFoldPolicy(0.4, 2.6, 0.15)
+    val events = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    (1 to 32).foreach { k =>
+      p.onSegment(); p.onServe()
+      if (p.shouldFoldToBase) { events += (k -> "base"); p.onFoldToBase(None) }
+      else if (p.shouldFoldToRun) { events += (k -> "run"); p.onFoldToRun(None) }
+    }
+    val runs = events.filter(_._2 == "run")
+    val bases = events.filter(_._2 == "base")
+    assert(runs.nonEmpty, "mid-epoch folds must happen at the run level")
+    assert(bases.nonEmpty, "accrued run tax must eventually buy the base fold")
+    assert(events.head._2 === "run",
+      "the FIRST fold must be the cheap run fold, not the O(standing) rewrite")
+    assert(runs.size > bases.size,
+      s"run folds (${runs.size}) must dominate base folds (${bases.size})")
+    // every fold between two base folds is a run fold at the flat price
+    // — the single-level policy would have paid the base price each time
+  }
+
+  test("tiered: base fold resets both levels; run fold moves segments into a run leaf") {
+    val p = new graft.streaming.TieredFoldPolicy(0.4, 2.6, 0.15)
+    p.onSegment(); p.onSegment(); p.onSegment()
+    assert(p.unfoldedSegments === 3 && p.unfoldedRuns === 0)
+    p.onFoldToRun(None)
+    assert(p.unfoldedSegments === 0 && p.unfoldedRuns === 1)
+    assert(p.unfoldedLeaves === 1)
+    p.onSegment()
+    p.onFoldToBase(None)
+    assert(p.unfoldedLeaves === 0)
+  }
+
+  test("tiered: online estimates converge per level") {
+    val p = new graft.streaming.TieredFoldPolicy(0.4, 2.6, 0.15, alpha = 0.5)
+    p.onFoldToRun(Some(0.1))
+    assert(p.estimatedRunFoldCost < 0.4 && p.estimatedRunFoldCost >= 0.1)
+    p.onFoldToBase(Some(10.0))
+    assert(p.estimatedBaseFoldCost > 2.6 && p.estimatedBaseFoldCost <= 10.0)
+    // tax learns per LEAF: 1 run + 1 segment, observed 2 leaves' worth
+    p.onSegment()
+    p.onFoldToRun(None)
+    p.onSegment()
+    p.onServe(observedServeSec = Some(1.0 + 2 * 0.30), baselineServeSec = 1.0)
+    assert(p.estimatedTaxPerLeaf > 0.15 && p.estimatedTaxPerLeaf <= 0.30)
+  }
 }

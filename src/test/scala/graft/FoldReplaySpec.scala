@@ -87,6 +87,61 @@ class FoldReplaySpec extends AnyFunSuite {
     } finally PartitionedTable.deleteRecursively(wd)
   }
 
+  test("tiered fold: serve equality holds at every level; the run carries its ids into the base markers") {
+    val docs = Tables.documents(spark, d)
+    val isArr = Retrieval.isArrival(col("doc_id"))
+    val wd = java.nio.file.Files.createTempDirectory("graft_tieredfold")
+    try {
+      val idx = Retrieval.buildMaintained(spark, wd.resolve("idx"),
+        docs.filter(!isArr))
+      val segDir = wd.resolve("segs")
+      java.nio.file.Files.createDirectories(segDir)
+      val arrivals = docs.filter(isArr)
+        .withColumn("sub_batch", Retrieval.arrivalSubBatch(col("doc_id")))
+      def seg(k: Int, of: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+          sub: String): (Int, java.nio.file.Path) =
+        k -> Retrieval.writeSegment(segDir.resolve(sub), k.toLong,
+          of(arrivals.filter(col("sub_batch") === k).drop("sub_batch")))
+      val qterms = Retrieval.queryGramsOf(docs)
+      def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.collect().map(_.mkString("|")).toSet
+      val oneShot = rowsOf(Retrieval.bm25TopkOf(
+        docs.filter(!isArr).unionByName(arrivals.drop("sub_batch")),
+        Retrieval.QueryDocs))
+
+      // level 0: base ∪ three loose segments
+      val p = (0 to 2).map(k => seg(k, Retrieval.postingsOf, "p"))
+      val dl = (0 to 2).map(k => seg(k, Retrieval.doclensOf, "d"))
+      assert(rowsOf(Retrieval.serveWithSegments(spark, idx,
+        p.map(_._2), dl.map(_._2), qterms)) === oneShot)
+
+      // level 1: segments 0,1 fold to a RUN — serve base ∪ run ∪ seg2
+      val pRun = graft.streaming.LsmFold.mergeRun(spark, wd.resolve("pruns"), 0, p.take(2))
+      val dRun = graft.streaming.LsmFold.mergeRun(spark, wd.resolve("druns"), 0, dl.take(2))
+      assert(pRun._1.sorted === Seq(0, 1))
+      assert(rowsOf(Retrieval.serveWithSegments(spark, idx,
+        Seq(pRun._2, p(2)._2), Seq(dRun._2, dl(2)._2), qterms)) === oneShot)
+
+      // level 2: run + loose seg2 fold to BASE in one commit; the
+      // run's CONSTITUENT ids land as markers (the replay guard)
+      graft.streaming.LsmFold.foldToBase(spark, idx.postings, "bm25idx",
+        Seq(pRun, (Seq(2), p(2)._2)), 1L, merge = false)
+      graft.streaming.LsmFold.foldToBase(spark, idx.doclens, "bm25dl",
+        Seq(dRun, (Seq(2), dl(2)._2)), 1L, merge = true)
+      (0 to 2).foreach { k =>
+        assert(idx.postings.lastTxn(s"bm25idx.seg$k").contains(1L),
+          s"run constituent $k must be marker-recorded at the base fold")
+      }
+      assert(rowsOf(Retrieval.serveMaintained(spark, idx, qterms)) === oneShot)
+
+      // a replayed constituent (seg 0, folded via the run) is refused
+      val before = idx.postings.read(spark).count()
+      graft.streaming.LsmFold.foldToBase(spark, idx.postings, "bm25idx",
+        Seq((Seq(0), seg(0, Retrieval.postingsOf, "p")._2)), 2L, merge = false)
+      assert(idx.postings.read(spark).count() === before)
+    } finally PartitionedTable.deleteRecursively(wd)
+  }
+
   test("replay markers guard the ANN maintained table's fold path too") {
     val e = Tables.embeddings(spark, d)
     val wd = java.nio.file.Files.createTempDirectory("graft_foldreplay_ann")

@@ -73,11 +73,21 @@ def main():
                 if v["significant"] and v["paired_delta_median"] > 0}
     sig_fast = {q: v for q, v in per_q.items()
                 if v["significant"] and v["paired_delta_median"] < 0}
+    # "environment_confirmed": the paired protocol found no broad
+    # one-sided regression - the cross-round total delta was the box,
+    # not the code (r15 relabel: "drift_confirmed" said the same thing
+    # less self-describingly).
     verdict = ("regression" if abs(rel) > 0.03 and len(sig_slow) > 2
-               else "drift_confirmed")
+               else "environment_confirmed")
 
+    # every significant slower row must be EXPLAINED in SCALING.md -
+    # emitted as its own list so a row can't be narrative-skipped
+    # (r15 VERDICT item 7: the join_inner_hash omission); SCALING.md
+    # must quote this list verbatim and dispose of each entry.
+    unexplained = sorted(sig_slow)
     out = {
         "design": design,
+        "significant_rows_not_yet_explained": unexplained,
         "pairs": n,
         "totals_a": [round(x, 3) for x in tot_a],
         "totals_b": [round(x, 3) for x in tot_b],
@@ -94,6 +104,7 @@ def main():
         json.dump(out, f, indent=1)
     print(f"pairs={n} A={med(tot_a):.2f}s B={med(tot_b):.2f}s "
           f"rel={rel:+.1%} verdict={verdict}")
+    print(f"significant rows not yet explained: {unexplained}")
     for q, v in sorted(sig_slow.items()):
         print(f"  SLOWER {q}: {v['a_median']} -> {v['b_median']}")
     for q, v in sorted(sig_fast.items()):

@@ -272,22 +272,68 @@ object AnnBuildSoak {
               org.apache.spark.sql.types.LongType))))
         val qc = pdf.join(qfeatAll, "query_id")
         qc.count() // materialize the batch outside the serve clock
-        val runs = (1 to 5).map { _ =>
-          // a NEW serve Dataset per probe — each real batch differs,
-          // so per-probe planning belongs inside the clock; the pinned
-          // index keeps that planning file-listing-free
-          val (n5, t) = timed {
-            Similarity.frozenInt8Serve(pinned, qc).count()
-          }
-          require(n5 == 5L * b, s"batched serve returned $n5 rows for $b")
-          t
-        }.sorted
-        val p50 = runs(runs.length / 2)
-        println(f"[annsoak] serve_batched b=$b p50=$p50%.3f s qps=${b / p50}%.0f")
-        s"""{"batch":$b,"p50_s":${f"$p50%.3f"},"qps":${(b / p50).toLong}}"""
+        def p50Of(serve: => Long): Double = {
+          val runs = (1 to 5).map { _ =>
+            // a NEW serve Dataset per probe — each real batch differs,
+            // so per-probe planning belongs inside the clock; the
+            // pinned index keeps that planning file-listing-free
+            val (n5, t) = timed(serve)
+            require(n5 == 5L * b, s"batched serve returned $n5 rows for $b")
+            t
+          }.sorted
+          runs(runs.length / 2)
+        }
+        // r16: the production batched kernel (two-level bounded-heap
+        // top-5 — the rank shuffle carries ≤ 5·|batch|·partitions
+        // rows) vs the window kernel it replaced (shuffles+sorts
+        // EVERY candidate pair — the measured wall behind r15's
+        // 217 qps plateau at 4096 q/probe)
+        val p50 = p50Of(Similarity.frozenInt8ServeBatched(pinned, qc).count())
+        val p50W = p50Of(Similarity.frozenInt8Serve(pinned, qc).count())
+        println(f"[annsoak] serve_batched b=$b p50=$p50%.3f s qps=${b / p50}%.0f " +
+          f"(window kernel p50=$p50W%.3f s qps=${b / p50W}%.0f)")
+        s"""{"batch":$b,"p50_s":${f"$p50%.3f"},"qps":${(b / p50).toLong},""" +
+          s""""window_p50_s":${f"$p50W%.3f"},"window_qps":${(b / p50W).toLong}}"""
       }
       pinned.unpersist()
       qfeatAll.unpersist()
+
+      // ---- snapshot-pinned maintained session (r16): refresh cost
+      // next to the steady serve — the consistency contract's price.
+      // Open pins the latest snapshot (readAt + persist + count);
+      // a maintain commit lands underneath; refresh() re-pins.
+      def sessQcells(q: DataFrame): DataFrame = {
+        val (sc, sq) = Similarity.quantizeCols(col("embedding"))
+        q.select(col("query_id"),
+          graft.functions.ImiCell2.cell(col("embedding"), supers, groups)
+            .as("qcell"), sc.as("q_scale"), sq.as("qq"))
+      }
+      val sessQueries = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sessQueries.count()
+      val (sess, sessOpenS) = timed(
+        graft.operators.ServeSession.annMaintained(spark, pt, sessQcells))
+      val snapBefore = sess.pinnedSnapshot
+      val sessServeRuns = (1 to 7).map { _ =>
+        val (n5, t) = timed(sess.serveIds(sessQueries).count())
+        require(n5 == 5L * NQueries, s"session serve returned $n5 rows")
+        t
+      }.sorted
+      val sessServeP50 = sessServeRuns(sessServeRuns.length / 2)
+      // a maintain fold lands underneath the open session
+      pt.appendInto(spark,
+        indexRows(e.filter(col("vec_id") < 1000))
+          .withColumn("vec_id", col("vec_id") + n),
+        Some("annsoak" -> 2L))
+      val (snapAfter, refreshS) = timed(sess.refresh())
+      val (n5r, postRefreshServe) = timed(sess.serveIds(sessQueries).count())
+      require(n5r == 5L * NQueries, s"post-refresh serve returned $n5r rows")
+      sess.close()
+      sessQueries.unpersist()
+      println(f"[annsoak] maintained session: open=$sessOpenS%.3f s " +
+        f"serve_p50=$sessServeP50%.3f s refresh=$refreshS%.3f s " +
+        s"(snapshot s$snapBefore -> s$snapAfter)")
 
       val idxWalk = Files.walk(work.resolve("idx"))
       val idxBytes =
@@ -304,6 +350,11 @@ object AnnBuildSoak {
         s""""serve_p50_s":${f"$serveP50%.3f"},"nprobe":$NProbe,""" +
         s""""serve_breakdown":$breakdown,""" +
         s""""serve_batched":[${serveBatched.mkString(",")}],""" +
+        s""""maintained_session":{"open_s":${f"$sessOpenS%.3f"},""" +
+        s""""serve_p50_s":${f"$sessServeP50%.3f"},""" +
+        s""""refresh_s":${f"$refreshS%.3f"},""" +
+        s""""post_refresh_serve_s":${f"$postRefreshServe%.3f"},""" +
+        s""""snapshot_before":$snapBefore,"snapshot_after":$snapAfter},""" +
         s""""n_queries":$NQueries,"index_bytes":$idxBytes}"""
       Files.writeString(java.nio.file.Paths.get(out), json + "\n")
       println(json)

@@ -149,13 +149,13 @@ final class AnnServeSession private[operators] (s: SparkSession, d: String) {
     * self-exclusion (a collision with a corpus vec_id must not drop
     * that vector; r15 ADVICE). */
   def serve(queries: DataFrame): DataFrame =
-    frozenInt8Serve(index, qcellsOf(queries), excludeSelf = false)
+    frozenInt8ServeBatched(index, qcellsOf(queries), excludeSelf = false)
 
   /** Convenience: serve corpus vectors by id (the gate entries'
     * query shape — query ids ARE corpus vec_ids, so self-exclusion
     * applies, exactly as in the one-shot entries). */
   def serveIds(ids: Seq[Long]): DataFrame =
-    frozenInt8Serve(index, qcellsOf(
+    frozenInt8ServeBatched(index, qcellsOf(
       graft.Tables.embeddings(s, d)
         .filter(col("vec_id").isInCollection(ids))
         .select(col("vec_id").as("query_id"), col("embedding"))),
@@ -230,12 +230,14 @@ final class MaintainedAnnServeSession private[operators] (
   /** Ad-hoc (query_id, embedding) batch against the pinned snapshot —
     * no self-exclusion (caller id namespace). */
   def serve(queries: DataFrame): DataFrame =
-    Similarity.frozenInt8Serve(pinned, qcellsOf(queries), excludeSelf = false)
+    Similarity.frozenInt8ServeBatched(pinned, qcellsOf(queries),
+      excludeSelf = false)
 
   /** Corpus-id queries against the pinned snapshot (self-excluding —
     * the `stream_ann_maintain` gate shape). */
   def serveIds(queries: DataFrame): DataFrame =
-    Similarity.frozenInt8Serve(pinned, qcellsOf(queries), excludeSelf = true)
+    Similarity.frozenInt8ServeBatched(pinned, qcellsOf(queries),
+      excludeSelf = true)
 
   /** Re-pin to the table's latest committed snapshot; returns the new
     * pinned id. A no-op (and no re-materialize) when already current.

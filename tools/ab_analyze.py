@@ -61,12 +61,20 @@ def main():
         # paired noise: MAD of the per-pair deltas (cancels slow drift)
         m = med(dq)
         noise = med([abs(x - m) for x in dq])
+        # r16 guard: at n=3 pairs the delta MAD is DEGENERATE - it is
+        # the middle absolute deviation, which is ~0 whenever any two
+        # deltas happen to land close, manufacturing "significance" at
+        # 50x noise (the r15 join_inner_hash +0.545s/MAD 0.01 row: the
+        # real deltas were 0.535/1.147/0.545 on a box whose samples
+        # ranged 3.3-15s; 6-pair single-query AND in-context reruns
+        # show parity, AB_JOIN16_*.json). Significance needs >=5 pairs.
         per_q[q] = {
             "a_median": round(med(va), 3),
             "b_median": round(med(vb), 3),
             "paired_delta_median": round(m, 3),
             "paired_delta_mad": round(noise, 3),
-            "significant": abs(m) > max(3 * noise, 0.02),
+            "significant": n >= 5 and abs(m) > max(3 * noise, 0.02),
+            "pairs": n,
         }
 
     sig_slow = {q: v for q, v in per_q.items()

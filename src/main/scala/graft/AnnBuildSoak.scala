@@ -260,6 +260,7 @@ object AnnBuildSoak {
         .select(col("vec_id").as("query_id"), qsc.as("q_scale"), qq.as("qq"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       qfeatAll.count()
+      var single4096P50 = Double.NaN
       val serveBatched = Seq(16, 256, 4096).map { b =>
         val pdf = spark.createDataFrame(
           spark.sparkContext.parallelize(qAll.take(b).toSeq.flatMap {
@@ -289,12 +290,84 @@ object AnnBuildSoak {
         // EVERY candidate pair — the measured wall behind r15's
         // 217 qps plateau at 4096 q/probe)
         val p50 = p50Of(Similarity.frozenInt8ServeBatched(pinned, qc).count())
+        if (b == maxB) single4096P50 = p50
         val p50W = p50Of(Similarity.frozenInt8Serve(pinned, qc).count())
         println(f"[annsoak] serve_batched b=$b p50=$p50%.3f s qps=${b / p50}%.0f " +
           f"(window kernel p50=$p50W%.3f s qps=${b / p50W}%.0f)")
         s"""{"batch":$b,"p50_s":${f"$p50%.3f"},"qps":${(b / p50).toLong},""" +
           s""""window_p50_s":${f"$p50W%.3f"},"window_qps":${(b / p50W).toLong}}"""
       }
+
+      // ---- sharded serve (r16 VERDICT item 6): the 4096-q/probe
+      // plateau is scan-bound on ONE pinned relation; a serve fleet
+      // shards the index by cell and each node pins its shard — the
+      // same bucketBy architecture as the layout it reads. Simulated
+      // here as N=4 shard pins in one JVM: probe pairs route by
+      // pmod(cell, N), the four shard probes run CONCURRENTLY
+      // (separate Spark jobs — the local stand-in for four serve
+      // nodes), and a router merge folds per-query top-5s (≤5·N tiny
+      // rows per query, the fleet router's job). Semantics pinned
+      // against the single-session kernel below.
+      val NShards = 4
+      val shardPins = (0 until NShards).map { sh =>
+        val p = pt.read(spark)
+          .filter(pmod(col("cell"), lit(NShards)) === sh)
+          .select(col("vec_id"), col("cell"), col("c_scale"), col("cq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); p
+      }
+      val pdfAll = spark.createDataFrame(
+        spark.sparkContext.parallelize(qAll.toSeq.flatMap {
+          case (qid, qv) => probeCells(qv, supers, groups, NProbe).map(c =>
+            org.apache.spark.sql.Row(qid, c)) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("qcell",
+            org.apache.spark.sql.types.LongType))))
+      val qcAll = pdfAll.join(qfeatAll, "query_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      qcAll.count()
+      val qcShards = (0 until NShards).map { sh =>
+        val q = qcAll.filter(pmod(col("qcell"), lit(NShards)) === sh)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        q.count(); q
+      }
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      def shardedProbe(): Seq[(Long, Long, Double)] = {
+        val fs = (0 until NShards).map { sh =>
+          Future(Similarity.frozenInt8ServeBatched(shardPins(sh), qcShards(sh))
+            .select(col("query_id"), col("vec_id"), col("cos_q")).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+        }
+        val all = fs.flatMap(f => Await.result(f, Duration.Inf))
+        // router merge: the kernel's exact total order (cos_q desc,
+        // vec_id asc), top-5 per query
+        all.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          rows.sortBy(t => (-t._3, t._2)).take(5)
+        }.toSeq
+      }
+      val shardRuns = (1 to 5).map { _ => timed(shardedProbe()) }
+      val shardP50 = shardRuns.map(_._2).sorted.apply(2)
+      // semantics: the sharded merge equals the single-session kernel
+      val singleRows = Similarity.frozenInt8ServeBatched(pinned, qcAll)
+        .select(col("query_id"), col("vec_id"), col("cos_q")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      require(shardRuns.head._1.toSet == singleRows,
+        s"sharded merge diverged: ${shardRuns.head._1.size} vs ${singleRows.size} rows")
+      println(f"[annsoak] serve_sharded n=$NShards b=$maxB p50=$shardP50%.3f s " +
+        f"qps=${maxB / shardP50}%.0f (single-session ${maxB / single4096P50}%.0f)")
+      val shardJson =
+        s"""{"n_shards":$NShards,"batch":$maxB,"p50_s":${f"$shardP50%.3f"},""" +
+        s""""qps":${(maxB / shardP50).toLong},""" +
+        s""""single_session_qps":${(maxB / single4096P50).toLong},""" +
+        s""""speedup":${f"${single4096P50 / shardP50}%.2f"}}"""
+      shardPins.foreach(_.unpersist())
+      qcShards.foreach(_.unpersist())
+      qcAll.unpersist()
       pinned.unpersist()
       qfeatAll.unpersist()
 
@@ -329,11 +402,31 @@ object AnnBuildSoak {
       val (snapAfter, refreshS) = timed(sess.refresh())
       val (n5r, postRefreshServe) = timed(sess.serveIds(sessQueries).count())
       require(n5r == 5L * NQueries, s"post-refresh serve returned $n5r rows")
+      // ---- r17 (r16 VERDICT item 3): the refresh TRIGGER in a live
+      // loop — maintain commits folds underneath, the serve side polls
+      // refreshIfStale() between batches (the fold-notification hook's
+      // poll form). Recorded: how many snapshots behind the head each
+      // serve ran (the spec'd bound is ≤1 fold; with the poll before
+      // every batch it should be 0), and the poll+re-pin price.
+      val behindHead = (0 until 4).map { f =>
+        pt.appendInto(spark,
+          indexRows(e.filter(col("vec_id") < 1000))
+            .withColumn("vec_id", col("vec_id") + n + 1000L * (f + 2)),
+          Some("annsoak" -> (3L + f)))
+        val (_, pollS) = timed(sess.refreshIfStale())
+        val behind = pt.snapshots.last - sess.pinnedSnapshot
+        val (n5b, serveS) = timed(sess.serveIds(sessQueries).count())
+        require(n5b == 5L * NQueries, s"loop serve returned $n5b rows")
+        (behind, pollS, serveS)
+      }
+      require(behindHead.forall(_._1 == 0L),
+        s"refresh trigger left a serve behind the head: $behindHead")
       sess.close()
       sessQueries.unpersist()
       println(f"[annsoak] maintained session: open=$sessOpenS%.3f s " +
         f"serve_p50=$sessServeP50%.3f s refresh=$refreshS%.3f s " +
-        s"(snapshot s$snapBefore -> s$snapAfter)")
+        s"(snapshot s$snapBefore -> s$snapAfter) " +
+        s"serves_behind_head=${behindHead.map(_._1).mkString(",")}")
 
       val idxWalk = Files.walk(work.resolve("idx"))
       val idxBytes =
@@ -350,11 +443,15 @@ object AnnBuildSoak {
         s""""serve_p50_s":${f"$serveP50%.3f"},"nprobe":$NProbe,""" +
         s""""serve_breakdown":$breakdown,""" +
         s""""serve_batched":[${serveBatched.mkString(",")}],""" +
+        s""""serve_sharded":$shardJson,""" +
         s""""maintained_session":{"open_s":${f"$sessOpenS%.3f"},""" +
         s""""serve_p50_s":${f"$sessServeP50%.3f"},""" +
         s""""refresh_s":${f"$refreshS%.3f"},""" +
         s""""post_refresh_serve_s":${f"$postRefreshServe%.3f"},""" +
-        s""""snapshot_before":$snapBefore,"snapshot_after":$snapAfter},""" +
+        s""""snapshot_before":$snapBefore,"snapshot_after":$snapAfter,""" +
+        s""""serves_behind_head":[${behindHead.map(_._1).mkString(",")}],""" +
+        s""""poll_refresh_s":[${behindHead.map(t => f"${t._2}%.3f").mkString(",")}],""" +
+        s""""loop_serve_s":[${behindHead.map(t => f"${t._3}%.3f").mkString(",")}]},""" +
         s""""n_queries":$NQueries,"index_bytes":$idxBytes}"""
       Files.writeString(java.nio.file.Paths.get(out), json + "\n")
       println(json)

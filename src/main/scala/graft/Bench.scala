@@ -277,8 +277,17 @@ object Bench {
       s""""total_disk_spill_mb":${spillDisk.get() / (1024 * 1024)},""" +
       s""""heap_max_mb":$heapMax,"ingest_rows":$ingestRows,"sf":"$sfDir"}"""
     Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    // headline error bar (r16 VERDICT item 7): the first number anyone
+    // reads carries its own spread — `total_mad` is the sum of
+    // per-query MADs (conservative: MADs are not additive, the sum
+    // upper-bounds the robust spread of the total), so a cross-round
+    // total delta inside ~3× the larger round's total_mad is run
+    // noise, not a regression. Full per-sample detail: BENCH_DETAIL.
+    val totalMad = runs.collect {
+      case (k, v) if !v.exists(_ < 0) && k != "ingest_bulk" => mad(v) }.sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""ablations":$as,"ingest_rows_per_sec":$rate,"sf":"$sfDir"}""")
+      s""""ablations":$as,"total_mad":${fmt(totalMad)},""" +
+      s""""ingest_rows_per_sec":$rate,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -145,6 +145,29 @@ object MaintainProbe {
             qterms).write.mode("overwrite").format("noop").save())._2
         serveSec(0) // warm the serve path (codegen) outside the samples
         val serveBySeg = Seq(0, 8, 32).map(n => n -> serveSec(n))
+        // ---- r17 (r16 VERDICT item 5): does ONE run of 32 serve like
+        // one leaf or like 32? The r16 loop improved serve p50 only
+        // ~2-3% over single-level; suspected mechanism: mergeRun
+        // inherited one part-file per input split, so a run of k tiny
+        // segments kept ~k files — same opens as the segments it
+        // replaced. mergeRun now size-coalesces; this measures the
+        // corrected form: serve over {base}, {base+1 run(32)},
+        // {base+32 loose}, 3 samples each, medians.
+        def med3(f: => Double): Double = Seq(f, f, f).sorted.apply(1)
+        val pRunAll = graft.streaming.LsmFold.mergeRun(spark,
+          wd.resolve("bm25srvruns/p"), 0, pSegs.zipWithIndex.map(_.swap))
+        val dRunAll = graft.streaming.LsmFold.mergeRun(spark,
+          wd.resolve("bm25srvruns/d"), 0, dSegs.zipWithIndex.map(_.swap))
+        val runFiles = graft.streaming.PartitionedTable
+          .listDir(pRunAll._2).count(_.getFileName.toString.endsWith(".parquet"))
+        val serveBase3 = med3(serveSec(0))
+        val serveRun3 = med3(timeIt(Retrieval.serveWithSegments(spark, idxS,
+          Seq(pRunAll._2), Seq(dRunAll._2), qterms)
+          .write.mode("overwrite").format("noop").save())._2)
+        val serveLoose3 = med3(serveSec(32))
+        println(f"[maintain] $tag run-vs-segments: base=$serveBase3%.2f " +
+          f"run1(32)=$serveRun3%.2f loose32=$serveLoose3%.2f " +
+          s"run_files=$runFiles")
         val (_, secFoldServe) = timeIt(Retrieval.foldSegments(spark, idxS,
           pSegs.zipWithIndex.map(_.swap), dSegs.zipWithIndex.map(_.swap), 9L))
         idxS.postings.compact(spark)
@@ -162,6 +185,49 @@ object MaintainProbe {
         println(f"[maintain] $tag serve-vs-segments: " +
           serveBySeg.map { case (n, t) => f"S$n=$t%.2f" }.mkString(" ") +
           f" post_fold=$servePost%.2f files/bucket<=$maxFiles segs_left=$segsLeft")
+        // ---- r17 (r16 VERDICT item 2): attribute the 39.4 s sf1 base
+        // fold — is fold-to-base over RUN parts (few large dirs)
+        // systematically more expensive than over the same rows as
+        // loose segments? Controlled within-session A/B on idxS:
+        // alternate 3 loose-shape folds (32 parts) and 3 run-shape
+        // folds (4 runs of 8), fresh sub-batch ids per fold so markers
+        // never filter; run-merge time excluded from the fold clock.
+        // Postings standing grows ~batch rows per fold (append) —
+        // noise against the sf0.1/sf1 standing index the fold rewrites.
+        def mkAbSegs(idBase: Int, sub: String): (Seq[(Int, java.nio.file.Path)], Seq[(Int, java.nio.file.Path)]) = {
+          val pd = wd.resolve(s"ab$sub/p"); val dd = wd.resolve(s"ab$sub/d")
+          java.nio.file.Files.createDirectories(pd)
+          java.nio.file.Files.createDirectories(dd)
+          val ps = (0 until segN).map { k =>
+            (idBase + k) -> Retrieval.writeSegment(pd, (idBase + k).toLong,
+              Retrieval.postingsOf(arrSeg.filter(col("__seg") === k).drop("__seg")))
+          }
+          val ds = (0 until segN).map { k =>
+            (idBase + k) -> Retrieval.writeSegment(dd, (idBase + k).toLong,
+              Retrieval.doclensOf(arrSeg.filter(col("__seg") === k).drop("__seg")))
+          }
+          (ps, ds)
+        }
+        var abVer = 50L
+        val foldLoose = scala.collection.mutable.ArrayBuffer[Double]()
+        val foldRuns = scala.collection.mutable.ArrayBuffer[Double]()
+        (0 until 3).foreach { i =>
+          val (psL, dsL) = mkAbSegs(100 * (2 * i + 1), s"L$i")
+          foldLoose += timeIt(Retrieval.foldSegments(spark, idxS, psL, dsL, abVer))._2
+          abVer += 1
+          val (psR, dsR) = mkAbSegs(100 * (2 * i + 2), s"R$i")
+          val rd = wd.resolve(s"abruns$i")
+          val pRunParts = (0 until 4).map(j => graft.streaming.LsmFold.mergeRun(
+            spark, rd.resolve("p"), j, psR.slice(j * 8, j * 8 + 8)))
+          val dRunParts = (0 until 4).map(j => graft.streaming.LsmFold.mergeRun(
+            spark, rd.resolve("d"), j, dsR.slice(j * 8, j * 8 + 8)))
+          foldRuns += timeIt(Retrieval.foldPaired(spark, idxS,
+            pRunParts, dRunParts, abVer))._2
+          abVer += 1
+        }
+        println(f"[maintain] $tag fold-shape-ab: " +
+          s"loose=${foldLoose.map(s3).mkString(",")} " +
+          s"runs=${foldRuns.map(s3).mkString(",")}")
         // ---- POLICY-DRIVEN maintain loop (r15: FoldPolicy wired) ----
         // the serve-interleaved cadence the gate entries never see:
         // one serve per landed segment, the rent-or-buy policy seeded
@@ -320,6 +386,11 @@ object MaintainProbe {
            |"direct_merge_sec":${s3(secP + secDl)},
            |"serve_sec_by_unfolded_segments":{${
              serveBySeg.map { case (n, t) => s""""$n":${s3(t)}""" }.mkString(",")}},
+           |"serve_run_vs_segments":{"base_med3":${s3(serveBase3)},
+           |"one_run_of_32_med3":${s3(serveRun3)},
+           |"loose_32_med3":${s3(serveLoose3)},"run_files":$runFiles},
+           |"fold_shape_ab":{"loose_secs":[${foldLoose.map(s3).mkString(",")}],
+           |"run_secs":[${foldRuns.map(s3).mkString(",")}]},
            |"epoch_fold_sec":${s3(secFoldServe)},
            |"serve_sec_post_fold":${s3(servePost)},
            |"postings_files_per_bucket_max_post_optimize":$maxFiles,
@@ -329,6 +400,7 @@ object MaintainProbe {
            |"analytic_trigger":$analyticK,
            |"fold_at_segments":[${foldAt.mkString(",")}],
            |"fold_secs":[${foldSecs.map(s3).mkString(",")}],
+           |"total_fold_secs":${s3(foldSecs.sum)},
            |"realized_folds":${folder.realizedFolds},
            |"serve_secs":[${polServeSecs.map(s3).mkString(",")}]},
            |"policy_loop_tiered":{"seed_run_fold_sec":${s3(math.max(0.05, secSeg))},
@@ -337,6 +409,7 @@ object MaintainProbe {
            |"fold_at_segments":[${tFoldAt.mkString(",")}],
            |"fold_levels":[${tFoldLevel.map(l => s""""$l"""").mkString(",")}],
            |"fold_secs":[${tFoldSecs.map(s3).mkString(",")}],
+           |"total_fold_secs":${s3(tFoldSecs.sum)},
            |"realized_run_folds":${tFolder.realizedRunFolds},
            |"realized_base_folds":${tFolder.realizedBaseFolds},
            |"serve_secs":[${tServeSecs.map(s3).mkString(",")}]}},

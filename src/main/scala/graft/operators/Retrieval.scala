@@ -473,6 +473,22 @@ object Retrieval {
       postings: graft.streaming.PartitionedTable,
       doclens: graft.streaming.PartitionedTable)
 
+  /** Txn marker every postings commit carries: the doclens snapshot
+    * id that is PAIRED with it — i.e. the doclens state this postings
+    * state was committed against. The write protocol is doclens
+    * FIRST, postings second with the fresh doclens snapshot recorded
+    * atomically in the postings manifest (`alsoRecord`). A reader
+    * that resolves (postings latest, its PairMarker) therefore always
+    * gets a consistent pair, whatever instant it reads at: between
+    * the two commits, postings latest is still the PRE-fold snapshot
+    * and its marker names the PRE-fold doclens — never post-fold
+    * postings with pre-fold totals (the r16 torn-pair hole,
+    * `MaintainedBm25ServeSession`). */
+  private[graft] val PairMarker = "bm25.pairdl"
+
+  private[graft] def pairMarkerOf(idx: MaintainedIndex): Map[String, Long] =
+    idx.doclens.snapshots.lastOption.map(PairMarker -> _).toMap
+
   private[graft] def buildMaintained(s: SparkSession,
       dir: java.nio.file.Path, base: DataFrame,
       installFence: MaintainedIndex => Unit = _ => ()): MaintainedIndex = {
@@ -486,25 +502,30 @@ object Retrieval {
     // window must refuse the build's own publishes too, not just the
     // later fold/OPTIMIZE (the Similarity/Dedup maintain ordering)
     installFence(idx)
-    idx.postings.appendInto(s, p, Some("bm25idx" -> 0L))
+    // doclens first, postings second with the pair marker — every
+    // write to the two-table index follows this order (PairMarker)
     idx.doclens.mergeInto(s, doclensOf(base), Some("bm25dl" -> 0L))
+    idx.postings.appendInto(s, p, Some("bm25idx" -> 0L),
+      alsoRecord = pairMarkerOf(idx))
     idx
   }
 
-  /** One DIRECT maintenance step: append the arriving docs' postings
-    * rows and upsert their doc lengths through the commit protocol.
-    * `ver` makes the step idempotent per table — a replayed
-    * micro-batch (checkpoint recovery) no-ops instead of
-    * double-counting tf. NOTE the cost bound: gram hashes are
-    * uniform, so even a small batch touches ~every postings bucket
-    * and the merge rewrites them all — O(standing index) per call
-    * (measured in MAINTAIN_r10.json). Right for occasional direct
-    * edits; the STREAMING loop uses O(batch) segment writes with one
-    * deferred fold instead (`writeSegment` / `foldSegments`). */
+  /** One DIRECT maintenance step: upsert the arriving docs' lengths,
+    * then append their postings rows through the commit protocol —
+    * doclens first so the postings commit can record its paired
+    * doclens snapshot (PairMarker). `ver` makes the step idempotent
+    * per table — a replayed micro-batch (checkpoint recovery) no-ops
+    * instead of double-counting tf. NOTE the cost bound: gram hashes
+    * are uniform, so even a small batch touches ~every postings
+    * bucket and the merge rewrites them all — O(standing index) per
+    * call (measured in MAINTAIN_r10.json). Right for occasional
+    * direct edits; the STREAMING loop uses O(batch) segment writes
+    * with one deferred fold instead (`writeSegment` / `foldSegments`). */
   private[graft] def appendArrivals(s: SparkSession, idx: MaintainedIndex,
       batch: DataFrame, ver: Long): Unit = {
-    idx.postings.appendInto(s, postingsOf(batch), Some("bm25idx" -> ver))
     idx.doclens.mergeInto(s, doclensOf(batch), Some("bm25dl" -> ver))
+    idx.postings.appendInto(s, postingsOf(batch), Some("bm25idx" -> ver),
+      alsoRecord = pairMarkerOf(idx))
   }
 
   /** LSM-style per-trigger ingestion: the batch's rows land as their
@@ -541,15 +562,30 @@ object Retrieval {
   private[graft] def foldSegments(s: SparkSession, idx: MaintainedIndex,
       postingSegs: Seq[(Int, java.nio.file.Path)],
       doclenSegs: Seq[(Int, java.nio.file.Path)],
-      ver: Long): Unit = {
+      ver: Long): Unit =
     // distinctBy id: a replayed micro-batch re-registers its segment
     // path; the segment itself was overwritten in place, so fold once
-    graft.streaming.LsmFold.foldToBase(s, idx.postings, "bm25idx",
+    foldPaired(s, idx,
       postingSegs.distinctBy(_._1).map { case (k, p) => (Seq(k), p) },
-      ver, merge = false)
+      doclenSegs.distinctBy(_._1).map { case (k, p) => (Seq(k), p) }, ver)
+
+  /** The two-table fold, in PAIRED commit order: doclens lands first,
+    * then postings with the fresh doclens snapshot id recorded
+    * atomically in the postings commit (PairMarker — see its doc for
+    * why a reader resolving (postings latest, marker) can never
+    * observe a torn pair). `between` is a TEST SEAM: it runs in the
+    * window between the two commits — the exact instant the r16
+    * torn-pair hole lived in — so ServeSessionSpec can inject a
+    * `refresh()` there and assert the pinned pair stays consistent. */
+  private[graft] def foldPaired(s: SparkSession, idx: MaintainedIndex,
+      pParts: Seq[(Seq[Int], java.nio.file.Path)],
+      dParts: Seq[(Seq[Int], java.nio.file.Path)],
+      ver: Long, between: () => Unit = () => ()): Unit = {
     graft.streaming.LsmFold.foldToBase(s, idx.doclens, "bm25dl",
-      doclenSegs.distinctBy(_._1).map { case (k, p) => (Seq(k), p) },
-      ver, merge = true)
+      dParts, ver, merge = true)
+    between()
+    graft.streaming.LsmFold.foldToBase(s, idx.postings, "bm25idx",
+      pParts, ver, merge = false, alsoRecord = pairMarkerOf(idx))
   }
 
   /** Serve from the maintained state: postings read through the
@@ -678,15 +714,13 @@ object Retrieval {
           pruneSegments(pe.map(_._2) ++ de.map(_._2))
           pSegs.clear(); dSegs.clear()
         },
-        () => { // fold-to-BASE: runs + loose segments, one commit/table
+        () => { // fold-to-BASE: runs + loose segments, one commit/table,
+          // in paired order (doclens first, postings + PairMarker)
           val pParts = pRuns.toSeq ++
             pSegs.entries.map { case (k, p) => (Seq(k), p) }
           val dParts = dRuns.toSeq ++
             dSegs.entries.map { case (k, p) => (Seq(k), p) }
-          graft.streaming.LsmFold.foldToBase(s, idx.postings, "bm25idx",
-            pParts, foldTxn, merge = false)
-          graft.streaming.LsmFold.foldToBase(s, idx.doclens, "bm25dl",
-            dParts, foldTxn, merge = true)
+          foldPaired(s, idx, pParts, dParts, foldTxn)
           foldTxn += 1
           // age-out: folded parts are dead — the stores only ever
           // hold UNFOLDED parts, so the union read path shrinks
@@ -709,12 +743,23 @@ object Retrieval {
           subs.foreach { k =>
             // a replay of a sub-batch a mid-epoch fold already landed
             // (to base — structural txn markers — or into a live run)
-            // must NOT re-enter the segment store
-            if (idx.postings.lastTxn(s"bm25idx.seg$k").isEmpty &&
-                !pRuns.exists(_._1.contains(k))) {
+            // must NOT re-enter the segment store. Guarded PER TABLE
+            // (r16 ADVICE): a restart between a fold's two commits
+            // leaves one table folded and the other not — the
+            // replayed sub-batch then re-lands ONLY the missing
+            // table's segment (the folded table's foldToBase would
+            // refuse a re-land anyway; not re-entering it also keeps
+            // runs pure, the LsmFold mixed-part invariant)
+            val pFresh = idx.postings.lastTxn(s"bm25idx.seg$k").isEmpty &&
+              !pRuns.exists(_._1.contains(k))
+            val dFresh = idx.doclens.lastTxn(s"bm25dl.seg$k").isEmpty &&
+              !dRuns.exists(_._1.contains(k))
+            if (pFresh || dFresh) {
               val batch = mb.filter(col("sub_batch") === k)
-              pSegs.put(k, writeSegment(pSegDir, k.toLong, postingsOf(batch)))
-              dSegs.put(k, writeSegment(dSegDir, k.toLong, doclensOf(batch)))
+              if (pFresh)
+                pSegs.put(k, writeSegment(pSegDir, k.toLong, postingsOf(batch)))
+              if (dFresh)
+                dSegs.put(k, writeSegment(dSegDir, k.toLong, doclensOf(batch)))
               folder.onSegment()
             }
           }
@@ -728,8 +773,12 @@ object Retrieval {
       // O(standing) rewrite, amortized over every batch the epoch
       // delivered), then file compaction
       folder.finish()
-      idx.postings.compact(s)
+      // compaction in the same paired order: the doclens compact makes
+      // a new (physically identical) snapshot, and the postings
+      // compact re-stamps PairMarker to it — keeping the pair a
+      // session resolves inside the vacuum horizon's youngest commits
       idx.doclens.compact(s)
+      idx.postings.compact(s, alsoRecord = pairMarkerOf(idx))
       serveMaintained(s, idx, queryGramsOf(docs)).localCheckpoint(true)
       // the fence dies with the lease scope, exception or not — the
       // finally matches Replication.catchUp's discipline

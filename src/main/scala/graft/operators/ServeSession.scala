@@ -239,6 +239,11 @@ final class MaintainedAnnServeSession private[operators] (
     Similarity.frozenInt8ServeBatched(pinned, qcellsOf(queries),
       excludeSelf = true)
 
+  /** True when the table head has moved past the pin — one directory
+    * listing, cheap enough for a serve loop to poll between batches
+    * (the refresh trigger, r16 VERDICT item 3). */
+  def isStale: Boolean = latest != snap
+
   /** Re-pin to the table's latest committed snapshot; returns the new
     * pinned id. A no-op (and no re-materialize) when already current.
     * The old pin is unpersisted AFTER the new one materializes, so a
@@ -256,17 +261,41 @@ final class MaintainedAnnServeSession private[operators] (
     snap
   }
 
+  /** Poll-style refresh trigger: re-pin only if the head moved.
+    * Returns true when a refresh happened. A maintain loop that
+    * exposes its fold commits (e.g. TieredPolicyFolder's fold
+    * closures) calls this right after each commit — the
+    * fold-notification hook; a decoupled serve fleet polls it between
+    * batches instead. Either way the spec'd bound holds: a session
+    * that triggers this on every fold signal never serves more than
+    * one fold behind the head, and never ages past the vacuum
+    * horizon (ServeSessionSpec). */
+  def refreshIfStale(): Boolean = {
+    val before = snap
+    refresh() != before
+  }
+
   def close(): Unit = { pinned.unpersist(); () }
 }
 
 /** Snapshot-pinned serve session over the MAINTAINED BM25 index —
   * the serve side of `stream_bm25_maintain` (postings appended,
-  * doclens upserted). Pins BOTH tables' latest snapshots at open (a
-  * consistent pair: the maintain loop commits postings before doclens
-  * within one fold, so refresh between the two commits at worst
-  * serves the PRE-fold pair — never a torn mix, because each pin is
-  * one atomic snapshot). Corpus totals are re-collected at each pin
-  * (one tiny aggregate over the pinned doclens). */
+  * doclens upserted). The index is TWO tables, so "a snapshot" is a
+  * PAIR — and the pair is resolved ATOMICALLY from one record, not
+  * from two independent latest() reads: every postings commit carries
+  * the paired doclens snapshot id as a txn marker
+  * ([[Retrieval.PairMarker]], written doclens-first so the marker
+  * always names a committed doclens state). A pin resolves postings
+  * latest, then reads the marker AS OF that snapshot
+  * (`txnsAt`) — between a fold's two commits the postings head is
+  * still pre-fold and its marker names the pre-fold doclens, so the
+  * session can never pin post-fold postings with pre-fold corpus
+  * totals (the r16 torn-pair hole; adversarial refresh-mid-fold is
+  * pinned in ServeSessionSpec via `foldPaired`'s between-seam).
+  * Pre-marker tables (no PairMarker recorded) fall back to doclens
+  * latest — the r16 behavior, flagged for what it is. Corpus totals
+  * are collected once per pin (one tiny aggregate over the paired
+  * doclens snapshot); the doclens relation itself is not held. */
 final class MaintainedBm25ServeSession private[operators] (
     s: SparkSession, postingsTable: graft.streaming.PartitionedTable,
     doclensTable: graft.streaming.PartitionedTable) {
@@ -277,35 +306,49 @@ final class MaintainedBm25ServeSession private[operators] (
     snaps.last
   }
 
-  private def pinAt(ps: Long, ds: Long): (DataFrame, DataFrame, DataFrame) = {
+  /** The consistent (postings, doclens) snapshot pair at this
+    * instant: postings head + its atomically-recorded pair marker. */
+  private def resolvePair(): (Long, Long) = {
+    val ps = latest(postingsTable)
+    val ds = postingsTable.txnsAt(ps).getOrElse(
+      Retrieval.PairMarker, latest(doclensTable))
+    (ps, ds)
+  }
+
+  private def pinAt(ps: Long, ds: Long): (DataFrame, DataFrame) = {
     val postings = postingsTable.readAt(s, ps)
       .select(col("g"), col("doc_id"), col("dl"), col("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     postings.count()
-    val dls = doclensTable.readAt(s, ds)
-    val r = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_grams"))
+    val r = doclensTable.readAt(s, ds)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_grams"))
       .collect().head
     import s.implicits._
     val totals = Seq((r.getLong(0), r.getLong(1))).toDF("n_docs", "t_grams")
-    (postings, dls, totals)
+    (postings, totals)
   }
 
-  @volatile private var snaps: (Long, Long) =
-    (latest(postingsTable), latest(doclensTable))
-  @volatile private var pinned: (DataFrame, DataFrame, DataFrame) =
+  @volatile private var snaps: (Long, Long) = resolvePair()
+  @volatile private var pinned: (DataFrame, DataFrame) =
     pinAt(snaps._1, snaps._2)
 
   /** (postings snapshot, doclens snapshot) every serve answers. */
   def pinnedSnapshots: (Long, Long) = snaps
 
   def serve(queries: DataFrame, k: Int = 10): DataFrame =
-    Retrieval.bm25Of(pinned._1, pinned._3,
+    Retrieval.bm25Of(pinned._1, pinned._2,
       Retrieval.queryGramsOfRelation(queries), k)
 
-  /** Re-pin both tables to their latest snapshots; returns the new
-    * pair. Old pins are released only after the new ones materialize. */
+  /** True when the index head has moved past the pinned pair — one
+    * directory listing + one snapshot-manifest read, cheap enough for
+    * a serve loop to poll between batches (the refresh trigger,
+    * r16 VERDICT item 3). */
+  def isStale: Boolean = resolvePair() != snaps
+
+  /** Re-pin to the current consistent pair; returns the new pair.
+    * Old pins are released only after the new ones materialize. */
   def refresh(): (Long, Long) = {
-    val ns = (latest(postingsTable), latest(doclensTable))
+    val ns = resolvePair()
     if (ns != snaps) {
       val np = pinAt(ns._1, ns._2)
       val old = pinned
@@ -314,6 +357,13 @@ final class MaintainedBm25ServeSession private[operators] (
       old._1.unpersist()
     }
     snaps
+  }
+
+  /** Poll-style refresh trigger: re-pin only if the head moved.
+    * Returns true when a refresh happened. */
+  def refreshIfStale(): Boolean = {
+    val before = snaps
+    refresh() != before
   }
 
   def close(): Unit = { pinned._1.unpersist(); () }

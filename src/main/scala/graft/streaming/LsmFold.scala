@@ -29,15 +29,37 @@ import java.nio.file.Path
   * TieredFoldPolicy). */
 object LsmFold {
 
+  /** Target run-file size: a run is a SERVE-path leaf, so its file
+    * count is a per-query open/footer tax — size-coalesce to ~128 MB
+    * files (the parquet-scan split size) instead of inheriting one
+    * part-file per input split, which would leave a run of k tiny
+    * segments as ~k files: same open count as the segments it
+    * replaced, i.e. no serve win at all (the r16 "serve p50 moved
+    * only 2–3%" observation — fewer union legs, same file count). */
+  private val RunTargetBytes = 128L << 20
+
+  private def dirBytes(p: Path): Long = {
+    val w = java.nio.file.Files.walk(p)
+    try w.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally w.close()
+  }
+
   /** Merge segment parts into ONE run dir — O(these rows), never
-    * O(standing). Returns the run as a part carrying every
-    * constituent sub-batch id (the base fold's marker set). */
+    * O(standing) — coalesced to size-targeted files so the run costs
+    * the serve path what ONE leaf should, not what k did. Returns the
+    * run as a part carrying every constituent sub-batch id (the base
+    * fold's marker set). */
   def mergeRun(s: SparkSession, runDir: Path, runId: Int,
       segs: Seq[(Int, Path)]): (Seq[Int], Path) = {
     require(segs.nonEmpty, "mergeRun needs at least one segment")
     java.nio.file.Files.createDirectories(runDir)
     val p = runDir.resolve(f"run$runId%04d")
-    s.read.parquet(segs.map(_._2.toString).distinct: _*)
+    val dirs = segs.map(_._2).distinct
+    val nFiles = math.max(1L,
+      (dirs.map(dirBytes).sum + RunTargetBytes - 1) / RunTargetBytes).toInt
+    s.read.parquet(dirs.map(_.toString): _*)
+      .coalesce(nFiles)
       .write.mode("overwrite").parquet(p.toString)
     (segs.map(_._1).distinct, p)
   }
@@ -45,18 +67,31 @@ object LsmFold {
   /** Land parts (segments and/or runs) into the bucketed base in one
     * commit, refusing parts whose sub-batch ids are all already
     * folded. `merge=false` → appendInto (postings/bands/codes),
-    * `merge=true` → mergeInto (doclens/sets — keyed upserts). */
+    * `merge=true` → mergeInto (doclens/sets — keyed upserts).
+    * `alsoRecord` commits EXTRA markers atomically with the fold —
+    * the BM25 paired-snapshot record rides here. */
   def foldToBase(s: SparkSession, t: PartitionedTable, app: String,
-      parts: Seq[(Seq[Int], Path)], ver: Long, merge: Boolean): Unit = {
+      parts: Seq[(Seq[Int], Path)], ver: Long, merge: Boolean,
+      alsoRecord: Map[String, Long] = Map.empty): Unit = {
     // a run only ever forms from segments that passed the landing
     // guard, so a part is either entirely fresh or an entirely
-    // replayed segment — filter the latter on the markers
-    val fresh = parts.filter { case (ids, _) =>
-      ids.exists(k => t.lastTxn(s"$app.seg$k").isEmpty)
+    // replayed segment — ENFORCED, not assumed (r16 ADVICE): a part
+    // mixing folded and unfolded ids would re-land the folded ids'
+    // rows, silently duplicating them in an append-only base
+    val fresh = parts.filter { case (ids, p) =>
+      val freshIds = ids.filter(k => t.lastTxn(s"$app.seg$k").isEmpty)
+      require(freshIds.isEmpty || freshIds.size == ids.size,
+        s"mixed part $p under $app: sub-batches " +
+          s"${(ids.toSet -- freshIds.toSet).toSeq.sorted.mkString(",")} are " +
+          "already folded while " +
+          s"${freshIds.sorted.mkString(",")} are not — re-landing the part " +
+          "would duplicate the folded rows; rebuild the run from unfolded " +
+          "segments only")
+      freshIds.nonEmpty
     }
     if (fresh.isEmpty) return
     val markers = fresh.flatMap(_._1).distinct
-      .map(k => s"$app.seg$k" -> ver).toMap
+      .map(k => s"$app.seg$k" -> ver).toMap ++ alsoRecord
     val df = s.read.parquet(fresh.map(_._2.toString).distinct: _*)
     if (merge) t.mergeInto(s, df, Some(app -> ver), markers)
     else t.appendInto(s, df, Some(app -> ver), markers)

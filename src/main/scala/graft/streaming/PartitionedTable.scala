@@ -80,6 +80,20 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
 
   def lastTxn(appId: String): Option[Long] = txns.get(appId)
 
+  /** Txn records AS OF a committed snapshot — what `txns` answered
+    * when `MANIFEST.s<snap>` was current. Snapshot manifests carry the
+    * full txn map (same body as MANIFEST), so a marker written
+    * atomically with a commit (e.g. the BM25 fold's paired-snapshot
+    * record) is readable at exactly the snapshot that carries it: a
+    * serve session pinning snapshot N resolves N's markers, never the
+    * head's. Fails loudly on a vacuumed snapshot, like `readAt`. */
+  def txnsAt(snap: Long): Map[String, Long] = {
+    val f = dir.resolve(s"MANIFEST.s$snap")
+    require(Files.exists(f),
+      s"snapshot s$snap not found under $dir (vacuumed? available: ${snapshots.mkString(",")})")
+    parseTxns(Files.readAllLines(f).asScala.toSeq)
+  }
+
   private def parseBuckets(lines: Seq[String]): Map[Int, String] =
     lines.drop(1).filterNot(_.startsWith("!"))
       .map(_.split("=", 2)).collect { case Array(b, v) => b.toInt -> v }.toMap
@@ -542,7 +556,8 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
     * content is untouched — compaction is physical, not semantic.
     * Runs under the same single-writer lease as the merge loop.
     * Returns the compacted bucket ids. */
-  def compact(spark: SparkSession, maxFilesPerBucket: Int = 1): Seq[Int] = {
+  def compact(spark: SparkSession, maxFilesPerBucket: Int = 1,
+              alsoRecord: Map[String, Long] = Map.empty): Seq[Int] = {
     val m = manifest
     val frag = m.toSeq.sortBy(_._1).filter { case (_, rel) =>
       PartitionedTable.listDir(dir.resolve(rel))
@@ -558,7 +573,7 @@ class PartitionedTable(val dir: Path, val keyCol: String, val nBuckets: Int) {
       .partitionBy("__b")
       .parquet(dir.resolve(commitRel).toString)
     writeManifest(m ++ frag.map(b => b -> s"$commitRel/__b=$b"), commit,
-      txns, Some(commitRel), schemaToRecord(spark, full.schema))
+      txns ++ alsoRecord, Some(commitRel), schemaToRecord(spark, full.schema))
     frag
   }
 

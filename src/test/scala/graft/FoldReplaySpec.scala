@@ -142,6 +142,92 @@ class FoldReplaySpec extends AnyFunSuite {
     } finally PartitionedTable.deleteRecursively(wd)
   }
 
+  test("a crash between a fold's two commits loses no rows: the per-table guard re-lands only the missing table (r16 ADVICE)") {
+    val docs = Tables.documents(spark, d)
+    val isArr = Retrieval.isArrival(col("doc_id"))
+    val wd = java.nio.file.Files.createTempDirectory("graft_halffold")
+    try {
+      val idx = Retrieval.buildMaintained(spark, wd.resolve("idx"),
+        docs.filter(!isArr))
+      val segDir = wd.resolve("segs")
+      java.nio.file.Files.createDirectories(segDir)
+      val arrivals = docs.filter(isArr)
+      val pSeg = Retrieval.writeSegment(segDir, 0L, Retrieval.postingsOf(arrivals))
+      val dSeg = Retrieval.writeSegment(segDir.resolve("d"), 0L,
+        Retrieval.doclensOf(arrivals))
+      val pRows0 = idx.postings.read(spark).count()
+      val dRows0 = idx.doclens.read(spark).count()
+
+      // the fold CRASHES in the window between its two commits:
+      // doclens has landed sub-batch 0, postings has not
+      intercept[RuntimeException] {
+        Retrieval.foldPaired(spark, idx,
+          Seq((Seq(0), pSeg)), Seq((Seq(0), dSeg)), ver = 1L,
+          between = () => throw new RuntimeException("crash between commits"))
+      }
+      assert(idx.doclens.lastTxn("bm25dl.seg0").contains(1L))
+      assert(idx.postings.lastTxn("bm25idx.seg0").isEmpty)
+      val dRows1 = idx.doclens.read(spark).count()
+      assert(dRows1 > dRows0, "fixture needs arrival docs")
+
+      // RESTART + replay: the loop re-delivers sub-batch 0. The
+      // per-table landing guard re-admits it (postings marker absent);
+      // the next fold lands postings and REFUSES the already-folded
+      // doclens part on its own markers — no loss, no duplication
+      Retrieval.foldSegments(spark, idx,
+        Seq(0 -> pSeg), Seq(0 -> dSeg), ver = 2L)
+      assert(idx.postings.lastTxn("bm25idx.seg0").contains(2L))
+      val segRows = spark.read.parquet(pSeg.toString).count()
+      assert(idx.postings.read(spark).count() === pRows0 + segRows,
+        "the recovery fold must land the postings exactly once")
+      assert(idx.doclens.read(spark).count() === dRows1,
+        "the already-folded doclens must not re-land (keyed merge would mask a dup; count pins it)")
+      // the recovery postings commit re-stamps the pair marker to the
+      // CURRENT doclens head — the pair a session resolves is whole
+      assert(idx.postings.txnsAt(idx.postings.snapshots.last)
+        .get(Retrieval.PairMarker).contains(idx.doclens.snapshots.last))
+
+      // the recovered state answers exactly the one-shot build
+      val served = Retrieval.serveMaintained(spark, idx,
+        Retrieval.queryGramsOf(docs))
+      val oneShot = Retrieval.bm25TopkOf(
+        docs.filter(!isArr).unionByName(arrivals), Retrieval.QueryDocs)
+      assert(served.collect().map(_.mkString("|")).toSet ===
+        oneShot.collect().map(_.mkString("|")).toSet)
+    } finally PartitionedTable.deleteRecursively(wd)
+  }
+
+  test("foldToBase refuses a MIXED part (some ids folded, some not) instead of silently duplicating the folded rows") {
+    val docs = Tables.documents(spark, d)
+    val isArr = Retrieval.isArrival(col("doc_id"))
+    val wd = java.nio.file.Files.createTempDirectory("graft_mixedpart")
+    try {
+      val idx = Retrieval.buildMaintained(spark, wd.resolve("idx"),
+        docs.filter(!isArr))
+      val segDir = wd.resolve("segs")
+      java.nio.file.Files.createDirectories(segDir)
+      val arrivals = docs.filter(isArr)
+        .withColumn("sub_batch", Retrieval.arrivalSubBatch(col("doc_id")))
+      def seg(k: Int): (Int, java.nio.file.Path) =
+        k -> Retrieval.writeSegment(segDir, k.toLong, Retrieval.postingsOf(
+          arrivals.filter(col("sub_batch") === k).drop("sub_batch")))
+      // sub-batch 0 folds to base; a (buggy) run then forms from
+      // segments 0 AND 1 — re-landing it would duplicate 0's rows
+      graft.streaming.LsmFold.foldToBase(spark, idx.postings, "bm25idx",
+        Seq((Seq(0), seg(0)._2)), 1L, merge = false)
+      val mixedRun = graft.streaming.LsmFold.mergeRun(spark,
+        wd.resolve("runs"), 0, Seq(seg(0), seg(1)))
+      val before = idx.postings.read(spark).count()
+      val ex = intercept[IllegalArgumentException] {
+        graft.streaming.LsmFold.foldToBase(spark, idx.postings, "bm25idx",
+          Seq(mixedRun), 2L, merge = false)
+      }
+      assert(ex.getMessage.contains("mixed part"))
+      assert(idx.postings.read(spark).count() === before,
+        "the refused fold must not have landed anything")
+    } finally PartitionedTable.deleteRecursively(wd)
+  }
+
   test("replay markers guard the ANN maintained table's fold path too") {
     val e = Tables.embeddings(spark, d)
     val wd = java.nio.file.Files.createTempDirectory("graft_foldreplay_ann")

@@ -167,4 +167,109 @@ class ServeSessionSpec extends AnyFunSuite {
       } finally sess.close()
     } finally PartitionedTable.deleteRecursively(wd)
   }
+
+  test("BM25 maintained session: a refresh injected BETWEEN a fold's two commits never pins a torn pair (r16 VERDICT item 1)") {
+    import graft.streaming.PartitionedTable
+    val docs = Tables.documents(spark, d)
+    val isArr = Retrieval.isArrival(col("doc_id"))
+    val wd = java.nio.file.Files.createTempDirectory("graft_tornpair")
+    try {
+      val idx = Retrieval.buildMaintained(spark, wd.resolve("idx"),
+        docs.filter(!isArr))
+      val queries = docs.filter(col("doc_id").isInCollection(Retrieval.QueryDocs))
+        .select(col("doc_id").as("query_id"), col("text"))
+      val segDir = wd.resolve("segs")
+      java.nio.file.Files.createDirectories(segDir)
+      val arrivals = docs.filter(isArr)
+      val pSeg = Retrieval.writeSegment(segDir, 0L, Retrieval.postingsOf(arrivals))
+      val dSeg = Retrieval.writeSegment(segDir.resolve("d"), 0L,
+        Retrieval.doclensOf(arrivals))
+      val sess = ServeSession.bm25Maintained(spark, idx.postings, idx.doclens)
+      try {
+        val pre = sess.pinnedSnapshots
+        val preRows = rowsOf(sess.serve(queries))
+        // the adversarial instant: doclens has committed its fold,
+        // postings has NOT — pre-r17 an independent latest() pin here
+        // yielded pre-fold postings with POST-fold doclens (or, with
+        // the old postings-first order, the reverse torn mix). The
+        // paired resolution must keep serving the PRE-fold pair.
+        var observedMidFold: (Long, Long) = null
+        Retrieval.foldPaired(spark, idx,
+          Seq((Seq(0), pSeg)), Seq((Seq(0), dSeg)), ver = 1L,
+          between = () => {
+            assert(!sess.isStale,
+              "mid-fold the head PAIR is unchanged - postings head still names the pre-fold doclens")
+            sess.refresh()
+            observedMidFold = sess.pinnedSnapshots
+          })
+        assert(observedMidFold === pre,
+          "a refresh between the two commits must pin the PRE-fold pair, never a torn mix")
+        assert(rowsOf(sess.serve(queries)) === preRows,
+          "mid-fold refresh must leave the session serving the pre-fold state")
+        // fold complete: refresh pins the post-fold pair, whose marker
+        // names exactly the doclens snapshot committed by this fold
+        val post = sess.refresh()
+        assert(post._1 > pre._1 && post._2 > pre._2)
+        assert(idx.postings.txnsAt(post._1).get(Retrieval.PairMarker)
+          .contains(post._2),
+          "the pinned doclens snapshot must be the one the postings commit recorded")
+        val fresh = Retrieval.serveMaintained(spark, idx,
+          Retrieval.queryGramsOfRelation(queries))
+        assert(rowsOf(sess.serve(queries)) === rowsOf(fresh))
+      } finally sess.close()
+    } finally PartitionedTable.deleteRecursively(wd)
+  }
+
+  test("refreshIfStale keeps an interleaved serve loop at most one fold behind and inside the vacuum horizon (r16 VERDICT item 3)") {
+    import graft.streaming.PartitionedTable
+    val e = Tables.embeddings(spark, d)
+    val isArr = Retrieval.isArrival(col("vec_id"))
+    val (supers, groups) = Similarity.twoLevelIndexOf(
+      Similarity.collectCentroidsOf(e.filter(!isArr)))
+    def idxRowsOf(df: DataFrame): DataFrame = {
+      val (sc, q) = Similarity.quantizeCols(col("embedding"))
+      df.select(col("vec_id"),
+        graft.functions.ImiCell2.cell(col("embedding"), supers, groups).as("cell"),
+        sc.as("c_scale"), q.as("cq"))
+    }
+    def qcellsOf(q: DataFrame): DataFrame = {
+      val (sc, qq) = Similarity.quantizeCols(col("embedding"))
+      q.select(col("query_id"),
+        graft.functions.ImiCell2.cell(col("embedding"), supers, groups).as("qcell"),
+        sc.as("q_scale"), qq.as("qq"))
+    }
+    val wd = java.nio.file.Files.createTempDirectory("graft_refreshtrig")
+    try {
+      val pt = new PartitionedTable(wd.resolve("idx"), "cell", 8)
+      pt.appendInto(spark, idxRowsOf(e.filter(!isArr)), Some("t" -> 0L))
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val arr = idxRowsOf(e.filter(isArr)).withColumn("__f",
+        pmod(col("vec_id"), lit(4)))
+      val sess = ServeSession.annMaintained(spark, pt, qcellsOf)
+      try {
+        assert(!sess.isStale)
+        assert(!sess.refreshIfStale(), "current session must not re-pin")
+        // the maintain side: 4 folds, each followed by the
+        // fold-notification hook (refreshIfStale) and an aggressive
+        // vacuum that keeps only the youngest 2 snapshots — the serve
+        // loop stays on the head and never ages past the horizon
+        (0 until 4).foreach { f =>
+          pt.appendInto(spark, arr.filter(col("__f") === f).drop("__f"),
+            Some("t" -> (f + 1).toLong))
+          assert(sess.isStale, "a fold commit must flip the staleness probe")
+          assert(sess.refreshIfStale())
+          assert(sess.pinnedSnapshot === pt.snapshots.last,
+            "the fold-notification hook must leave the session on the head")
+          pt.vacuum(retainSnapshots = 2)
+          // serving after the vacuum still works: the pin is the head,
+          // inside the horizon by construction
+          assert(sess.serveIds(queries).count() > 0)
+        }
+        // final state equals a fresh one-shot over the current table
+        val oneShot = Similarity.frozenInt8Serve(pt.read(spark), qcellsOf(queries))
+        assert(rowsOf(sess.serveIds(queries)) === rowsOf(oneShot))
+      } finally sess.close()
+    } finally PartitionedTable.deleteRecursively(wd)
+  }
 }

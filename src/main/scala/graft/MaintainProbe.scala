@@ -323,20 +323,28 @@ object MaintainProbe {
         val tPolicy = new graft.streaming.TieredFoldPolicy(
           initialRunFoldCostSec = math.max(0.05, secSeg),
           initialBaseFoldCostSec = secFoldServe,
-          initialTaxPerLeafSec = taxSeed)
+          initialTaxPerFileSec = taxSeed)
         val tFolder = new graft.streaming.TieredPolicyFolder(tPolicy,
           () => {
+            var newFiles = 0
             val (_, fs) = timeIt {
-              if (pLoose.nonEmpty)
-                pRuns += graft.streaming.LsmFold.mergeRun(spark,
+              if (pLoose.nonEmpty) {
+                val r = graft.streaming.LsmFold.mergeRun(spark,
                   wd.resolve("bm25tierruns/p"), runSeqT, pLoose.toSeq)
-              if (dLoose.nonEmpty)
-                dRuns += graft.streaming.LsmFold.mergeRun(spark,
+                pRuns += r
+                newFiles += graft.streaming.LsmFold.parquetFiles(r._2)
+              }
+              if (dLoose.nonEmpty) {
+                val r = graft.streaming.LsmFold.mergeRun(spark,
                   wd.resolve("bm25tierruns/d"), runSeqT, dLoose.toSeq)
+                dRuns += r
+                newFiles += graft.streaming.LsmFold.parquetFiles(r._2)
+              }
               runSeqT += 1
               pLoose.clear(); dLoose.clear()
             }
             tFoldLevel += "run"; tFoldAt += curSegT; tFoldSecs += fs
+            newFiles
           },
           () => {
             val (_, fs) = timeIt {
@@ -360,7 +368,9 @@ object MaintainProbe {
         val tServeSecs = (0 until segN).map { k =>
           curSegT = k + 1
           pLoose += (k -> pTier(k)); dLoose += (k -> dTier(k))
-          tFolder.onSegment()
+          tFolder.onSegment(math.max(1,
+            graft.streaming.LsmFold.parquetFiles(pTier(k)) +
+              graft.streaming.LsmFold.parquetFiles(dTier(k))))
           val sec = serveT()
           tFolder.onServe(Some(sec), base0T)
           sec
@@ -405,7 +415,7 @@ object MaintainProbe {
            |"serve_secs":[${polServeSecs.map(s3).mkString(",")}]},
            |"policy_loop_tiered":{"seed_run_fold_sec":${s3(math.max(0.05, secSeg))},
            |"seed_base_fold_sec":${s3(secFoldServe)},
-           |"seed_tax_sec_per_leaf":${s3(taxSeed)},
+           |"seed_tax_sec_per_file":${s3(taxSeed)},
            |"fold_at_segments":[${tFoldAt.mkString(",")}],
            |"fold_levels":[${tFoldLevel.map(l => s""""$l"""").mkString(",")}],
            |"fold_secs":[${tFoldSecs.map(s3).mkString(",")}],

@@ -1143,18 +1143,25 @@ object Dedup {
         st.entries.map { case (k, p) => k -> java.nio.file.Paths.get(p) }
       val folder = new graft.streaming.TieredPolicyFolder(
         graft.streaming.TieredPolicyFolder.defaultPolicy(),
-        () => { // fold-to-RUN
+        () => { // fold-to-RUN; returns the new runs' file count (the
+          // policy's per-file leaf pricing, r17)
           val be = partsOf(bandSegs); val se = partsOf(setSegs)
+          var newFiles = 0
           if (be.nonEmpty) {
-            bRuns += graft.streaming.LsmFold.mergeRun(s, bRunDir, runSeq, be)
+            val r = graft.streaming.LsmFold.mergeRun(s, bRunDir, runSeq, be)
+            bRuns += r
+            newFiles += graft.streaming.LsmFold.parquetFiles(r._2)
             graft.streaming.LsmFold.prune(be.map(_._2))
           }
           if (se.nonEmpty) {
-            sRuns += graft.streaming.LsmFold.mergeRun(s, sRunDir, runSeq, se)
+            val r = graft.streaming.LsmFold.mergeRun(s, sRunDir, runSeq, se)
+            sRuns += r
+            newFiles += graft.streaming.LsmFold.parquetFiles(r._2)
             graft.streaming.LsmFold.prune(se.map(_._2))
           }
           runSeq += 1
           bandSegs.clear(); setSegs.clear()
+          newFiles
         },
         () => { // fold-to-BASE
           val bParts = bRuns.toSeq ++ partsOf(bandSegs).map { case (k, p) => (Seq(k), p) }
@@ -1205,19 +1212,22 @@ object Dedup {
               val admitted = base.select(col("doc_id"))
                 .join(landed.select(col("doc_id")).distinct(),
                   Seq("doc_id"), "left_semi")
-              if (bFresh) {
+              val seg = if (bFresh) {
                 val bSeg = bSegDir.resolve(f"seg$k%04d")
                 foldedBands(base).join(admitted, Seq("doc_id"), "left_semi")
                   .write.mode("overwrite").parquet(bSeg.toString)
                 bandSegs.put(k, bSeg.toString)
+                bSeg
               } else {
                 val sSeg = sSegDir.resolve(f"seg$k%04d")
                 base.select(col("doc_id"), col("shs"))
                   .join(admitted, Seq("doc_id"), "left_semi")
                   .write.mode("overwrite").parquet(sSeg.toString)
                 setSegs.put(k, sSeg.toString)
+                sSeg
               }
-              folder.onSegment()
+              folder.onSegment(
+                math.max(1, graft.streaming.LsmFold.parquetFiles(seg)))
             }
           }
           // fully fresh on BOTH tables: the normal verdict path (this
@@ -1262,7 +1272,9 @@ object Dedup {
               .join(admitted, Seq("doc_id"), "left_semi")
               .write.mode("overwrite").parquet(sSeg.toString)
             setSegs.put(k, sSeg.toString)
-            folder.onSegment()
+            folder.onSegment(math.max(1,
+              graft.streaming.LsmFold.parquetFiles(bSeg) +
+                graft.streaming.LsmFold.parquetFiles(sSeg)))
           }
           ()
         }

@@ -704,15 +704,25 @@ object Retrieval {
       var foldTxn = 1L
       val folder = new graft.streaming.TieredPolicyFolder(
         graft.streaming.TieredPolicyFolder.defaultPolicy(),
-        () => { // fold-to-RUN: merge loose segments, O(these rows)
+        () => { // fold-to-RUN: merge loose segments, O(these rows);
+          // returns the new runs' file count — their serve-path
+          // weight under the policy's per-file pricing (r17)
           val pe = pSegs.entries; val de = dSegs.entries
-          if (pe.nonEmpty)
-            pRuns += graft.streaming.LsmFold.mergeRun(s, pRunDir, runSeq, pe)
-          if (de.nonEmpty)
-            dRuns += graft.streaming.LsmFold.mergeRun(s, dRunDir, runSeq, de)
+          var newFiles = 0
+          if (pe.nonEmpty) {
+            val r = graft.streaming.LsmFold.mergeRun(s, pRunDir, runSeq, pe)
+            pRuns += r
+            newFiles += graft.streaming.LsmFold.parquetFiles(r._2)
+          }
+          if (de.nonEmpty) {
+            val r = graft.streaming.LsmFold.mergeRun(s, dRunDir, runSeq, de)
+            dRuns += r
+            newFiles += graft.streaming.LsmFold.parquetFiles(r._2)
+          }
           runSeq += 1
           pruneSegments(pe.map(_._2) ++ de.map(_._2))
           pSegs.clear(); dSegs.clear()
+          newFiles
         },
         () => { // fold-to-BASE: runs + loose segments, one commit/table,
           // in paired order (doclens first, postings + PairMarker)
@@ -756,11 +766,18 @@ object Retrieval {
               !dRuns.exists(_._1.contains(k))
             if (pFresh || dFresh) {
               val batch = mb.filter(col("sub_batch") === k)
-              if (pFresh)
-                pSegs.put(k, writeSegment(pSegDir, k.toLong, postingsOf(batch)))
-              if (dFresh)
-                dSegs.put(k, writeSegment(dSegDir, k.toLong, doclensOf(batch)))
-              folder.onSegment()
+              var segFiles = 0
+              if (pFresh) {
+                val sp = writeSegment(pSegDir, k.toLong, postingsOf(batch))
+                pSegs.put(k, sp)
+                segFiles += graft.streaming.LsmFold.parquetFiles(sp)
+              }
+              if (dFresh) {
+                val sd = writeSegment(dSegDir, k.toLong, doclensOf(batch))
+                dSegs.put(k, sd)
+                segFiles += graft.streaming.LsmFold.parquetFiles(sd)
+              }
+              folder.onSegment(math.max(1, segFiles))
             }
           }
           ()

@@ -1421,14 +1421,19 @@ object Similarity {
         segs.entries.map { case (k, p) => k -> java.nio.file.Paths.get(p) }
       val folder = new graft.streaming.TieredPolicyFolder(
         graft.streaming.TieredPolicyFolder.defaultPolicy(),
-        () => { // fold-to-RUN
+        () => { // fold-to-RUN; returns the new run's file count (the
+          // policy's per-file leaf pricing, r17)
           val se = segParts
+          var newFiles = 0
           if (se.nonEmpty) {
-            runs += graft.streaming.LsmFold.mergeRun(s, runDir, runSeq, se)
+            val r = graft.streaming.LsmFold.mergeRun(s, runDir, runSeq, se)
+            runs += r
+            newFiles = graft.streaming.LsmFold.parquetFiles(r._2)
             runSeq += 1
             graft.streaming.LsmFold.prune(se.map(_._2))
           }
           segs.clear()
+          newFiles
         },
         () => { // fold-to-BASE
           val parts = runs.toSeq ++ segParts.map { case (k, p) => (Seq(k), p) }
@@ -1457,7 +1462,8 @@ object Similarity {
               rowsOf(mb.filter(col("sub_batch") === k).drop("sub_batch"))
                 .write.mode("overwrite").parquet(seg.toString)
               segs.put(k, seg.toString)
-              folder.onSegment()
+              folder.onSegment(
+                math.max(1, graft.streaming.LsmFold.parquetFiles(seg)))
             }
           }
           ()

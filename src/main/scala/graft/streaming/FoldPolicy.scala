@@ -148,41 +148,62 @@ object PolicyFolder {
   * close fold straight to base — the same degenerate cadence as the
   * single-level [[FoldPolicy]], gate behavior unchanged.
   *
-  * Estimation is online (EWMA per cost, shared per-leaf tax), seeded
+  * Tax is priced per FILE, not per leaf dir (r17): what a serve
+  * actually pays per unfolded leaf is the per-file open/footer/scan
+  * setup on the union read path, so a leaf's weight is its parquet
+  * file count. MAINTAIN_r17 measured the difference directly — one
+  * size-coalesced run of 32 segments serves at BASE cost (sf1: 1.497
+  * vs 1.507 s; run_files=1) while the 32 loose multi-file segments it
+  * replaced cost 6.17 s. The r16 uniform per-leaf tax priced that
+  * ~free 1-file run like a full segment, so outstanding runs accrued
+  * phantom tax that bought O(standing) base folds nobody had paid for
+  * (sf1 tiered loop: 3 realized base folds, 116.7 s total fold time
+  * vs single-level's 21.6 s). File-weighted accrual restores the
+  * 2-competitive bound per level against the cost queries actually
+  * pay. Leaves with no stated weight default to 1 file.
+  *
+  * Estimation is online (EWMA per cost, shared per-file tax), seeded
   * from probe curves exactly like [[FoldPolicy]]. */
 final class TieredFoldPolicy(
     initialRunFoldCostSec: Double,
     initialBaseFoldCostSec: Double,
-    initialTaxPerLeafSec: Double,
+    initialTaxPerFileSec: Double,
     alpha: Double = 0.3) {
   require(initialRunFoldCostSec > 0 && initialBaseFoldCostSec > 0 &&
-    initialTaxPerLeafSec >= 0)
+    initialTaxPerFileSec >= 0)
   require(alpha > 0 && alpha <= 1)
 
   private var runCost = initialRunFoldCostSec
   private var baseCost = initialBaseFoldCostSec
-  private var tax = initialTaxPerLeafSec
+  private var tax = initialTaxPerFileSec
   private var segments = 0
   private var runs = 0
+  private var segFiles = 0
+  private var runFiles = 0
   private var segTaxSec = 0.0
   private var runTaxSec = 0.0
 
-  /** A micro-batch landed as one more loose segment. */
-  def onSegment(): Unit = segments += 1
+  /** A micro-batch landed as one more loose segment of `files`
+    * parquet files (the weight a serve pays for it). */
+  def onSegment(files: Int = 1): Unit = {
+    require(files >= 1, s"a segment has at least one file, got $files")
+    segments += 1
+    segFiles += files
+  }
 
   /** A query was served over base + runs + segments; accrue the tax
-    * it paid, attributed per leaf level. */
+    * it paid, attributed per leaf level, weighted by file count. */
   def onServe(observedServeSec: Option[Double] = None,
       baselineServeSec: Double = 0.0): Unit = {
     observedServeSec.foreach { obs =>
-      val leaves = segments + runs
-      if (leaves > 0) {
-        val perLeaf = math.max(0.0, (obs - baselineServeSec) / leaves)
-        tax = (1 - alpha) * tax + alpha * perLeaf
+      val files = segFiles + runFiles
+      if (files > 0) {
+        val perFile = math.max(0.0, (obs - baselineServeSec) / files)
+        tax = (1 - alpha) * tax + alpha * perFile
       }
     }
-    segTaxSec += segments * tax
-    runTaxSec += runs * tax
+    segTaxSec += segFiles * tax
+    runTaxSec += runFiles * tax
   }
 
   /** Fold loose segments to a run once THEIR accrued tax reaches the
@@ -194,10 +215,17 @@ final class TieredFoldPolicy(
     * queries have actually paid for it. */
   def shouldFoldToBase: Boolean = runs > 0 && runTaxSec >= baseCost
 
-  def onFoldToRun(observedFoldSec: Option[Double] = None): Unit = {
+  /** The loose segments were merged into one run of `newRunFiles`
+    * parquet files (size-coalesced — LsmFold.mergeRun reports the
+    * real count, typically 1 at small tiers). */
+  def onFoldToRun(observedFoldSec: Option[Double] = None,
+      newRunFiles: Int = 1): Unit = {
+    require(newRunFiles >= 1, s"a run has at least one file, got $newRunFiles")
     observedFoldSec.foreach(f => runCost = (1 - alpha) * runCost + alpha * f)
     runs += 1
+    runFiles += newRunFiles
     segments = 0
+    segFiles = 0
     segTaxSec = 0.0
   }
 
@@ -205,6 +233,8 @@ final class TieredFoldPolicy(
     observedFoldSec.foreach(f => baseCost = (1 - alpha) * baseCost + alpha * f)
     runs = 0
     segments = 0
+    segFiles = 0
+    runFiles = 0
     segTaxSec = 0.0
     runTaxSec = 0.0
   }
@@ -212,28 +242,33 @@ final class TieredFoldPolicy(
   def unfoldedSegments: Int = segments
   def unfoldedRuns: Int = runs
   def unfoldedLeaves: Int = segments + runs
+  def unfoldedSegmentFiles: Int = segFiles
+  def unfoldedRunFiles: Int = runFiles
   def estimatedRunFoldCost: Double = runCost
   def estimatedBaseFoldCost: Double = baseCost
-  def estimatedTaxPerLeaf: Double = tax
+  def estimatedTaxPerFile: Double = tax
 }
 
 /** Threads a [[TieredFoldPolicy]] through a maintain loop's two fold
   * closures. `foldToRun` merges the CURRENT loose segments into a new
-  * run (LsmFold.mergeRun) and clears the segment store; `foldToBase`
-  * lands runs + loose segments in the bucketed base
-  * (LsmFold.foldToBase) and clears both stores. The folder times each
-  * fold into the policy's online estimates. `finish()` closes the
-  * epoch with one base fold — the write-only degenerate case is then
-  * exactly the pre-r16 one-close-fold cadence. */
+  * run (LsmFold.mergeRun), clears the segment store, and RETURNS the
+  * new run's parquet file count (its serve-path weight — the policy
+  * prices leaves per file, r17); `foldToBase` lands runs + loose
+  * segments in the bucketed base (LsmFold.foldToBase) and clears both
+  * stores. The folder times each fold into the policy's online
+  * estimates. `finish()` closes the epoch with one base fold — the
+  * write-only degenerate case is then exactly the pre-r16
+  * one-close-fold cadence. */
 final class TieredPolicyFolder(val policy: TieredFoldPolicy,
-    foldToRun: () => Unit, foldToBase: () => Unit) {
+    foldToRun: () => Int, foldToBase: () => Unit) {
   private var rFolds = 0
   private var bFolds = 0
 
   private def timedRun(): Unit = {
     val t0 = System.nanoTime()
-    foldToRun()
-    policy.onFoldToRun(Some((System.nanoTime() - t0) / 1e9))
+    val newFiles = foldToRun()
+    policy.onFoldToRun(Some((System.nanoTime() - t0) / 1e9),
+      math.max(1, newFiles))
     rFolds += 1
   }
 
@@ -244,7 +279,7 @@ final class TieredPolicyFolder(val policy: TieredFoldPolicy,
     bFolds += 1
   }
 
-  def onSegment(): Unit = policy.onSegment()
+  def onSegment(files: Int = 1): Unit = policy.onSegment(files)
 
   def onServe(observedServeSec: Option[Double] = None,
       baselineServeSec: Double = 0.0): Unit = {
@@ -263,12 +298,13 @@ final class TieredPolicyFolder(val policy: TieredFoldPolicy,
 object TieredPolicyFolder {
   /** Default seed: run folds priced at the measured O(batch) segment
     * write scale (MAINTAIN_r13 sf0.1 segment_write ≈ 0.4 s), base
-    * folds at the measured epoch fold (2.6 s), tax per leaf from the
-    * serve-vs-segments slope (0.15 s). A deployment's own EWMA takes
-    * over from the first observed fold/serve. */
+    * folds at the measured epoch fold (2.6 s), tax per file from the
+    * serve-vs-segments slope (0.15 s — the probe's segments are
+    * ~1-file, so slope/segment ≈ slope/file as a seed; the EWMA
+    * recalibrates from the first observed serve). */
   def defaultPolicy(): TieredFoldPolicy = new TieredFoldPolicy(
     initialRunFoldCostSec = 0.4, initialBaseFoldCostSec = 2.6,
-    initialTaxPerLeafSec = 0.15)
+    initialTaxPerFileSec = 0.15)
 }
 
 object FoldPolicy {

@@ -45,6 +45,21 @@ object LsmFold {
     finally w.close()
   }
 
+  /** Parquet file count of a part dir — the serve-path weight of a
+    * leaf (what a query pays is per-file open/footer/scan setup on
+    * the union read path), which is how the tiered policy prices
+    * leaves (r17: a 1-file run serves at ~base cost while the k
+    * multi-file segments it merged cost the full union tax). */
+  def parquetFiles(p: Path): Int = {
+    if (!java.nio.file.Files.exists(p)) 0
+    else {
+      val w = java.nio.file.Files.walk(p)
+      try w.filter(f => java.nio.file.Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally w.close()
+    }
+  }
+
   /** Merge segment parts into ONE run dir — O(these rows), never
     * O(standing) — coalesced to size-targeted files so the run costs
     * the serve path what ONE leaf should, not what k did. Returns the

@@ -126,7 +126,7 @@ class FoldPolicySpec extends AnyFunSuite {
     var baseFolds = 0
     val f = new graft.streaming.TieredPolicyFolder(
       graft.streaming.TieredPolicyFolder.defaultPolicy(),
-      () => runFolds += 1, () => baseFolds += 1)
+      () => { runFolds += 1; 1 }, () => baseFolds += 1)
     (1 to 32).foreach(_ => f.onSegment())
     assert(runFolds === 0 && baseFolds === 0,
       "no serve paid a tax; nothing to amortize at either level")
@@ -181,11 +181,39 @@ class FoldPolicySpec extends AnyFunSuite {
     assert(p.estimatedRunFoldCost < 0.4 && p.estimatedRunFoldCost >= 0.1)
     p.onFoldToBase(Some(10.0))
     assert(p.estimatedBaseFoldCost > 2.6 && p.estimatedBaseFoldCost <= 10.0)
-    // tax learns per LEAF: 1 run + 1 segment, observed 2 leaves' worth
+    // tax learns per FILE: 1 run (1 file) + 1 segment (1 file),
+    // observed 2 files' worth
     p.onSegment()
     p.onFoldToRun(None)
     p.onSegment()
     p.onServe(observedServeSec = Some(1.0 + 2 * 0.30), baselineServeSec = 1.0)
-    assert(p.estimatedTaxPerLeaf > 0.15 && p.estimatedTaxPerLeaf <= 0.30)
+    assert(p.estimatedTaxPerFile > 0.15 && p.estimatedTaxPerFile <= 0.30)
+  }
+
+  test("tiered: per-FILE pricing — 1-file runs accrue ~no tax, so phantom run tax never buys a mid-epoch base fold (MAINTAIN_r17)") {
+    // The r16 defect this pins against: uniform per-LEAF tax priced a
+    // size-coalesced 1-file run like a full multi-file segment, so
+    // outstanding runs accrued tax queries never paid (one run of 32
+    // serves at BASE cost: sf1 1.497 vs 1.507 s, vs 6.17 s for the 32
+    // loose segments) and bought 3 needless O(standing) base folds in
+    // one sf1 epoch (116.7 s total fold time vs single-level's 21.6).
+    // sf1-shaped frozen estimates: run fold 0.9 s, base fold 14.5 s,
+    // per-file tax 0.005 s (the loose-segment slope 0.15/segment over
+    // ~32 files/segment); every unobserved serve keeps the seed.
+    val p = new graft.streaming.TieredFoldPolicy(0.9, 14.5, 0.005)
+    var runFolds = 0
+    (1 to 32).foreach { k =>
+      p.onSegment(files = 32) // multi-file loose segment
+      p.onServe()
+      assert(!p.shouldFoldToBase,
+        s"phantom run tax bought an O(standing) base fold at segment $k")
+      if (p.shouldFoldToRun) { p.onFoldToRun(None, newRunFiles = 1); runFolds += 1 }
+    }
+    assert(runFolds > 0, "mid-epoch run folds must still happen")
+    // each outstanding run weighs its REAL file count (1), not a
+    // uniform leaf weight: run files = run count
+    assert(p.unfoldedRunFiles === p.unfoldedRuns)
+    // loose segments keep their real weight: 32 files each
+    assert(p.unfoldedSegmentFiles === 32 * p.unfoldedSegments)
   }
 }

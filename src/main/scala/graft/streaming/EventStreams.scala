@@ -55,18 +55,63 @@ object EventStreams {
     }
   }
 
+  /** Scale-adaptive STATE partition count for a stateful stream whose
+    * source is `<d>/events.parquet`: one state partition per ~32 MB of
+    * source input, floored at 1, capped at the session's configured
+    * shuffle partitions (the deployment's own parallelism intent — at
+    * cluster scale the cap binds and nothing changes). A stateful
+    * operator's partition count is frozen at query start from
+    * `spark.sql.shuffle.partitions`; leaving it at the core count made
+    * the gate streams pay one state-store commit PER CORE for tiny
+    * state, and that cost is not flat: measured on the sf0.1 events
+    * stream (OPTIMIZATION_r17.md), steady-state batch time grows
+    * 1.3 → 1.6 → 2.1 → 4.1 s across 1/4/8/32 state partitions while
+    * the state-commit task-time SUM explodes 0.37 → 44.8 s from 4 to
+    * 32 partitions (~0.1 s fixed commit cost per partition plus
+    * superlinear contention between concurrent commits; raw fsync on
+    * this box is 2–8 ms, so it is commit-path machinery, not disk).
+    * Result sets are invariant to state partitioning, so oracles are
+    * untouched. */
+  private[graft] def statePartitionsFor(s: SparkSession, d: String): Int = {
+    val p = java.nio.file.Paths.get(d, "events.parquet")
+    val bytes =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val w = java.nio.file.Files.walk(p)
+        try w.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally w.close()
+      } else if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p)
+      else 0L
+    val perPartition = 32L << 20
+    val cap = scala.util.Try(
+      s.conf.get("spark.sql.shuffle.partitions").toLong)
+      .getOrElse(s.sparkContext.defaultParallelism.toLong)
+    math.max(1L, math.min(cap, (bytes + perPartition - 1) / perPartition)).toInt
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink and
-    * return the materialized result. */
-  def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    * return the materialized result. `statePartitions` (stateful
+    * queries only) pins the query's state partition count for its
+    * lifetime by scoping `spark.sql.shuffle.partitions` around the
+    * run — the session value is restored before the result is read,
+    * so downstream batch queries are untouched. */
+  def runToTable(df: DataFrame, mode: OutputMode,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val s = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val saved = statePartitions.map(_ => s.conf.get(key))
+    statePartitions.foreach(n => s.conf.set(key, n.toString))
+    try {
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    } finally saved.foreach(v => s.conf.set(key, v))
   }
 
   /** Tumbling 6 h event-time windows with watermark-driven state GC:
@@ -79,7 +124,7 @@ object EventStreams {
         sum(col("value").cast(DecimalType(12, 2))).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value").cast(DoubleType).as("sum_value"))
-    runToTable(agg, OutputMode.Complete())
+    runToTable(agg, OutputMode.Complete(), Some(statePartitionsFor(s, d)))
   }
 
   /** Sliding windows (12 h length, 6 h slide): each event lands in two
@@ -90,7 +135,7 @@ object EventStreams {
       .groupBy(window(col("ts"), "12 hours", "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
-    runToTable(agg, OutputMode.Complete())
+    runToTable(agg, OutputMode.Complete(), Some(statePartitionsFor(s, d)))
   }
 
   /** Session windows: 30 min inactivity gap per user
@@ -103,7 +148,7 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
-    runToTable(agg, OutputMode.Complete())
+    runToTable(agg, OutputMode.Complete(), Some(statePartitionsFor(s, d)))
   }
 
   // ---- custom keyed state (stream_state_mgmt) ------------------------
@@ -140,7 +185,8 @@ object EventStreams {
 
     val out = ds.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
-    val table = runToTable(out.toDF(), OutputMode.Update())
+    val table = runToTable(out.toDF(), OutputMode.Update(),
+      Some(statePartitionsFor(s, d)))
     // one update row per key per micro-batch: keep the final state
     graft.operators.Upsert.lastWins(table, Seq("user_id"), Seq(col("n_events")))
       .select(col("user_id"), col("n_events"),
@@ -196,7 +242,8 @@ object EventStreams {
       val out = ds.groupByKey(_.user_id)
         .transformWithState(new UserStateProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
-      val table = runToTable(out.toDF(), OutputMode.Update())
+      val table = runToTable(out.toDF(), OutputMode.Update(),
+        Some(statePartitionsFor(s, d)))
       graft.operators.Upsert.lastWins(table, Seq("user_id"), Seq(col("n_events")))
         .select(col("user_id"), col("n_events"),
           timestamp_micros(col("last_ts_us")).as("last_ts"),
@@ -353,7 +400,7 @@ object EventStreams {
         col("click_ts") <= col("purchase_ts"))
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("click_id"), col("purchase_ts"), col("click_ts"))
-    runToTable(joined, OutputMode.Append())
+    runToTable(joined, OutputMode.Append(), Some(statePartitionsFor(s, d)))
   }
 
   /** Streaming exact dedup with bounded state:
@@ -368,7 +415,7 @@ object EventStreams {
       .groupBy(window(col("ts"), "6 hours"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("n"))
-    runToTable(deduped, OutputMode.Complete())
+    runToTable(deduped, OutputMode.Complete(), Some(statePartitionsFor(s, d)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

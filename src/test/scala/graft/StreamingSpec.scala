@@ -129,6 +129,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.maxSeqsPerBatch === 2)
   }
 
+  test("statePartitionsFor derives from input bytes: floor 1, session cap, ~32 MB per partition; session conf restored after the run") {
+    // the r17 state-partition sizing (OPTIMIZATION_r17.md §2): a tiny
+    // events source must get 1 state partition (not one per core),
+    // a large one is capped at the session's own shuffle partitions
+    val dir = Files.createTempDirectory("graft_spart")
+    val ev = dir.resolve("events.parquet")
+    Files.createDirectories(ev)
+    Files.write(ev.resolve("part-0.parquet"), new Array[Byte](1 << 20))
+    assert(graft.streaming.EventStreams.statePartitionsFor(spark, dir.toString) === 1)
+    // 100 MB -> ceil(100/32) = 4, below any sane session cap
+    Files.write(ev.resolve("part-1.parquet"), new Array[Byte](100 << 20))
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val got = graft.streaming.EventStreams.statePartitionsFor(spark, dir.toString)
+    assert(got === math.min(cap, 4), s"got $got cap $cap")
+    // the scoped override must not leak into the session: run a real
+    // stateful stream and check the conf round-trips
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    graft.streaming.EventStreams.streamWindowAgg(spark, "/root/testdata/sf0.001")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    graft.streaming.PartitionedTable.deleteRecursively(dir)
+  }
+
   test("transformWithState (RocksDB) produces the same relation as mapGroupsWithState") {
     val d = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -285,9 +285,18 @@ object Bench {
     // noise, not a regression. Full per-sample detail: BENCH_DETAIL.
     val totalMad = runs.collect {
       case (k, v) if !v.exists(_ < 0) && k != "ingest_bulk" => mad(v) }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""ablations":$as,"total_mad":${fmt(totalMad)},""" +
-      s""""ingest_rows_per_sec":$rate,"sf":"$sfDir"}""")
+    val headlineLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""ablations":$as,"total_mad":${fmt(totalMad)},""" +
+        s""""ingest_rows_per_sec":$rate,"sf":"$sfDir"}"""
+    // the println goes through sbt's logger, which prefixes "[info] "
+    // and appends a "[success]" line — the driver's extractor missed it
+    // in BOTH r16 and r17 ("parsed": null). Write the exact same line
+    // to a file next to BENCH_DETAIL.json so the contract survives any
+    // log decoration (r17 VERDICT item 1).
+    Files.writeString(java.nio.file.Paths.get("BENCH_HEADLINE.json"),
+      headlineLine + "\n")
+    println(headlineLine)
     spark.stop()
   }
 

@@ -320,10 +320,19 @@ object MaintainProbe {
         var runSeqT = 0
         var tierTxn = 40L
         var curSegT = 0
+        // taxSeed is a per-SEGMENT serve slope, but the tiered policy
+        // prices per FILE and this loop's segments are multi-file:
+        // divide by the tier segments' average files-per-segment so the
+        // seed is in the right unit (r17 ADVICE; the EWMA recalibrates
+        // from the first observed serve either way)
+        val tierSegFiles = (pTier ++ dTier)
+          .map(graft.streaming.LsmFold.parquetFiles).sum
+        val filesPerSeg = math.max(1.0,
+          tierSegFiles.toDouble / math.max(1, pTier.size + dTier.size))
         val tPolicy = new graft.streaming.TieredFoldPolicy(
           initialRunFoldCostSec = math.max(0.05, secSeg),
           initialBaseFoldCostSec = secFoldServe,
-          initialTaxPerFileSec = taxSeed)
+          initialTaxPerFileSec = taxSeed / filesPerSeg)
         val tFolder = new graft.streaming.TieredPolicyFolder(tPolicy,
           () => {
             var newFiles = 0

@@ -172,8 +172,8 @@ object PlanAudit {
       "the tiny query-gram set broadcasts and prunes the postings stream map-side FIRST — df and BM25 weights are computed over the pruned candidates, so the corpus-wide term dictionary is never aggregated"),
     Check("text_bm25_bucketed", "postings index served bucketed", "Bucketed: true",
       "retrieval reads the persisted bucketBy(g) postings index: postings arrive already clustered by term, the write-once ETL layout every retrieval run reuses"),
-    Check("text_bm25_bucketed", "one gram exchange: the query vocabulary, never the index", "COUNT1:REGEX:hashpartitioning\\(g#",
-      "document frequencies were denormalized into the index at write time (the IR-dictionary layout), so serving aggregates nothing per-gram; the only gram-keyed exchange left is the tiny query-vocabulary dedup — the corpus postings never move"),
+    Check("text_bm25_bucketed", "zero gram-keyed exchanges: neither the index nor the vocabulary", "COUNT0:REGEX:hashpartitioning\\(g#",
+      "document frequencies were denormalized into the index at write time (the IR-dictionary layout), so serving aggregates nothing per-gram, and since r18 the single (query_id, g) term broadcast replaced the separate distinct-g pruning table — no exchange anywhere is keyed on the gram alone; the corpus postings never move"),
     Check("pipeline_decontaminate_bm25", "eval vocabulary broadcasts to prune postings", "BroadcastHashJoin",
       "the benchmark-bounded eval gram set broadcasts exactly like the query vocabulary in text_bm25_topk: the corpus postings stream is pruned map-side before any scoring work, and the corpus itself never exchanges to meet the eval set"),
     Check("sim_hybrid_rrf", "dense side rides the bounded-heap scan", "MapPartitions",
@@ -315,6 +315,8 @@ object PlanAudit {
         case n if n.startsWith("REGEX:") => n.stripPrefix("REGEX:").r.findFirstIn(plan).nonEmpty
         case n if n.startsWith("COUNT1:REGEX:") =>
           n.stripPrefix("COUNT1:REGEX:").r.findAllIn(plan).size == 1
+        case n if n.startsWith("COUNT0:REGEX:") =>
+          n.stripPrefix("COUNT0:REGEX:").r.findAllIn(plan).isEmpty
         case n => plan.contains(n)
       }
     }

@@ -64,10 +64,32 @@ object PlanDump {
         val lazyPlan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         // finalize AQE via the noop sink (guide §1.4) on a fresh DF of
-        // the same query so the lazy dump above stays pre-execution
+        // the same query so the lazy dump above stays pre-execution.
+        // The write runs its OWN QueryExecution (df2.queryExecution
+        // stays isFinalPlan=false — the r17 dumps' "executed plan" was
+        // actually the initial plan); capture the write's QE through a
+        // QueryExecutionListener so the dump shows the REAL final
+        // adaptive plan, including runtime exchange/stage reuse.
         val df2 = fn(spark, sfDir)
-        df2.write.mode("overwrite").format("noop").save()
-        val finalPlan = df2.queryExecution.executedPlan.toString
+        val captured = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            captured.set(qe.executedPlan.toString)
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        }
+        spark.listenerManager.register(listener)
+        try {
+          df2.write.mode("overwrite").format("noop").save()
+          // listener callbacks are async on the listener bus
+          org.apache.spark.graftbridge.ListenerFlush.waitUntilEmpty(spark.sparkContext)
+        } finally spark.listenerManager.unregister(listener)
+        val finalPlan =
+          if (captured.get.nonEmpty) captured.get
+          else df2.queryExecution.executedPlan.toString
         Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"),
           s"== $name @ $sfDir (local[$cpus]) ==\n\n" +
             "---- explain(formatted), pre-execution ----\n" + lazyPlan +

@@ -792,8 +792,19 @@ object Dedup {
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = sym.select(col("src").as("v")).distinct()
-      .withColumn("comp", col("v")).localCheckpoint(true)
+    // Initialization FUSED with propagation round 1 (r18, guide §1.2
+    // "remove passes"): starting labels are min(v, min neighbor) — the
+    // exact state the old comp=v seeding reached after its first
+    // round — computed in the same aggregation that enumerates the
+    // vertex set, so convergence costs one fewer full pass over the
+    // edge set (at sf0.1 each round is ~0.25–0.35 s of join+checkpoint
+    // fixed cost; at scale a round is a real shuffle of the pairs).
+    // Identical fixpoint: propagation is monotone (comp only
+    // decreases), so any state on the old trajectory yields the same
+    // converged labels.
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .select(col("src").as("v"), col("comp")).localCheckpoint(true)
     var changed = 1L
     var round = 0
     while (changed > 0) {

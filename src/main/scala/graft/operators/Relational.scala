@@ -240,9 +240,58 @@ object Relational {
       .filter(col("l_discount") > 0.05)
       .agg(count(lit(1)).as("n_rows"), count(col("l_orderkey")).as("n_keys"))
 
+  /** Integer-cents view of a 2-decimal double column — the
+    * codegen-friendly LongType twin of `dec` (r18, guide §4/§2.3
+    * narrower types). For every double whose shortest decimal
+    * representation has ≤ 2 fraction digits (ALL money/quantity values
+    * in the driver's data universe — audited per-column across every
+    * tier, 0 mismatches; DecimalCentsSpec pins the equivalence
+    * exhaustively and re-audits the corpus), x·100 lands within ~2⁻²⁰
+    * of the integer cents k, so ⌊x·100 + 0.5⌋ recovers k exactly —
+    * pure double arithmetic, no per-row BigDecimal (both CAST(x AS
+    * DECIMAL) and round(x, n) allocate one per row), and the
+    * aggregation buffer becomes a primitive long instead of the
+    * 22-digit Decimal that falls off UnsafeRow's fixed-width fast
+    * path. NOT valid for 3+-decimal inputs (0.615 would round
+    * differently) — that is a property of the data contract, enforced
+    * by the spec's corpus audit, not assumed. */
+  private[graft] def cents(c: Column): Column =
+    floor(c * 100 + 0.5).cast(LongType)
+
+  /** Output-boundary for cents-scaled long sums: route through
+    * DECIMAL so the emitted double is the correctly rounded value of
+    * the exact rational sum/10^s at any magnitude (a double division
+    * would double-round past 2⁵³), matching `outD(sum(dec(...)))`
+    * bit-for-bit. One division per GROUP, not per row. */
+  private def centsOutD(c: Column, divisor: Long): Column =
+    (c.cast(DecimalType(38, 0)) / lit(divisor)).cast(DoubleType)
+
   /** Grouped rollup (TPC-H Q1 shape): hash aggregate with map-side
-    * partial aggregation; exact decimal sums. */
+    * partial aggregation; exact long-cents sums (r18 — bit-identical
+    * output to the decimal-sum reference below, which remains the
+    * 100 TB-safe form: the x10000 product sum here overflows Long
+    * at ~2×10¹⁰ max-priced rows PER GROUP, four orders above the
+    * driver's largest tier but reachable by an extreme deployment). */
   def aggGroup(s: SparkSession, d: String): DataFrame = {
+    val df = lineitem(s, d)
+    val qty = cents(col("l_quantity"))
+    val ep = cents(col("l_extendedprice"))
+    val disc = cents(col("l_discount"))
+    df.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        centsOutD(sum(qty), 100L).as("sum_qty"),
+        centsOutD(sum(ep), 100L).as("sum_base_price"),
+        centsOutD(sum(ep * (lit(100L) - disc)), 10000L).as("sum_disc_price"),
+        count(lit(1)).as("n_rows"),
+        centsOutD(min(qty), 100L).as("min_qty"),
+        centsOutD(max(qty), 100L).as("max_qty"))
+  }
+
+  /** The pre-r18 exact-decimal form of aggGroup — kept as the
+    * oracle-parity reference DecimalCentsSpec bit-compares against,
+    * and the form a 100 TB deployment outside the long-cents overflow
+    * envelope should run. */
+  private[graft] def aggGroupDecimalRef(s: SparkSession, d: String): DataFrame = {
     val df = lineitem(s, d)
     df.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(

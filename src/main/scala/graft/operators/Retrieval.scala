@@ -84,6 +84,30 @@ object Retrieval {
         .as("t_grams"))
   }
 
+  /** The same totals derived from the postings relation instead of a
+    * second corpus scan: every doc with ≥ GramK words appears in
+    * `postingsOf` with Σ tf = dl grams, so
+    *   n_docs  = count of distinct doc_id over postings
+    *   t_grams = Σ dl over those docs (= Σ tf over all postings).
+    * Exact equality with `totalsOf(docs)` for any corpus (docs below
+    * GramK words contribute 0 to both sides; RetrievalSpec pins it).
+    *
+    * EXAMINED AND NOT WIRED (r18, guide §1 measure-first): sharing the
+    * `postingsOf` subtree does make AQE reuse the postings exchange —
+    * the plan drops to ONE corpus pass and the bench's bytes-read
+    * halves (141 → 70 KB/run at sf0.1) — but the query got SLOWER
+    * (0.96 → 1.71 s median, non-overlapping 7-sample ranges), because
+    * the replaced totals scan was a ~free column-pruned row-local
+    * aggregate running in parallel, while this form re-reads and
+    * re-aggregates the postings shuffle a second time behind three
+    * extra sequential AQE stage barriers. At 100 TB the trade is no
+    * better: the postings exchange carries more bytes than the pruned
+    * text column. The narrow totals scan IS the optimal shape; kept
+    * here with its equality spec as the record of the examination. */
+  private[graft] def totalsFromPostings(postings: DataFrame): DataFrame =
+    postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl2"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl2")).as("t_grams"))
+
   /** Query-side term table (query_id, g), distinct — tiny: broadcasts. */
   private[graft] def queryGramsOf(docs: DataFrame,
       ids: Seq[Long] = QueryDocs): DataFrame =
@@ -99,8 +123,9 @@ object Retrieval {
 
   /** Ad-hoc BM25 top-k over an arbitrary corpus (spec entry point). */
   private[graft] def bm25TopkOf(docs: DataFrame, ids: Seq[Long],
-      k: Int = 10): DataFrame =
+      k: Int = 10): DataFrame = {
     bm25Of(postingsOf(docs), totalsOf(docs), queryGramsOf(docs, ids), k)
+  }
 
   /** Integer-exact BM25 (k1 = 1.2, b = 0.75) top-k against prepared
     * postings. Fixed-point derivation (everything BIGINT, both
@@ -123,27 +148,28 @@ object Retrieval {
     * retrieval and retrieval-scored decontamination. */
   private[graft] def bm25Scores(postings: DataFrame, totals: DataFrame,
       qterms: DataFrame): DataFrame = {
-    val qtoks = qterms.select(col("g")).distinct()
+    // ONE broadcast join against the (query_id, g) term table prunes
+    // the postings stream AND attaches query ids (r18: the previous
+    // form joined a derived distinct-g table first and qterms second —
+    // two broadcasts and, in the ad-hoc query, two pushed query-doc
+    // corpus scans for one pruning decision). qterms is distinct, so
+    // within a (g, query_id) group the rows are exactly the docs
+    // carrying g — counting them IS the document frequency; the window
+    // carries only the candidate-bounded pruned stream (per-gram
+    // duplication across queries is bounded by the query batch size,
+    // never corpus-scaled).
+    val pruned = postings.join(broadcast(qterms), Seq("g"))
     val withDf =
       if (postings.columns.contains("df")) {
         // serve form: df was computed once at index-build time and
         // lives in the postings rows (the IR-dictionary layout) — no
-        // aggregation, and `matched` is consumed exactly once
-        postings.join(broadcast(qtoks), Seq("g"))
+        // aggregation needed at serve
+        pruned
       } else {
-        // ad-hoc form: exact df per query gram over the pruned
-        // stream — `matched` holds every posting row of those grams,
-        // so counting rows per g IS the document frequency. A count
-        // window (not a self-join) keeps the postings build a SINGLE
-        // subtree: the grouped self-join form re-planned the whole
-        // corpus explode+aggregate once per branch — a duplicated
-        // corpus scan at 100 TB. The window's g-exchange carries only
-        // the candidate-bounded pruned stream.
-        postings.join(broadcast(qtoks), Seq("g"))
-          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+        pruned.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("g"), col("query_id"))))
       }
     withDf
-      .join(broadcast(qterms), Seq("g"))
       .crossJoin(broadcast(totals))
       .select(col("query_id"), col("doc_id"),
         ((length(bin(expr("n_docs DIV df"))) - 1).cast(LongType) *

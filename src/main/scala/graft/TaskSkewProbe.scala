@@ -29,14 +29,16 @@ object TaskSkewProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val byStage = new java.util.concurrent.ConcurrentHashMap[Int,
-      scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val buf = byStage.computeIfAbsent(te.stageId,
-          _ => scala.collection.mutable.ArrayBuffer[(Long, Long)]())
+          _ => scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]())
         buf.synchronized {
           buf += ((te.taskInfo.duration,
-            Option(te.taskMetrics).map(_.shuffleReadMetrics.totalBytesRead).getOrElse(0L)))
+            Option(te.taskMetrics).map(_.shuffleReadMetrics.totalBytesRead).getOrElse(0L),
+            Option(te.taskMetrics).map(_.jvmGCTime).getOrElse(0L),
+            Option(te.taskMetrics).map(_.executorRunTime).getOrElse(0L)))
         }
       }
     })
@@ -59,10 +61,13 @@ object TaskSkewProbe {
       val e = stages.next()
       val ds = e.getValue.map(_._1).toSeq
       val sh = e.getValue.map(_._2).toSeq
+      val gc = e.getValue.map(_._3).toSeq
+      val rt = e.getValue.map(_._4).toSeq
       rows += s"""{"stage":${e.getKey},"n_tasks":${ds.size},""" +
         s""""median_ms":${med(ds)},"max_ms":${ds.max},""" +
         s""""ratio":${"%.2f".format(ds.max.toDouble / math.max(1L, med(ds)))},""" +
-        s""""total_ms":${ds.sum},"shuffle_read_mb_max":${sh.max / (1024 * 1024)}}"""
+        s""""total_ms":${ds.sum},"gc_ms":${gc.sum},"run_ms":${rt.sum},""" +
+        s""""shuffle_read_mb_max":${sh.max / (1024 * 1024)}}"""
     }
     val json = s"""{"query":"$qname","sf":"$sfDir","wall_sec":${"%.3f".format(wall)},""" +
       s""""stages":[${rows.sortBy(r => -r.split("\"total_ms\":")(1).dropRight(1).takeWhile(_.isDigit).toLong).mkString(",")}]}"""

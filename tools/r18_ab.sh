@@ -14,6 +14,7 @@ DIRA=$1; DIRB=$2; Q=$3; PAIRS=$4; SF=$5; TAG=$6
 OUT=${7:-}
 CPUS_A=${CPUS_A:-32}
 CPUS_B=${CPUS_B:-32}
+RUNS=${RUNS:-5}
 REPO=/root/repo
 
 # warm the page cache so pair 1 side A doesn't eat the cold read
@@ -25,7 +26,7 @@ for i in $(seq 1 "$PAIRS"); do
     d=$DIRA; cpus=$CPUS_A; [ "$side" = b ] && { d=$DIRB; cpus=$CPUS_B; }
     echo "[ab18] pair $i side $side $(date +%H:%M:%S)"
     (cd "$d" && SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
-       SPARK_GRAFT_ONLY="$Q" SPARK_GRAFT_RUNS=5 \
+       SPARK_GRAFT_ONLY="$Q" SPARK_GRAFT_RUNS="$RUNS" \
        sbt -batch "runMain graft.Bench" 2>/dev/null \
        | grep '"metric"' >>"/tmp/ab18_${TAG}_$side.jsonl")
     # a failed invocation must not masquerade as data (r17 ADVICE)
